@@ -1,0 +1,436 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Normalize, Tables, TopK}
+
+/** Parity queries: the reference's entire relational surface (SURVEY.md §2)
+  * re-expressed over the driver's TPC-H-ish testdata. Role mapping per
+  * FIXTURES.md §B: `customer`/`orders` play "store"/"fact" (the reference's
+  * 商店序號-keyed KPI tables), `(l_suppkey, l_partkey)` plays
+  * (store, branch) for the per-group top/bottom-k configs, and messy string
+  * columns are fabricated deterministically to exercise the normalization
+  * kit (reference `_to_number`/`_parse_month`, aggregate_by_store.py:112–119,
+  * 436–446).
+  *
+  * Orders span 1995–2001 in the testdata; the YoY analogues use cur=2000,
+  * prev=1999 (the reference compares string years "2025"/"2024",
+  * aggregate_by_store.py:137–145).
+  *
+  * Scale notes: every query is a pure declarative plan — aggregations get
+  * map-side partial agg, the month spine (12 rows) and dimension tables
+  * broadcast, top-k is a single window shuffle on the group key, and no
+  * query collects to the driver.
+  */
+object ParityQueries {
+
+  // SURVEY §2.3 A1 + §2.2 P1: hash agg over two keys with SUM/AVG/COUNT
+  // (reference groupby-sum, aggregate_by_store.py:147–154).
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4)      AS avg_qty,
+             count(*)                       AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+    """))
+
+  // §2.2 P9/P10 range + IN predicates, P1 projection. Filters sit directly
+  // on the scan so parquet gets PushedFilters.
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_quantity").between(30, 40) &&
+            col("l_returnflag").isin("A", "R") &&
+            col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_quantity BETWEEN 30 AND 40
+        AND l_returnflag IN ('A', 'R')
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+    """))
+
+  // Flagship: reference config 23-1/24-1 (aggregate_by_store.py:109–236,
+  // 320–419): split years → groupby-sum → left join → YoY with
+  // null-on-zero-prev (P14/P17) → rate vs a dimension measure → pct string
+  // (P16). Joins J1/J2. Both joins broadcast at dimension size.
+  private val q03 = Q(
+    "q03_store_yoy",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def byYear(y: Int) =
+        o.filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as(s"s$y"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_acctbal"))
+      byYear(2000)
+        .join(byYear(1999), Seq("o_custkey"), "left")
+        .join(cust, Seq("o_custkey"), "left")
+        .select(
+          col("o_custkey").as("custkey"),
+          round(coalesce(col("s2000"), lit(0)), 2).as("cur_total"),
+          round(coalesce(col("s1999"), lit(0)), 2).as("prev_total"),
+          round(Normalize.yoy(coalesce(col("s2000"), lit(0)),
+            coalesce(col("s1999"), lit(0))), 6).as("yoy"),
+          Normalize.fmtPct(Normalize.safeDiv(col("s2000"), col("c_acctbal")))
+            .as("rate_pct"))
+    },
+    Some("""
+      WITH cur  AS (SELECT o_custkey, sum(o_totalprice) s FROM orders
+                    WHERE year(o_orderdate) = 2000 GROUP BY 1),
+           prev AS (SELECT o_custkey, sum(o_totalprice) s FROM orders
+                    WHERE year(o_orderdate) = 1999 GROUP BY 1)
+      SELECT cur.o_custkey AS custkey,
+             round(coalesce(cur.s, 0), 2)  AS cur_total,
+             round(coalesce(prev.s, 0), 2) AS prev_total,
+             round(CASE WHEN coalesce(prev.s, 0) <> 0
+                        THEN (coalesce(cur.s, 0) - coalesce(prev.s, 0))
+                             / coalesce(prev.s, 0) END, 6) AS yoy,
+             CASE WHEN c.c_acctbal IS NULL OR c.c_acctbal = 0 THEN ''
+                  ELSE printf('%.2f%%', cur.s / c.c_acctbal * 100) END AS rate_pct
+      FROM cur
+      LEFT JOIN prev ON prev.o_custkey = cur.o_custkey
+      LEFT JOIN customer c ON c.c_custkey = cur.o_custkey
+    """))
+
+  // Reference config 23-2 (aggregate_by_store.py:239–317): filter 2 years →
+  // pivot year→columns (A3) → densify months 1..12 per store (A6, the
+  // month-spine cross join replacing the reference's per-store Python
+  // reindex loop at :287–293) → per-month YoY.
+  private val q04 = Q(
+    "q04_monthly_pivot_densify",
+    (s, d) => {
+      val f = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1999, 2000))
+        .select(col("o_custkey"),
+          month(col("o_orderdate")).as("month"),
+          year(col("o_orderdate")).as("yr"),
+          col("o_totalprice"))
+      val pv = f.groupBy(col("o_custkey"), col("month"))
+        .pivot("yr", Seq(1999, 2000)).agg(sum(col("o_totalprice")))
+        .withColumnRenamed("1999", "p1999")
+        .withColumnRenamed("2000", "p2000")
+      val spine = f.select(col("o_custkey")).distinct()
+        .crossJoin(s.range(1, 13).select(col("id").cast("int").as("month")))
+      spine.join(pv, Seq("o_custkey", "month"), "left")
+        .select(
+          col("o_custkey").as("custkey"),
+          col("month"),
+          round(coalesce(col("p1999"), lit(0)), 2).as("y1999"),
+          round(coalesce(col("p2000"), lit(0)), 2).as("y2000"),
+          round(Normalize.yoy(coalesce(col("p2000"), lit(0)),
+            coalesce(col("p1999"), lit(0))), 6).as("yoy"))
+    },
+    Some("""
+      WITH f AS (SELECT o_custkey, CAST(month(o_orderdate) AS INTEGER) AS mo,
+                        year(o_orderdate) AS y, o_totalprice
+                 FROM orders WHERE year(o_orderdate) IN (1999, 2000)),
+           g AS (SELECT o_custkey, mo,
+                        sum(CASE WHEN y = 1999 THEN o_totalprice END) s99,
+                        sum(CASE WHEN y = 2000 THEN o_totalprice END) s00
+                 FROM f GROUP BY 1, 2),
+           spine AS (SELECT DISTINCT o_custkey FROM f),
+           m AS (SELECT CAST(gs AS INTEGER) AS mo FROM generate_series(1, 12) t(gs))
+      SELECT spine.o_custkey AS custkey, m.mo AS month,
+             round(coalesce(g.s99, 0), 2) AS y1999,
+             round(coalesce(g.s00, 0), 2) AS y2000,
+             round(CASE WHEN coalesce(g.s99, 0) <> 0
+                        THEN (coalesce(g.s00, 0) - g.s99) / g.s99 END, 6) AS yoy
+      FROM spine CROSS JOIN m
+      LEFT JOIN g ON g.o_custkey = spine.o_custkey AND g.mo = m.mo
+    """))
+
+  // Reference config 24-2 (aggregate_by_store.py:422–510): two fact
+  // aggregates joined on a composite (store, month) key (J3), fill-0 on the
+  // joined measure (P15), rate with null-on-zero-denominator (P14/P18).
+  private val q05 = Q(
+    "q05_monthly_rate",
+    (s, d) => {
+      val o2k = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 2000)
+        .select(col("o_custkey"), month(col("o_orderdate")).as("month"),
+          col("o_orderkey"))
+      val base = o2k.groupBy(col("o_custkey"), col("month"))
+        .agg(count(lit(1)).as("orders_cnt"))
+      val qty = Tables.lineitem(s, d)
+        .join(o2k, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("month"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      base.join(qty, Seq("o_custkey", "month"), "left")
+        .select(
+          col("o_custkey").as("custkey"), col("month"),
+          col("orders_cnt"),
+          round(coalesce(col("qty"), lit(0)), 2).as("qty"),
+          round(Normalize.safeDiv(coalesce(col("qty"), lit(0)),
+            col("orders_cnt")), 6).as("rate"))
+    },
+    Some("""
+      WITH o2k AS (SELECT o_custkey, CAST(month(o_orderdate) AS INTEGER) AS mo,
+                          o_orderkey
+                   FROM orders WHERE year(o_orderdate) = 2000),
+           base AS (SELECT o_custkey, mo, count(*) AS orders_cnt
+                    FROM o2k GROUP BY 1, 2),
+           q AS (SELECT o_custkey, mo, sum(l_quantity) AS qty
+                 FROM lineitem JOIN o2k ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2)
+      SELECT base.o_custkey AS custkey, base.mo AS month, base.orders_cnt,
+             round(coalesce(q.qty, 0), 2) AS qty,
+             round(CASE WHEN base.orders_cnt <> 0
+                        THEN coalesce(q.qty, 0) / base.orders_cnt END, 6) AS rate
+      FROM base LEFT JOIN q ON q.o_custkey = base.o_custkey AND q.mo = base.mo
+    """))
+
+  private def branchRatio(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+      .agg(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        sum(col("l_quantity")).as("q"))
+      .select(col("suppkey"), col("partkey"),
+        round(col("rev"), 2).as("revenue"),
+        round(col("q"), 2).as("qty"),
+        round(Normalize.safeDiv(col("rev"), col("q")), 6).as("ratio"))
+
+  private def branchSql(dir: String) = s"""
+      WITH g AS (SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+                        sum(l_extendedprice * (1 - l_discount)) AS rev,
+                        sum(l_quantity) AS q
+                 FROM lineitem GROUP BY 1, 2),
+           r AS (SELECT suppkey, partkey,
+                        round(rev, 2) AS revenue, round(q, 2) AS qty,
+                        round(CASE WHEN q <> 0 THEN rev / q END, 6) AS ratio
+                 FROM g),
+           k AS (SELECT *, CAST(row_number() OVER (
+                        PARTITION BY suppkey ORDER BY ratio $dir, partkey ASC)
+                      AS INTEGER) AS rnk
+                 FROM r)
+      SELECT * FROM k WHERE rnk <= 5
+    """
+
+  // Reference config 25-1 (aggregate_by_store.py:513–611): per-(store,
+  // branch) ratio, top-5 branches per store DESC (O2). Deterministic
+  // tie-break on branch id (SURVEY §2.5 note: the reference's pandas sort is
+  // unstable under ties; we pin a total order in BOTH engines).
+  private val q06 = Q(
+    "q06_branch_top5",
+    (s, d) => TopK.topK(branchRatio(s, d), Seq(col("suppkey")),
+      col("ratio"), col("partkey"), 5),
+    Some(branchSql("DESC")))
+
+  // Reference config 25-2 (aggregate_by_store.py:614–723): bottom-5 ASC (O3).
+  private val q07 = Q(
+    "q07_branch_bottom5",
+    (s, d) => TopK.bottomK(branchRatio(s, d), Seq(col("suppkey")),
+      col("ratio"), col("partkey"), 5),
+    Some(branchSql("ASC")))
+
+  // §2.6 V1: set difference as anti-join (verify_fanout.py:32–48 missing/
+  // extra file sets). Customers with no orders in the current year.
+  private val q08 = Q(
+    "q08_orphan_customers",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 2001)
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND year(o.o_orderdate) = 2001)
+    """))
+
+  // §2.6 V4 / §2.3 A5: presence precheck (verify_store_presence.py:35–63) —
+  // per nation: how many customers, how many have orders.
+  private val q09 = Q(
+    "q09_presence_by_nation",
+    (s, d) => {
+      val has = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      Tables.customer(s, d)
+        .join(has, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          count(col("o_custkey")).as("n_with_orders"))
+    },
+    Some("""
+      SELECT c_nationkey, count(*) AS n_customers,
+             count(o.o_custkey) AS n_with_orders
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c_nationkey
+    """))
+
+  // §2.3 A4: distinct counts (aggregate_by_store.py:316 nunique).
+  private val q10 = Q(
+    "q10_distinct_counts",
+    (s, d) => {
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+    },
+    Some("""
+      SELECT count(DISTINCT o_custkey) AS n_custs,
+             count(DISTINCT year(o_orderdate)) AS n_years,
+             count(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders
+    """))
+
+  // §2.2 P4/P6/P12: the `_to_number` normalization kit
+  // (aggregate_by_store.py:112–119) on deterministically fabricated messy
+  // strings — whitespace, thousands separators, '%', null tokens.
+  private val q11 = Q(
+    "q11_normalize_numbers",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"))
+      val intStr = round(col("o_totalprice"), 0).cast("bigint").cast("string")
+      val messy = when(col("o_orderkey") % 6 === 0, concat(lit("  "), intStr, lit("  ")))
+        .when(col("o_orderkey") % 6 === 1, lit("nan"))
+        .when(col("o_orderkey") % 6 === 2, concat(intStr, lit("%")))
+        .when(col("o_orderkey") % 6 === 3, lit("None"))
+        .when(col("o_orderkey") % 6 === 4, concat(lit("1,"), intStr))
+        .otherwise(lit(""))
+      base.select(col("o_orderkey"), messy.as("raw"),
+        Normalize.toNumber(messy).as("parsed"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT o_orderkey,
+               CASE o_orderkey % 6
+                 WHEN 0 THEN '  ' || CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS VARCHAR) || '  '
+                 WHEN 1 THEN 'nan'
+                 WHEN 2 THEN CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS VARCHAR) || '%'
+                 WHEN 3 THEN 'None'
+                 WHEN 4 THEN '1,' || CAST(CAST(round(o_totalprice, 0) AS BIGINT) AS VARCHAR)
+                 ELSE ''
+               END AS raw
+        FROM orders)
+      SELECT o_orderkey, raw,
+             TRY_CAST(replace(replace(trim(raw), ',', ''), '%', '') AS DOUBLE) AS parsed
+      FROM m
+    """))
+
+  // §2.2 P7/P8: `_parse_month` (aggregate_by_store.py:436–446) over
+  // heterogeneous month formats fabricated from the events table.
+  private val q12 = Q(
+    "q12_parse_month",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val raw = when(col("event_id") % 5 === 0, date_format(col("ts"), "yyyyMM"))
+        .when(col("event_id") % 5 === 1, date_format(col("ts"), "yyyy-MM"))
+        .when(col("event_id") % 5 === 2, month(col("ts")).cast("string"))
+        .when(col("event_id") % 5 === 3,
+          concat(lit("2024/"), lpad(month(col("ts")).cast("string"), 2, "0")))
+        .otherwise(lit("n/a"))
+      e.select(col("event_id"), raw.as("raw"),
+        Normalize.parseMonth(raw).as("month"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT event_id,
+               CASE event_id % 5
+                 WHEN 0 THEN strftime(ts, '%Y%m')
+                 WHEN 1 THEN strftime(ts, '%Y-%m')
+                 WHEN 2 THEN CAST(month(ts) AS VARCHAR)
+                 WHEN 3 THEN '2024/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
+                 ELSE 'n/a'
+               END AS raw
+        FROM events),
+      p AS (
+        SELECT event_id, raw,
+               regexp_replace(trim(raw), '[^0-9]', '', 'g') AS digits
+        FROM m),
+      n AS (
+        SELECT event_id, raw,
+               TRY_CAST(CASE WHEN length(digits) >= 6 THEN substr(digits, length(digits) - 1, 2)
+                             ELSE digits END AS INTEGER) AS mo
+        FROM p)
+      SELECT event_id, raw,
+             CASE WHEN mo BETWEEN 1 AND 12 THEN mo END AS month
+      FROM n
+    """))
+
+  // §2.7 U1: vertical union of two tagged subsets.
+  private val q13 = Q(
+    "q13_union_segments",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"), lit("finished").as("tag"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"), lit("urgent").as("tag"))
+      a.unionAll(b)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+             'finished' AS tag
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+             'urgent' AS tag
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    """))
+
+  // §2.2 P16 applied at month grain + yyyymm string bucketing (the
+  // reference's (year, month)/yyyymm column convention, SURVEY §1.1):
+  // events bucketed to yyyymm with per-type value shares.
+  private val q14 = Q(
+    "q14_event_yyyymm_share",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(date_format(col("ts"), "yyyyMM").as("yyyymm"),
+          col("event_type"), col("value"))
+      val g = e.groupBy(col("yyyymm"), col("event_type"))
+        .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+      val t = e.groupBy(col("yyyymm")).agg(sum(col("value")).as("tv"))
+      g.join(t, Seq("yyyymm"), "left")
+        .select(col("yyyymm"), col("event_type"), col("n"),
+          round(col("v"), 4).as("value_sum"),
+          Normalize.fmtPct(Normalize.safeDiv(col("v"), col("tv")))
+            .as("share_pct"))
+    },
+    Some("""
+      WITH e AS (SELECT strftime(ts, '%Y%m') AS yyyymm, event_type, value
+                 FROM events),
+           g AS (SELECT yyyymm, event_type, sum(value) v, count(*) n
+                 FROM e GROUP BY 1, 2),
+           t AS (SELECT yyyymm, sum(value) tv FROM e GROUP BY 1)
+      SELECT g.yyyymm, g.event_type, g.n,
+             round(g.v, 4) AS value_sum,
+             CASE WHEN t.tv IS NULL OR t.tv = 0 THEN ''
+                  ELSE printf('%.2f%%', g.v / t.tv * 100) END AS share_pct
+      FROM g LEFT JOIN t ON t.yyyymm = g.yyyymm
+    """))
+
+  def all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+}
