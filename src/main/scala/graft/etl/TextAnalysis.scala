@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis kit for large-scale training-data pipelines: tokenization,
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting — all as pure column expressions (codegen-friendly, no
+  * UDFs) with bit-exact DuckDB-oracle equivalents.
+  *
+  * The reference has no text operators (SURVEY.md §2 covers its whole
+  * surface); this module is part of the LLM-pipeline extension mandated by
+  * BASELINE.json's north star.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens; empty input → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** "BPE-ish" subword-shaped token count: runs of letters, runs of digits,
+    * and single non-alphanumeric marks each count as one token.
+    */
+  val bpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenRe))
+
+  /** Crude char-based token estimate (the common len/4 heuristic). */
+  def tokenEstimate(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Stopword hit count (duplicates counted — a frequency signal). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+
+  /** Per-language stopword lists for the language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "les", "des"),
+    "es" -> Seq("el", "la", "y", "de", "un", "los", "que"),
+    "de" -> Seq("der", "die", "und", "ein", "ist", "das", "nicht"))
+
+  /** Fraction of CJK characters (drives the zh branch of language ID). */
+  def cjkRatio(text: Column): Column = {
+    val len = length(text)
+    when(len > 0,
+      (len - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** N-gram/stopword language-ID heuristic: CJK-dominant → zh, else the
+    * language with the highest stopword-frequency score in a fixed priority
+    * order (en, fr, es, de), "und" (undetermined) when no stopword hits.
+    * The oracle mirrors the exact CASE order, so ties break identically.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langStopwords.map { case (l, sw) => l -> stopwordHits(toks, sw) }
+    val best = greatest(scores.map(_._2): _*)
+    val byPriority = scores.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }
+    when(cjkRatio(text) > 0.3, lit("zh"))
+      .when(best > 0, byPriority)
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0,1]: rewards reasonable length, low punctuation
+    * density, stopword presence (natural-language-ness), and word shape.
+    * All double arithmetic is identical in the oracle → bit-exact.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val len = length(text).cast("double")
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}]", ""))
+    val punctRatio = when(len > 0, punct.cast("double") / len).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      stopwordHits(toks, langStopwords.flatMap(_._2)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val avgTokLen = when(nTok > 0,
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok)
+      .otherwise(lit(0.0))
+    round(
+      lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) +
+        lit(0.2) * least(stopRatio * lit(5.0), lit(1.0)) +
+        lit(0.2) * least(avgTokLen / lit(8.0), lit(1.0)),
+      6)
+  }
+
+  private val fpMod = 1L << 40
+
+  /** Position-sensitive document fingerprint: fold each token's position
+    * into its hash and sum mod 2^40. Order-sensitive like a rolling hash,
+    * but overflow-free under ANSI mode (each term < 2^40, ≤ 2^20 tokens
+    * before the sum could approach 2^62) and expressible in both engines
+    * without a mutable fold.
+    */
+  def polyFingerprint(toks: Column): Column =
+    when(size(toks) > 0,
+      pmod(
+        aggregate(
+          zip_with(toks, sequence(lit(0), size(toks) - 1),
+            (t, i) => pmod(Portable.hash60(concat(t, lit("@"), i)), lit(fpMod))),
+          lit(0L),
+          (acc, v) => acc + v),
+        lit(fpMod)))
+      .otherwise(lit(0L))
+
+  /** Whole-document content fingerprint (md5 of normalized text). */
+  def md5Fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+}

@@ -1,8 +1,327 @@
 package graft.queries
 
-/** Text-analysis + dedup extension operators over the `documents` table
-  * (filled in incrementally; see SURVEY.md §7.2 step 6).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Dedup, Tables, TextAnalysis => TA}
+import graft.functions.Portable
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline extension (BASELINE.json north star;
+  * the reference itself has no text operators, SURVEY.md §2.8).
+  *
+  * Every query is a pure column-expression plan (no UDFs → full
+  * WholeStageCodegen) with a bit-exact DuckDB oracle built from the same
+  * portable primitives ([[graft.functions.Portable]]).
+  *
+  * Scale design: dedup joins are LSH-bucketed (banded minhash join with a
+  * bucket-size skew cap, [[graft.etl.Dedup]]), never all-pairs; the only
+  * shuffles are groupBy(doc_id) for signatures and the bucket join itself.
   */
 object TextQueries {
-  def all: Seq[Q] = Seq.empty
+
+  // ---- shared SQL fragments (DuckDB side of the portable primitives) ----
+
+  /** DuckDB equivalent of Portable.hash60. */
+  private def hSql(x: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($x||'#$seed'),1,15)) AS BIGINT)"
+
+  /** DuckDB equivalent of TextAnalysis.tokens(text). */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+  /** Spark/DuckDB pair for the doubled corpus used by dedup queries:
+    * documents ∪ (documents with doc_id shifted) — guarantees every doc
+    * has exactly one exact duplicate, so dedup output is deterministic.
+    */
+  private val dupShift = 1000000L
+
+  private def doubledCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
+  }
+
+  private val doubledSql =
+    s"""(SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + $dupShift, text FROM documents)"""
+
+  /** DuckDB mirror of the full Dedup pipeline (minhashSignatures →
+    * bandCandidates with bucket cap → verifyJaccard). `baseSql` must be a
+    * CTE body producing (doc_id, sh).
+    */
+  private def lshPairsSql(
+      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
+      maxBucket: Int, threshold: Double): String = {
+    val minCols = (0 until k)
+      .map(i => s"min(${hSql("s", i)}) AS m$i").mkString(",\n               ")
+    val bandRows = (0 until numBands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH base AS ($baseSql),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM base),
+      sig AS (SELECT doc_id,
+               $minCols
+              FROM ex GROUP BY doc_id),
+      band AS (
+        $bandRows),
+      small AS (
+        SELECT * FROM (
+          SELECT doc_id, bidx, bh, count(*) OVER (PARTITION BY bidx, bh) AS n
+          FROM band) WHERE n <= $maxBucket),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM small x JOIN small y
+          ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      j AS (
+        SELECT a AS doc_a, b AS doc_b,
+               round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+                     / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
+        FROM cand JOIN base ba ON ba.doc_id = cand.a
+                  JOIN base bb ON bb.doc_id = cand.b)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
+    """
+  }
+
+  // ---- t01: token counting -------------------------------------------
+
+  private val t01 = Q(
+    "t01_token_stats",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+      t.select(col("doc_id"),
+        size(TA.tokens(col("text"))).as("ws_tokens"),
+        TA.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TA.tokenEstimate(col("text")).as("est_tokens"),
+        length(col("text")).as("len_chars"))
+    },
+    // NB: DuckDB conventional strings don't process backslash escapes —
+    // the regex goes in verbatim, single-backslash.
+    Some(s"""
+      SELECT doc_id,
+             len($toksSql) AS ws_tokens,
+             len(regexp_extract_all(text, '${TA.bpeTokenRe}')) AS bpe_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+             length(text) AS len_chars
+      FROM documents
+    """))
+
+  // ---- t02: quality scoring ------------------------------------------
+
+  private val t02 = Q(
+    "t02_quality_score",
+    (s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+    },
+    Some {
+      val allStops = TA.langStopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS DOUBLE) AS ntok,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE) AS stops,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen
+        FROM t)
+      SELECT doc_id,
+             round(0.3 * least(ntok / 50.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
+                 + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
+                 + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
+               6) AS quality
+      FROM m
+    """
+    })
+
+  // ---- t03: language ID ----------------------------------------------
+
+  private val t03 = Q(
+    "t03_lang_id",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+      val scoreCols = TA.langStopwords.map { case (l, sw) =>
+        TA.stopwordHits(TA.tokens(col("text")), sw).as(s"s_$l")
+      }
+      t.select(Seq(col("doc_id"),
+        round(TA.cjkRatio(col("text")), 6).as("cjk_ratio"),
+        TA.langId(col("text")).as("pred_lang")) ++ scoreCols: _*)
+    },
+    Some {
+      val scoreSel = TA.langStopwords.map { case (l, sw) =>
+        val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
+      }.mkString(",\n               ")
+      val langs = TA.langStopwords.map(_._1)
+      val pick = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      sc AS (
+        SELECT doc_id,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS cjk,
+               $scoreSel
+        FROM t),
+      b AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS best FROM sc)
+      SELECT doc_id, round(cjk, 6) AS cjk_ratio,
+             CASE WHEN cjk > 0.3 THEN 'zh'
+                  WHEN best > 0 THEN (CASE $pick END)
+                  ELSE 'und' END AS pred_lang,
+             ${langs.map("s_" + _).mkString(", ")}
+      FROM b
+    """
+    })
+
+  // ---- t04: document fingerprinting ----------------------------------
+
+  private val t04 = Q(
+    "t04_fingerprint",
+    (s, d) => {
+      val toks = TA.tokens(col("text"))
+      val sh = Portable.tokenShingles(toks, 3)
+      Tables.documents(s, d).select(col("doc_id"),
+        TA.md5Fingerprint(col("text")).as("md5_fp"),
+        TA.polyFingerprint(toks).as("poly_fp"),
+        array_min(transform(sh, x => Portable.hash60(x, 7))).as("min_shingle_h"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      sh AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) >= 3
+                         THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+                         ELSE [] END AS shingles
+             FROM t)
+      SELECT doc_id,
+             md5(array_to_string(toks, ' ')) AS md5_fp,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(range(1, len(toks) + 1),
+                         i -> ${hSql("toks[i]||'@'||(i-1)", 0)} % ${1L << 40})) % ${1L << 40}
+                  ELSE 0 END AS poly_fp,
+             list_min(list_transform(shingles, x -> ${hSql("x", 7)})) AS min_shingle_h
+      FROM sh
+    """))
+
+  // ---- t05: exact dedup (hash-groupBy) -------------------------------
+
+  private val t05 = Q(
+    "t05_exact_dedup",
+    (s, d) => {
+      doubledCorpus(s, d)
+        .select(col("doc_id"), TA.md5Fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    Some(s"""
+      SELECT md5(array_to_string($toksSql, ' ')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM $doubledSql AS documents(doc_id, text)
+      GROUP BY 1
+    """))
+
+  // ---- t06: MinHash + LSH near-dup pairs (token 3-gram shingles) -----
+
+  private val numHashes = 16
+  private val numBands = 4
+  private val rowsPerBand = numHashes / numBands
+  private val maxBucket = 100
+
+  private def lshPairs(base: DataFrame, threshold: Double): DataFrame = {
+    val sig = Dedup.minhashSignatures(base, "doc_id", "sh", numHashes)
+    val cand = Dedup.bandCandidates(sig, "doc_id", numBands, rowsPerBand, maxBucket)
+    Dedup.verifyJaccard(base, "doc_id", "sh", cand, threshold)
+  }
+
+  private val t06 = Q(
+    "t06_minhash_lsh_pairs",
+    (s, d) => {
+      val base = doubledCorpus(s, d)
+        .select(col("doc_id"),
+          Portable.tokenShingles(TA.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      lshPairs(base, 0.8)
+    },
+    Some(lshPairsSql(
+      s"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks
+              FROM $doubledSql AS documents(doc_id, text))
+        WHERE len(toks) >= 3""",
+      numHashes, numBands, rowsPerBand, maxBucket, 0.8)))
+
+  // ---- t07: SimHash --------------------------------------------------
+
+  private val simBits = 32
+
+  private val t07 = Q(
+    "t07_simhash",
+    (s, d) => {
+      val h = Portable.hash60(col("t"), 3)
+      val bitSums = (0 until simBits).map(b =>
+        sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val sums = doubledCorpus(s, d)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until simBits)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val withSim = sums.select(col("doc_id"), simhash.as("simhash"))
+      val grp = withSim.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))
+      withSim.join(grp, Seq("simhash"))
+        .select(col("doc_id"), col("simhash"), col("n_same"))
+    },
+    Some {
+      val bitSums = (0 until simBits).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n               ")
+      val simExpr = (0 until simBits)
+        .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH corpus AS (SELECT doc_id, text FROM $doubledSql AS d(doc_id, text)),
+      ex AS (SELECT doc_id, unnest($toksSql) AS t FROM corpus),
+      hs AS (SELECT doc_id, ${hSql("t", 3)} AS h FROM ex),
+      sums AS (SELECT doc_id,
+               $bitSums
+              FROM hs GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums)
+      SELECT doc_id, sh.simhash, g.n_same
+      FROM sh JOIN (SELECT simhash, count(*) AS n_same FROM sh GROUP BY 1) g
+        ON g.simhash = sh.simhash
+    """
+    })
+
+  // ---- t08: character n-gram Jaccard near-dup ------------------------
+  // Same banded-LSH machinery as t06 at a different modality (char
+  // 3-grams) and a tighter threshold — this corpus is highly self-similar
+  // at char-3gram level, so 0.9 keeps the output to true near-dups.
+
+  private val t08 = Q(
+    "t08_ngram_jaccard_pairs",
+    (s, d) => {
+      val base = doubledCorpus(s, d)
+        .select(col("doc_id"), Portable.charShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      lshPairs(base, 0.9)
+    },
+    Some(lshPairsSql(
+      s"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(s) - 1),
+                 i -> substr(s, i, 3))) AS sh
+        FROM (SELECT doc_id, trim(lower(text)) AS s
+              FROM $doubledSql AS documents(doc_id, text))
+        WHERE length(s) >= 3""",
+      numHashes, numBands, rowsPerBand, maxBucket, 0.9)))
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
