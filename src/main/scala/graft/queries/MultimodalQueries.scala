@@ -1,8 +1,136 @@
 package graft.queries
 
-/** Multimodal (binary column) extension operators
-  * (filled in incrementally; see SURVEY.md §7.2 step 6).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video payloads modeled as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / frame-sample plumbing.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub ([[graft.etl.MediaDecode.decodeStub]]);
+  * everything around it — the binary column, metadata schema, partitioned
+  * typed-Dataset `mapPartitions` batching, frame slicing — is real Spark
+  * plumbing and is what this module tests.
+  *
+  * Media payloads are fabricated deterministically from document text
+  * (md5 chains → 64-byte blobs) identically in Spark and the DuckDB
+  * oracle, so metadata/frame queries hash-match. The `mapPartitions`
+  * pipeline (m03) also has a SQL oracle because the stub decoder is
+  * deliberately simple byte math.
+  *
+  * Scale design: fabrication/decode are per-row map work (no shuffle);
+  * frame explode fans out rows but stays partition-local; at 100 TB real
+  * decoders slot into the same `mapPartitions` batch loop with binary
+  * columns read lazily from parquet (column pruning keeps blobs out of
+  * queries that don't touch them).
   */
 object MultimodalQueries {
-  def all: Seq[Q] = Seq.empty
+
+  private val mediaBytes = 64 // 4 chained md5 blocks
+
+  /** Hex fabrication of the media payload (128 hex chars = 64 bytes). */
+  private def hexm(text: Column): Column =
+    concat(md5(text), md5(concat(text, lit("a"))),
+      md5(concat(text, lit("b"))), md5(concat(text, lit("c"))))
+
+  private val hexmSql =
+    "md5(text) || md5(text||'a') || md5(text||'b') || md5(text||'c')"
+
+  /** Byte i (0-based, unsigned) of a lowercase hex string. */
+  private def hexByte(h: Column, i: Int): Column =
+    conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+
+  private def hexByteSql(h: String, i: String): String =
+    s"CAST(('0x' || substr($h, 2*($i) + 1, 2)) AS INTEGER)"
+
+  // ---- m01: media metadata -------------------------------------------
+
+  private val m01 = Q(
+    "m01_media_metadata",
+    (s, d) => {
+      val docs = graft.etl.Tables.documents(s, d)
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+        // real BinaryType column: the payload a production pipeline would
+        // carry; metadata derives from it via hex round-trip
+        .withColumn("media", unhex(col("h")))
+      docs.select(
+        col("doc_id"),
+        length(col("media")).as("n_bytes"),
+        when(hexByte(col("h"), 0) < 64, "png")
+          .when(hexByte(col("h"), 0) < 128, "jpg")
+          .when(hexByte(col("h"), 0) < 192, "wav")
+          .otherwise("mp4").as("format"),
+        (hexByte(col("h"), 1) + 1).as("width"),
+        (hexByte(col("h"), 2) + 1).as("height"),
+        md5(col("h")).as("checksum"))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents)
+      SELECT doc_id,
+             octet_length(from_hex(h)) AS n_bytes,
+             CASE WHEN ${hexByteSql("h", "0")} < 64 THEN 'png'
+                  WHEN ${hexByteSql("h", "0")} < 128 THEN 'jpg'
+                  WHEN ${hexByteSql("h", "0")} < 192 THEN 'wav'
+                  ELSE 'mp4' END AS format,
+             ${hexByteSql("h", "1")} + 1 AS width,
+             ${hexByteSql("h", "2")} + 1 AS height,
+             md5(h) AS checksum
+      FROM m
+    """))
+
+  // ---- m02: frame sampling -------------------------------------------
+  // Treat the payload as 8 frames of 8 bytes; keep every 2nd frame
+  // (a video frame-sampler's plan shape: explode stays partition-local).
+
+  private val frameBytes = 8
+  private val sampleEvery = 2
+
+  private val m02 = Q(
+    "m02_frame_sample",
+    (s, d) => {
+      val nFrames = mediaBytes / frameBytes
+      val docs = graft.etl.Tables.documents(s, d)
+        .select(col("doc_id"), lower(hex(unhex(hexm(col("text"))))).as("h"))
+      docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"),
+          col("h"))
+        .filter(col("frame_idx") % sampleEvery === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          col("h").substr(col("frame_idx") * lit(2 * frameBytes) + 1,
+            lit(2 * frameBytes)).as("frame_hex"))
+        .withColumn("frame_h",
+          graft.functions.Portable.hash60(col("frame_hex"), 5))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, lower(hex(from_hex($hexmSql))) AS h FROM documents),
+      f AS (SELECT doc_id, unnest(range(0, ${mediaBytes / frameBytes})) AS frame_idx, h FROM m)
+      SELECT doc_id, frame_idx,
+             substr(h, frame_idx * ${2 * frameBytes} + 1, ${2 * frameBytes}) AS frame_hex,
+             CAST(('0x'||substr(md5(substr(h, frame_idx * ${2 * frameBytes} + 1, ${2 * frameBytes})||'#5'),1,15)) AS BIGINT) AS frame_h
+      FROM f WHERE frame_idx % $sampleEvery = 0
+    """))
+
+  // ---- m03: typed mapPartitions decode → features --------------------
+
+  private val m03 = Q(
+    "m03_decode_features",
+    (s, d) => {
+      val media = graft.etl.Tables.documents(s, d)
+        .select(col("doc_id"), unhex(hexm(col("text"))).as("media"))
+      graft.etl.MediaDecode.decodePipeline(s, media)
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents)
+      SELECT doc_id,
+             octet_length(from_hex(h)) AS n_bytes,
+             round(list_sum(list_transform(range(0, 16), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f0,
+             round(list_sum(list_transform(range(16, 32), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f1,
+             round(list_sum(list_transform(range(32, 48), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f2,
+             round(list_sum(list_transform(range(48, 64), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f3
+      FROM m
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03)
 }

@@ -1,8 +1,161 @@
 package graft.queries
 
-/** Similarity-search extension operators over `embeddings`/`documents`
-  * (filled in incrementally; see SURVEY.md §7.2 step 6).
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+import graft.functions.Portable
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH variant as the scale path (bucketed equi-join
+  * instead of an all-pairs cross join).
+  *
+  * All cosine math is the sequential double fold from
+  * [[graft.functions.Portable]] — bit-exact vs DuckDB's
+  * `list_dot_product`, so ranking and thresholding agree across engines
+  * with no tolerance games.
+  *
+  * Scale design: the query side of e01 is a tiny broadcast; e02/e03 replace
+  * the cross join with an equi-join on an 8-bit hyperplane-sign bucket
+  * (hyperplanes are deterministic ±1 literals compiled into the plan — at
+  * 100 TB they'd be a broadcast variable, same plan shape). Buckets from
+  * random hyperplanes distribute ~uniformly, so no shuffle skew.
   */
 object SimilarityQueries {
-  def all: Seq[Q] = Seq.empty
+
+  private val dim = 64
+  private val numPlanes = 8
+  private val k = 5
+
+  /** Deterministic ±1 hyperplanes (LCG over plane/coord index). The same
+    * literals are embedded in the Spark plan and the oracle SQL.
+    */
+  private val hyperplanes: Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        val x = (j * dim + i) * 6364136223846793005L + 1442695040888963407L
+        if (((x >>> 33) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  private def planeLit(j: Int): Column =
+    array(hyperplanes(j).map(lit): _*)
+
+  private def planeSql(j: Int): String =
+    hyperplanes(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** 8-bit LSH bucket: bit j set iff dot(v, hyperplane_j) > 0. */
+  private def bucket(v: Column): Column =
+    (0 until numPlanes)
+      .map(j => when(Portable.dot(v, planeLit(j)) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until numPlanes)
+      .map(j => s"CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0.0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+
+  private val cosSql =
+    "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+
+  // ---- e01: brute-force cosine top-k ---------------------------------
+
+  private val e01 = Q(
+    "e01_knn_brute",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val scored = broadcast(queries).crossJoin(
+        emb.select(col("vec_id").as("cid"), col("e").as("ce")))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), Portable.cosine(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, c.vec_id AS cid,
+               $cosSql AS cos
+        FROM q CROSS JOIN (SELECT vec_id, e AS ce FROM emb) c
+        WHERE qid <> c.vec_id),
+      r AS (SELECT qid, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+    """))
+
+  // ---- e02: LSH-bucketed approximate top-k ---------------------------
+
+  private val e02 = Q(
+    "e02_knn_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("bkt", bucket(col("e")))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("bkt"))
+      val cands = emb.select(col("vec_id").as("cid"), col("e").as("ce"), col("bkt"))
+      val scored = broadcast(queries).join(cands, Seq("bkt"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), Portable.cosine(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, e, ${bucketSql("e")} AS bkt
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+      q AS (SELECT vec_id AS qid, e AS qe, bkt FROM emb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, c.vec_id AS cid,
+               $cosSql AS cos
+        FROM q JOIN (SELECT vec_id, e AS ce, bkt FROM emb) c USING (bkt)
+        WHERE qid <> c.vec_id),
+      r AS (SELECT qid, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+    """))
+
+  // ---- e03: embedding-cosine near-dup pairs --------------------------
+
+  private val dupShift = 1000000L
+
+  private val e03 = Q(
+    "e03_embed_neardup",
+    (s, d) => {
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      // doubled corpus → every vector has one exact duplicate (cos = 1)
+      val emb = raw.unionAll(
+        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e")))
+        .withColumn("bkt", bucket(col("e")))
+      val a = emb.select(col("vec_id").as("a"), col("e").as("qe"), col("bkt"))
+      val b = emb.select(col("vec_id").as("b"), col("e").as("ce"), col("bkt"))
+      a.join(b, Seq("bkt")).filter(col("a") < col("b"))
+        .select(col("a").as("vec_a"), col("b").as("vec_b"),
+          Portable.cosine(col("qe"), col("ce")).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      emb AS (
+        SELECT vec_id, e, ${bucketSql("e")} AS bkt
+        FROM (SELECT vec_id, e FROM raw
+              UNION ALL SELECT vec_id + $dupShift, e FROM raw)),
+      p AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               list_dot_product(x.e, y.e)
+                 / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+        FROM emb x JOIN emb y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+      SELECT vec_a, vec_b, round(cos, 6) AS sim FROM p WHERE cos >= 0.95
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03)
 }
