@@ -1,0 +1,76 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Post-hoc fan-out verification as DataFrame ops (reference
+  * verify_fanout.py; SURVEY.md §2.6 V1–V3): the reference's main
+  * correctness idea, kept as a product feature.
+  *
+  *   - file-set check: per key, `missing = expected − present` and
+  *     `extra = present − expected` (verify_fanout.py:32–48) — anti-joins,
+  *     not driver-side set math;
+  *   - content invariant: every data row's key equals its directory's key
+  *     (verify_fanout.py:52–102) — a filter + count with bounded samples;
+  *   - exit contract: any discrepancy ⇒ non-zero (verify_fanout.py:187–188),
+  *     here a summary row the caller can assert on.
+  *
+  * All checks are single-shuffle aggregations; at 100 TB they scale as a
+  * scan + hash agg (the reference re-reads every output file serially).
+  */
+object VerifyOps {
+
+  /** Per-key missing/extra source files. `present` must have columns
+    * (key, src); `expectedSrcs` is the full source-file list (small →
+    * broadcast cross join).
+    */
+  def fileSetCheck(present: DataFrame, keyCol: String, expectedSrcs: Seq[String]): DataFrame = {
+    val spark = present.sparkSession
+    import spark.implicits._
+    val expected = present.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(expectedSrcs.toDF("src")))
+    val have = present.select(col(keyCol), col("src")).distinct()
+    val missing = expected.join(have, Seq(keyCol, "src"), "left_anti")
+      .select(col(keyCol), lit("missing").as("kind"), col("src"))
+    val extra = have.join(expected, Seq(keyCol, "src"), "left_anti")
+      .select(col(keyCol), lit("extra").as("kind"), col("src"))
+    missing.unionAll(extra)
+  }
+
+  /** Content-invariant violations: rows whose key cell ≠ directory key.
+    * Input needs (keyCol, _dir_key) as produced by
+    * [[graft.sources.FanOut.read]].
+    */
+  def contentViolations(readBack: DataFrame, keyCol: String): DataFrame =
+    readBack.filter(trim(col(keyCol)) =!= col("_dir_key"))
+
+  /** One-row verification summary (the exit-code contract, as data):
+    * (n_missing, n_extra, n_violations, n_keys).
+    */
+  def summary(
+      present: DataFrame,
+      readBack: DataFrame,
+      keyCol: String,
+      expectedSrcs: Seq[String]): DataFrame = {
+    val sets = fileSetCheck(present, keyCol, expectedSrcs)
+      .groupBy().pivot("kind", Seq("missing", "extra")).count()
+      .select(coalesce(col("missing"), lit(0L)).as("n_missing"),
+        coalesce(col("extra"), lit(0L)).as("n_extra"))
+    val content = contentViolations(readBack, keyCol)
+      .agg(count(lit(1)).as("n_violations"))
+    val keys = readBack.agg(countDistinct(col("_dir_key")).as("n_keys"))
+    sets.crossJoin(content).crossJoin(keys)
+  }
+
+  /** Presence precheck (verify_store_presence.py:35–63; SURVEY.md §2.6
+    * V4): per dataset, row count for `keyValue`.
+    */
+  def presence(datasets: Seq[(String, DataFrame)], keyCol: String, keyValue: String): DataFrame = {
+    datasets.map { case (name, df) =>
+      df.filter(trim(col(keyCol)) === keyValue)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("dataset"), col("n_rows"),
+          (col("n_rows") > 0).as("present"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{SchemaResolver, Tables, VerifyOps}
+import graft.sources.{FanOut, HeaderScan}
+
+/** End-to-end file-pipeline queries: the reference's fan-out sink,
+  * header-scanning ingest, and post-hoc verification exercised through
+  * real filesystem round-trips, with the results checked against DuckDB
+  * oracles over the original tables (round-trip integrity == parity with
+  * the source of truth).
+  *
+  * Temp layouts live under java.io.tmpdir and are rebuilt (overwrite) on
+  * each run, so Verify and Bench are self-contained.
+  */
+object PipelineQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  // ---- q15: fan-out write → exact {key}/{src}.csv layout → read back --
+
+  private def fanOutEvents(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("fanout_events")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    FanOut.write(ev, "event_type", out, "events")
+    FanOut.read(s, out, "events", "event_type")
+  }
+
+  private val q15 = Q(
+    "q15_fanout_roundtrip",
+    (s, d) => {
+      fanOutEvents(s, d)
+        .groupBy(col("_dir_key").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1
+    """))
+
+  // ---- q16: header-scanning CSV ingest over messy BI exports ----------
+
+  /** Fabricate two BI-export-style CSVs from `nation` (driver-side — the
+    * dimension is 25 rows): different column orders, alias headers, meta
+    * prefix rows, a BOM on one file, and one decoy file without the key
+    * column (must be warn-skipped).
+    */
+  private def fabricateMessyCsvs(s: SparkSession, d: String): String = {
+    val dir = tmp("headerscan_in")
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().sortBy(_.getLong(0))
+    Files.createDirectories(Paths.get(dir))
+    def write(name: String, content: String): Unit =
+      Files.write(Paths.get(dir, name), content.getBytes(StandardCharsets.UTF_8))
+    val (lo, hi) = rows.partition(_.getLong(0) < 13)
+    write("export_a.csv",
+      "Report Generated,2026-08-12\nSource,BI\n" +
+        "商店序號,門市名稱,region\n" +
+        lo.map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}").mkString("", "\n", "\n"))
+    write("export_b.csv",
+      "﻿Quarter,Q3\n" +
+        "region, 商店序號 ,Store Name\n" + // shuffled order + padded header
+        hi.map(r => s"${r.getLong(2)},${r.getLong(0)},${r.getString(1)}").mkString("", "\n", "\n"))
+    write("decoy.csv", "a,b\n1,2\n") // no key column → warn + skip
+    dir
+  }
+
+  private val q16 = Q(
+    "q16_header_scan_ingest",
+    (s, d) => {
+      val dir = fabricateMessyCsvs(s, d)
+      // alias resolution is per-file: the exports disagree on the
+      // store-name header, so canonicalize before the union
+      val named = HeaderScan.readDirFrames(s, dir, "商店序號")
+        .map { case (_, df) =>
+          SchemaResolver.ensureStoreNameCol(df)
+            .select(col("商店序號"), col("門市名稱"), col("region"))
+        }
+        .reduce(_ unionByName _)
+      named
+        .groupBy(col("region").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          countDistinct(col("門市名稱")).as("n_names"),
+          sum(col("商店序號").cast("long")).as("key_sum"))
+    },
+    Some("""
+      SELECT n_regionkey, count(*) AS n_nations,
+             count(DISTINCT n_name) AS n_names,
+             sum(n_nationkey) AS key_sum
+      FROM nation GROUP BY 1
+    """))
+
+  // ---- q17: fan-out verification (file sets + content invariant) ------
+
+  private val q17 = Q(
+    "q17_verify_fanout",
+    (s, d) => {
+      val back = fanOutEvents(s, d)
+      val present = back.select(col("_dir_key").as("event_type"), lit("events").as("src"))
+      VerifyOps.summary(present, back, "event_type", Seq("events"))
+    },
+    Some("""
+      SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
+             CAST(0 AS BIGINT) AS n_violations,
+             count(DISTINCT event_type) AS n_keys
+      FROM events
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17)
+}

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned fan-out sink (reference fan_out_by_storeid.py:36–48;
+  * SURVEY.md §2.1 S5/S6): split rows of each source into
+  * `out/{key}/{srcName}.csv`, optionally replaying meta prefix rows and a
+  * UTF-8 BOM (`utf-8-sig`) at the top of every output file.
+  *
+  * The heavy lifting is Spark's dynamic-partition CSV write — one writer
+  * per (task, key), iterator-based, constant memory (the reference's
+  * explicit O(1)-rows constraint is free here, SURVEY.md §4). The exact
+  * `{key}/{src}.csv` layout the reference promises is restored by a
+  * metadata-only finalize pass: per-partition file rename/concat on the
+  * FileSystem API (works on HDFS/object stores; per-key outputs are
+  * report-sized by construction, so the pass is cheap relative to the
+  * write).
+  */
+object FanOut {
+
+  /** Fan out `df` by `keyCol` into `outDir/{key}/{srcName}.csv`.
+    *
+    * Blank/whitespace keys are dropped (fan_out_by_storeid.py:35–37).
+    * `prefixRows` (meta rows from [[HeaderScan]]) and `bom` reproduce the
+    * reference's per-file prefix replay + utf-8-sig output.
+    */
+  def write(
+      df: DataFrame,
+      keyCol: String,
+      outDir: String,
+      srcName: String,
+      prefixRows: Seq[String] = Nil,
+      bom: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    val staging = s"$outDir/_staging_$srcName"
+    val cleaned = df
+      .withColumn(keyCol, trim(col(keyCol)))
+      .filter(col(keyCol).isNotNull && col(keyCol) =!= "")
+    // Partition on a duplicated helper column so the key stays in the CSV
+    // row content (Spark drops partition columns from files; the reference
+    // keeps the key cell — that's the invariant verify_fanout checks).
+    val helper = "_gk"
+    cleaned.withColumn(helper, col(keyCol)).write
+      .mode("overwrite")
+      .option("header", true)
+      .partitionBy(helper)
+      .csv(staging)
+    finalizeLayout(spark, staging, outDir, helper, srcName, prefixRows, bom)
+  }
+
+  /** Move `staging/{key}={v}/part-*.csv` → `outDir/{v}/{srcName}.csv`,
+    * concatenating multiple part files and prepending BOM + prefix rows +
+    * (Spark-written) header. Pure FileSystem metadata/stream work.
+    */
+  private def finalizeLayout(
+      spark: SparkSession,
+      staging: String,
+      outDir: String,
+      keyCol: String,
+      srcName: String,
+      prefixRows: Seq[String],
+      bom: Boolean): Unit = {
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = (if (bom) "﻿" else "") +
+      (if (prefixRows.nonEmpty) prefixRows.mkString("", "\n", "\n") else "")
+    fs.listStatus(new Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$keyCol="))
+      .foreach { partDir =>
+        val key = java.net.URLDecoder.decode(
+          partDir.getPath.getName.stripPrefix(s"$keyCol="), "UTF-8")
+        val parts = fs.listStatus(partDir.getPath)
+          .filter(_.getPath.getName.endsWith(".csv")).map(_.getPath).sortBy(_.getName)
+        val dest = new Path(s"$outDir/$key/$srcName.csv")
+        fs.mkdirs(dest.getParent)
+        val out = fs.create(dest, true)
+        try {
+          if (prefix.nonEmpty)
+            out.write(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var wroteHeader = false
+          parts.foreach { p =>
+            val in = fs.open(p)
+            try {
+              val reader = new java.io.BufferedReader(
+                new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+              var line = reader.readLine() // header line of this part file
+              if (!wroteHeader && line != null) {
+                out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                wroteHeader = true
+              }
+              line = reader.readLine()
+              while (line != null) {
+                out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                line = reader.readLine()
+              }
+            } finally in.close()
+          }
+        } finally out.close()
+      }
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Read a fan-out layout back: `outDir/{key}/{srcName}.csv` for every
+    * key directory, with the key recovered from the directory name (the
+    * content invariant verify_fanout.py checks). All-string schema.
+    */
+  def read(spark: SparkSession, outDir: String, srcName: String, keyCol: String): DataFrame = {
+    spark.read
+      .option("header", true)
+      .option("inferSchema", false)
+      .csv(s"$outDir/*/$srcName.csv")
+      .withColumn("_dir_key",
+        regexp_extract(input_file_name(), s".*/([^/]+)/$srcName\\.csv$$", 1))
+      .withColumn("_dir_key", url_decode(col("_dir_key")))
+  }
+}
