@@ -51,9 +51,16 @@ object Normalize {
     when(n.between(1, 12), n)
   }
 
-  /** Ratio → "12.34%" string; null → "" (aggregate_by_store.py:209–215). */
+  /** Ratio → "12.34%" string; null → "" (aggregate_by_store.py:209–215).
+    * The value is rounded to 2 decimals *before* formatting so the tie
+    * behavior is the engine's round (half away from zero in both Spark
+    * and DuckDB) rather than printf's platform-dependent tie rule
+    * (Java %.2f is half-up, C printf is half-even — they disagree on
+    * exact .xx5 doubles).
+    */
   def fmtPct(c: Column): Column =
-    when(c.isNull, lit("")).otherwise(format_string("%.2f%%", c * lit(100)))
+    when(c.isNull, lit(""))
+      .otherwise(format_string("%.2f%%", round(c * lit(100), 2)))
 
   /** Division that yields null (not error, not 0) on a zero or null
     * denominator (aggregate_by_store.py:168–170 etc.). ANSI-safe: the
