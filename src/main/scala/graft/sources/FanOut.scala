@@ -104,14 +104,36 @@ object FanOut {
   /** Read a fan-out layout back: `outDir/{key}/{srcName}.csv` for every
     * key directory, with the key recovered from the directory name (the
     * content invariant verify_fanout.py checks). All-string schema.
+    *
+    * Mirrors the verifier's per-file header re-scan (verify_fanout.py:
+    * 69–79) without a per-file driver loop: ONE file's head is scanned for
+    * the prefix/header structure (every file written by [[write]] shares
+    * it), then the whole glob is read as text distributed and the
+    * prefix/header lines are dropped by content. Meta lines don't contain
+    * the key column and the header line's key cell is the column name
+    * itself, so neither can collide with a data row (whose key cell is a
+    * non-blank key value).
     */
   def read(spark: SparkSession, outDir: String, srcName: String, keyCol: String): DataFrame = {
-    spark.read
-      .option("header", true)
-      .option("inferSchema", false)
-      .csv(s"$outDir/*/$srcName.csv")
-      .withColumn("_dir_key",
-        regexp_extract(input_file_name(), s".*/([^/]+)/$srcName\\.csv$$", 1))
-      .withColumn("_dir_key", url_decode(col("_dir_key")))
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = fs.listStatus(new Path(outDir)).filter(_.isDirectory)
+      .map(d => new Path(d.getPath, s"$srcName.csv")).find(fs.exists)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no $srcName.csv under $outDir/*/"))
+    val info = HeaderScan.scanHeader(spark, first.toString, keyCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"key column '$keyCol' not found in $first"))
+    val schema = StructType(info.columns.map(c => StructField(c, StringType)))
+    val prefixSet = info.prefixRows.toSet
+    spark.read.text(s"$outDir/*/$srcName.csv")
+      .select(col("value").as("_line"),
+        regexp_extract(input_file_name(), s".*/([^/]+)/$srcName\\.csv$$", 1).as("_dir_key"))
+      .withColumn("_line", regexp_replace(col("_line"), "^﻿", ""))
+      .filter(!col("_line").isin(prefixSet.toSeq: _*))
+      .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"),
+        url_decode(col("_dir_key")).as("_dir_key"))
+      .select(col("r.*") +: Seq(col("_dir_key")): _*)
+      .filter(col(keyCol) =!= keyCol) // drop each file's header line
   }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.VerifyOps
+import graft.sources.{FanOut, HeaderScan}
+
+/** Fan-out sink round-trip + header-scanning ingest + the verify_fanout
+  * invariants (reference fan_out_by_storeid.py / verify_fanout.py).
+  */
+class FanOutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val S = "商店序號"
+
+  test("FanOut.write → read round-trip: layout, prefix replay, BOM, blanks dropped") {
+    val out = tmpDir("fanout").toString
+    val df = Seq(
+      ("s1", "a", "1"), ("s2", "b", "2"), ("s1", "c", "3"),
+      ("  ", "dropped", "4"), (" s2 ", "d", "5"))
+      .toDF(S, "v1", "v2")
+    FanOut.write(df, S, out, "srcA",
+      prefixRows = Seq("Established At Year,2025,2024"), bom = true)
+
+    // exact {key}/{src}.csv layout
+    val s1 = new java.io.File(s"$out/s1/srcA.csv")
+    assert(s1.isFile, "expected out/s1/srcA.csv")
+    assert(new java.io.File(s"$out/s2/srcA.csv").isFile)
+    assert(!new java.io.File(out).listFiles().exists(_.getName.trim.isEmpty))
+
+    // BOM + meta prefix + header + rows
+    val raw = Files.readString(s1.toPath)
+    assert(raw.startsWith("﻿"), "utf-8-sig BOM")
+    val lines = raw.stripPrefix("﻿").split("\n").toSeq
+    assert(lines.head == "Established At Year,2025,2024")
+    assert(lines(1).split(",").map(_.trim).contains(S))
+
+    // read back: key recovered from directory, content invariant holds
+    val back = FanOut.read(spark, out, "srcA", S)
+    assert(back.count() == 4) // blank-key row dropped, " s2 " trimmed
+    assert(VerifyOps.contentViolations(back, S).count() == 0)
+    val sum = VerifyOps.summary(
+      back.select(col(S), lit("srcA").as("src")), back, S, Seq("srcA"))
+      .collect()(0)
+    assert(sum.getLong(0) == 0 && sum.getLong(1) == 0 &&
+      sum.getLong(2) == 0 && sum.getLong(3) == 2)
+  }
+
+  test("VerifyOps: missing/extra file sets and injected content violation") {
+    val present = Seq(("s1", "a.csv"), ("s1", "b.csv"), ("s2", "a.csv"))
+      .toDF(S, "src")
+    val sets = VerifyOps.fileSetCheck(present, S, Seq("a.csv", "b.csv"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(sets == Set(("s2", "missing", "b.csv")))
+    val extra = VerifyOps.fileSetCheck(present, S, Seq("a.csv"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(extra == Set(("extra", "b.csv")))
+
+    val bad = Seq(("s1", "s1"), ("s9", "s1")).toDF(S, "_dir_key")
+    assert(VerifyOps.contentViolations(bad, S).count() == 1)
+
+    val presence = VerifyOps.presence(
+      Seq("d1" -> Seq("s1", "s2").toDF(S), "d2" -> Seq("s2").toDF(S)),
+      S, "s1").orderBy("dataset").collect()
+    assert(presence(0).getBoolean(2) && !presence(1).getBoolean(2))
+  }
+
+  test("HeaderScan: meta rows, quoted cells, warn-skip, distributed read") {
+    val dir = tmpDir("hscan")
+    Files.writeString(dir.resolve("good.csv"),
+      "Report Title,, \n" +
+        "Established At Year,2025,2024\n" +
+        s"\"$S\",\"name, quoted\",金額\n" +
+        "s1,\"Ace, Inc\",\"1,234\"\n" +
+        "s2,Bob,99\n")
+    Files.writeString(dir.resolve("nokey.csv"), "a,b\n1,2\n")
+
+    val scanned = HeaderScan.scanHeader(spark, dir.resolve("good.csv").toString)
+    assert(scanned.isDefined)
+    val info = scanned.get
+    assert(info.prefixRows.length == 2 && info.skipLines == 3)
+    assert(info.columns == Seq(S, "name, quoted", "金額"))
+    assert(HeaderScan.scanHeader(spark, dir.resolve("nokey.csv").toString).isEmpty)
+
+    val frames = HeaderScan.readDirFrames(spark, dir.toString)
+    assert(frames.length == 1) // nokey.csv warn-skipped
+    val rows = frames.head._2.orderBy(S).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "Ace, Inc") // quoted comma survives
+    assert(rows(0).getString(2) == "1,234") // stays string — typing is lazy
+  }
+
+  test("HeaderScan + FanOut end-to-end: messy export split per store") {
+    val dir = tmpDir("h2f")
+    val out = tmpDir("h2fout").toString
+    Files.writeString(dir.resolve("export.csv"),
+      s"meta,row\n$S,月份,總綁定\ns1,01,10\ns2,202502,20\ns1,3,30\n")
+    val Seq((info, df)) = HeaderScan.readDirFrames(spark, dir.toString)
+    FanOut.write(df.drop("_src"), S, out, "export", prefixRows = info.prefixRows)
+    val back = FanOut.read(spark, out, "export", S)
+    assert(back.count() == 3)
+    assert(VerifyOps.contentViolations(back, S).count() == 0)
+    val firstLine = Files.readAllLines(
+      java.nio.file.Paths.get(s"$out/s1/export.csv")).get(0)
+    assert(firstLine == "meta,row") // prefix replayed into every store file
+  }
+}

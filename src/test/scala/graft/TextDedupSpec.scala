@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Dedup, MediaDecode, TextAnalysis => T, TopK}
+import graft.functions.Portable
+
+/** Text-analysis, dedup, similarity, and media-stub operators on literal
+  * frames — unit-level complements to the DuckDB-oracle gate.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq("x").toDF("_").select(c.as("v")).collect()(0).get(0)
+
+  test("tokens / bpeTokenCount / tokenEstimate") {
+    assert(one(T.tokens(lit("  The  quick  Fox "))) ==
+      Seq("the", "quick", "fox"))
+    assert(one(T.tokens(lit(""))) == Seq())
+    // "don't stop2" → don | ' | t | stop | 2 = 5
+    assert(one(T.bpeTokenCount(lit("don't stop2"))) == 5L)
+    assert(one(T.tokenEstimate(lit("abcdefgh"))) == 2L) // 8/4
+    assert(one(T.tokenEstimate(lit("abcdefghi"))) == 3L) // ceil(9/4)
+  }
+
+  test("cjkRatio and langId branches") {
+    assert(one(T.cjkRatio(lit("中文測試"))) == 1.0)
+    assert(one(T.cjkRatio(lit("ab中文"))) == 0.5)
+    assert(one(T.langId(lit("這是一段完全中文的句子"))) == "zh")
+    assert(one(T.langId(lit("the cat and the dog of the house"))) == "en")
+    assert(one(T.langId(lit("le chat et la maison de paris"))) == "fr")
+    assert(one(T.langId(lit("zzz qqq xxx"))) == "und")
+    // tie between en and fr resolves to priority order (en first)
+    assert(one(T.langId(lit("the le"))) == "en")
+  }
+
+  test("qualityScore stays in [0,1] and orders sensibly") {
+    val junk = one(T.qualityScore(lit("!!! ??? ,,, ;;;"))).asInstanceOf[Double]
+    val prose = one(T.qualityScore(lit(
+      "The quick brown fox jumps over the lazy dog and runs into the woods"
+    ))).asInstanceOf[Double]
+    assert(junk >= 0.0 && junk <= 1.0)
+    assert(prose >= 0.0 && prose <= 1.0)
+    assert(prose > junk)
+  }
+
+  test("fingerprints: order-sensitive poly, content md5") {
+    val ab = one(T.polyFingerprint(T.tokens(lit("alpha beta"))))
+    val ba = one(T.polyFingerprint(T.tokens(lit("beta alpha"))))
+    assert(ab != ba) // position-sensitive
+    assert(one(T.polyFingerprint(T.tokens(lit("")))) == 0L)
+    assert(one(T.md5Fingerprint(lit(" Alpha  Beta "))) ==
+      one(T.md5Fingerprint(lit("alpha beta")))) // normalized content hash
+  }
+
+  test("Portable: hash60 range/determinism, shingles, jaccard, cosine") {
+    val h1 = one(Portable.hash60(lit("abc"), 0)).asInstanceOf[Long]
+    val h2 = one(Portable.hash60(lit("abc"), 1)).asInstanceOf[Long]
+    assert(h1 >= 0 && h1 < (1L << 60) && h1 != h2)
+    assert(h1 == one(Portable.hash60(lit("abc"), 0)))
+    assert(one(Portable.charShingles(lit("ABCa"), 3)) == Seq("abc", "bca"))
+    assert(one(Portable.charShingles(lit("ab"), 3)) == Seq())
+    assert(one(Portable.tokenShingles(T.tokens(lit("a b c")), 2)) ==
+      Seq("a_b", "b_c"))
+    assert(one(Portable.jaccard(array(lit("a"), lit("b")),
+      array(lit("b"), lit("c")))) == 1.0 / 3.0)
+    assert(one(Portable.jaccard(array().cast("array<string>"),
+      array().cast("array<string>"))) == null)
+    val cos = one(Portable.cosine(
+      array(lit(1.0), lit(0.0)), array(lit(1.0), lit(1.0)))).asInstanceOf[Double]
+    assert(math.abs(cos - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(one(Portable.cosine(
+      array(lit(0.0), lit(0.0)), array(lit(1.0), lit(1.0)))) == null)
+  }
+
+  test("Dedup: LSH candidates find near-dups, verification filters them") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely unrelated text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Portable.charShingles(col("text"), 5))
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "sh", 12)
+    assert(sig.count() == 3 && sig.columns.length == 13)
+    val cand = Dedup.bandCandidates(sig, "doc_id", numBands = 6,
+      rowsPerBand = 2, maxBucket = 10)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    val verified = Dedup.verifyJaccard(docs, "doc_id", "sh", cand, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("Dedup: maxBucket cap drops pathologically hot buckets") {
+    // 20 identical docs → every band bucket has 20 members
+    val docs = (1L to 20L).map(i => (i, "same same same text"))
+      .toDF("doc_id", "text")
+      .withColumn("sh", Portable.charShingles(col("text"), 3))
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "sh", 8)
+    val capped = Dedup.bandCandidates(sig, "doc_id", 4, 2, maxBucket = 5)
+    assert(capped.count() == 0) // all buckets over the cap → no quadratic join
+    val open = Dedup.bandCandidates(sig, "doc_id", 4, 2, maxBucket = 50)
+    assert(open.count() == 20L * 19 / 2)
+  }
+
+  test("TopK: deterministic under ties, k bound per group") {
+    val df = Seq(
+      ("g1", "b", 1.0), ("g1", "a", 1.0), ("g1", "c", 2.0), ("g1", "d", 0.5),
+      ("g2", "x", 9.0))
+      .toDF("g", "id", "m")
+    val top2 = TopK.topK(df, Seq(col("g")), col("m"), col("id"), 2)
+      .orderBy("g", "rnk").collect()
+    assert(top2.map(_.getString(1)).toSeq == Seq("c", "a", "x"))
+    val bot2 = TopK.bottomK(df, Seq(col("g")), col("m"), col("id"), 2)
+      .orderBy("g", "rnk").collect()
+    assert(bot2.map(_.getString(1)).toSeq == Seq("d", "a", "x"))
+  }
+
+  test("MediaDecode: stub decode is deterministic byte stats") {
+    val bytes = Array.tabulate(64)(i => i.toByte)
+    val f = MediaDecode.decodeStub(bytes)
+    assert(f.length == 4)
+    // quarter g: mean of values g*16..g*16+15 over 255
+    assert(math.abs(f(0) - 7.5 / 255.0) < 1e-12)
+    assert(math.abs(f(3) - 55.5 / 255.0) < 1e-12)
+    val df = MediaDecode.decodePipeline(spark,
+      Seq((1L, bytes)).toDF("doc_id", "media"))
+    val r = df.collect()(0)
+    assert(r.getInt(1) == 64 && r.getDouble(2) == math.rint(f(0) * 1e6) / 1e6)
+  }
+}
