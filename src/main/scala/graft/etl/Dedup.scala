@@ -22,13 +22,21 @@ import graft.functions.Portable
   */
 object Dedup {
 
-  /** (id, sh: array<string>) → (id, m0..m{k-1}) MinHash signature matrix. */
+  /** (id, sh: array<string>) → (id, m0..m{k-1}) MinHash signature matrix.
+    *
+    * ONE md5 per shingle; the k hash family members are affine transforms
+    * of that base hash ([[Portable.minhashTransform]]) — integer-only,
+    * overflow-free, bit-identical in the DuckDB oracle. The k mins are
+    * map-side-partial aggregates over a single shuffle on the id.
+    */
   def minhashSignatures(base: DataFrame, idCol: String, shCol: String, k: Int): DataFrame = {
+    val consts = Portable.minhashConsts(k)
     val ex = base.select(col(idCol), explode(col(shCol)).as("_s"))
-    ex.groupBy(col(idCol))
-      .agg(
-        min(Portable.hash60(col("_s"), 0)).as("m0"),
-        (1 until k).map(i => min(Portable.hash60(col("_s"), i)).as(s"m$i")): _*)
+      .select(col(idCol), Portable.hash60(col("_s")).as("_h"))
+    val aggs = consts.zipWithIndex.map { case (c, i) =>
+      min(Portable.minhashTransform(col("_h"), c)).as(s"m$i")
+    }
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Signature matrix → distinct candidate id pairs (a < b) via banded LSH

@@ -49,29 +49,35 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** N-gram/stopword language-ID heuristic: CJK-dominant → zh, else the
-    * language with the highest stopword-frequency score in a fixed priority
-    * order (en, fr, es, de), "und" (undetermined) when no stopword hits.
-    * The oracle mirrors the exact CASE order, so ties break identically.
+  /** Language pick from precomputed per-language stopword scores: CJK
+    * ratio > 0.3 → zh, else the language with the highest score in
+    * priority order (the declared order of [[langStopwords]]), "und" when
+    * no hits. Callers with the scores already materialized (query plans)
+    * use this directly; the oracle mirrors the exact CASE order, so ties
+    * break identically.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langStopwords.map { case (l, sw) => l -> stopwordHits(toks, sw) }
+  def langIdFromScores(cjk: Column, scores: Seq[(String, Column)]): Column = {
     val best = greatest(scores.map(_._2): _*)
     val byPriority = scores.foldLeft(when(lit(false), lit("")): Column) {
       case (acc, (l, s)) => acc.when(s === best, lit(l))
     }
-    when(cjkRatio(text) > 0.3, lit("zh"))
+    when(cjk > 0.3, lit("zh"))
       .when(best > 0, byPriority)
       .otherwise(lit("und"))
   }
+
+  /** N-gram/stopword language-ID heuristic over raw text. */
+  def langId(text: Column): Column =
+    Portable.once(tokens(text)) { toks =>
+      langIdFromScores(cjkRatio(text),
+        langStopwords.map { case (l, sw) => l -> stopwordHits(toks, sw) })
+    }
 
   /** Quality score in [0,1]: rewards reasonable length, low punctuation
     * density, stopword presence (natural-language-ness), and word shape.
     * All double arithmetic is identical in the oracle → bit-exact.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = Portable.once(tokens(text)) { toks =>
     val nTok = size(toks).cast("double")
     val len = length(text).cast("double")
     val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}]", ""))
@@ -98,16 +104,17 @@ object TextAnalysis {
     * before the sum could approach 2^62) and expressible in both engines
     * without a mutable fold.
     */
-  def polyFingerprint(toks: Column): Column =
-    when(size(toks) > 0,
+  def polyFingerprint(toks: Column): Column = Portable.once(toks) { ts =>
+    when(size(ts) > 0,
       pmod(
         aggregate(
-          zip_with(toks, sequence(lit(0), size(toks) - 1),
+          zip_with(ts, sequence(lit(0), size(ts) - 1),
             (t, i) => pmod(Portable.hash60(concat(t, lit("@"), i)), lit(fpMod))),
           lit(0L),
           (acc, v) => acc + v),
         lit(fpMod)))
       .otherwise(lit(0L))
+  }
 
   /** Whole-document content fingerprint (md5 of normalized text). */
   def md5Fingerprint(text: Column): Column =

@@ -29,6 +29,48 @@ object Portable {
 
   def hash60(c: Column): Column = hash60(c, 0)
 
+  // ---- minhash hash family --------------------------------------------
+  //
+  // k independent-ish hashes from ONE md5: split the 60-bit base hash into
+  // two 30-bit halves and apply per-i affine transforms mod 2^40. All
+  // products stay < 2^62, so the arithmetic is overflow-free under ANSI
+  // mode and bit-identical in any engine with 64-bit integer math —
+  // the DuckDB oracle mirrors `(a*(h&M30) + b*(h>>30) + c) % 2^40`
+  // verbatim. One md5 per shingle instead of k is the difference between
+  // the hash family costing O(k·bytes) and O(bytes) per shingle.
+
+  val minhashMod: Long = 1L << 40
+
+  private val mask30 = (1L << 30) - 1
+
+  private def splitmix(i: Long): Long = {
+    var z = i * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** (a_i, b_i, c_i) affine constants: a,b odd 31-bit, c 36-bit. */
+  def minhashConsts(k: Int): Seq[(Long, Long, Long)] =
+    (0 until k).map { i =>
+      ((splitmix(2L * i) & 0x7FFFFFFFL) | 1L,
+        (splitmix(2L * i + 1) & 0x7FFFFFFFL) | 1L,
+        splitmix(1000L + i) & 0xFFFFFFFFFL)
+    }
+
+  /** The i-th minhash transform of a 60-bit base hash column. */
+  def minhashTransform(h: Column, consts: (Long, Long, Long)): Column = {
+    val (a, b, c) = consts
+    pmod(lit(a) * h.bitwiseAND(lit(mask30)) + lit(b) * shiftright(h, 30) + lit(c),
+      lit(minhashMod))
+  }
+
+  /** DuckDB-side mirror of [[minhashTransform]] over hash column `h`. */
+  def minhashTransformSql(h: String, consts: (Long, Long, Long)): String = {
+    val (a, b, c) = consts
+    s"($a * ($h & $mask30) + $b * ($h >> 30) + $c) % $minhashMod"
+  }
+
   /** Sequential-fold dot product of two numeric arrays (double). */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -48,25 +90,40 @@ object Portable {
     when(den =!= 0.0, dot(a, b) / den)
   }
 
-  /** Distinct character n-gram shingles of a string column.
-    * Empty/short strings yield an empty array.
+  /** Evaluate column `c` once and feed the materialized value to `f`.
+    *
+    * Spark's higher-order array functions are interpreted
+    * (CodegenFallback): a lambda body that references a compound argument
+    * expression re-evaluates it once PER ELEMENT — e.g. shingling a
+    * `trim(lower(text))` argument re-lowercases the whole document for
+    * every shingle, turning O(len) work into O(len²). Binding the value as
+    * a single-element `transform` lambda variable evaluates it exactly
+    * once; the variable reference inside `f` is a plain slot read.
     */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = trim(lower(c))
-    array_distinct(
-      when(length(s) >= n,
-        transform(sequence(lit(1), length(s) - lit(n - 1)),
-          i => s.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def once(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** Distinct character n-gram shingles of a string column (normalized
+    * via trim+lower). Empty/short strings yield an empty array.
+    */
+  def charShingles(c: Column, n: Int): Column =
+    once(trim(lower(c))) { s =>
+      array_distinct(
+        when(length(s) >= n,
+          transform(sequence(lit(1), length(s) - lit(n - 1)),
+            i => s.substr(i, lit(n))))
+          .otherwise(array().cast("array<string>")))
+    }
 
   /** Distinct n-token shingles (consecutive-token n-grams joined by "_"). */
   def tokenShingles(tokens: Column, n: Int): Column =
-    array_distinct(
-      when(size(tokens) >= n,
-        transform(sequence(lit(0), size(tokens) - lit(n)),
-          i => concat_ws("_", (0 until n).map(j => element_at(tokens, i + lit(j + 1))): _*)))
-        .otherwise(array().cast("array<string>")))
+    once(tokens) { ts =>
+      array_distinct(
+        when(size(ts) >= n,
+          transform(sequence(lit(0), size(ts) - lit(n)),
+            i => concat_ws("_", (0 until n).map(j => element_at(ts, i + lit(j + 1))): _*)))
+          .otherwise(array().cast("array<string>")))
+    }
 
   /** Jaccard similarity of two distinct-element arrays: |∩| / |∪|.
     * Integer set sizes divided in double — exact in both engines.

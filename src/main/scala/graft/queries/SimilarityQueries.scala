@@ -56,32 +56,51 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0.0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
 
-  private val cosSql =
-    "list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+  /** (vec_id, e, en): raw vector + unit-normalized vector. Normalizing
+    * ONCE per vector makes every candidate-pair cosine a single fold
+    * (`dot(qen, cen)`) instead of three (dot + two norms) — at n queries ×
+    * m candidates that's the dominant cost. Zero-norm vectors get a null
+    * `en`, which null-propagates through the dot — same null contract as
+    * [[Portable.cosine]]. The norm is materialized as an attribute before
+    * the per-element divide so the interpreted lambda doesn't re-fold it.
+    */
+  private def normalizedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("_n", Portable.norm(col("e")))
+      .withColumn("en",
+        when(col("_n") =!= 0.0, transform(col("e"), x => x / col("_n"))))
+      .drop("_n")
+
+  private val normalizedSql = s"""
+      raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      emb AS (SELECT vec_id, e,
+                     CASE WHEN list_dot_product(e, e) > 0
+                          THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                          ELSE NULL END AS en
+              FROM raw)"""
 
   // ---- e01: brute-force cosine top-k ---------------------------------
 
   private val e01 = Q(
     "e01_knn_brute",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val emb = normalizedEmb(s, d)
       val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("e").as("qe"))
+        .select(col("vec_id").as("qid"), col("en").as("qe"))
       val scored = broadcast(queries).crossJoin(
-        emb.select(col("vec_id").as("cid"), col("e").as("ce")))
+        emb.select(col("vec_id").as("cid"), col("en").as("ce")))
         .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), Portable.cosine(col("qe"), col("ce")).as("cos"))
+        .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
       graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
         .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
     },
     Some(s"""
-      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id % 100 = 0),
+      WITH $normalizedSql,
+      q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
       scored AS (
-        SELECT qid, c.vec_id AS cid,
-               $cosSql AS cos
-        FROM q CROSS JOIN (SELECT vec_id, e AS ce FROM emb) c
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
         WHERE qid <> c.vec_id),
       r AS (SELECT qid, cid, cos,
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
@@ -94,27 +113,23 @@ object SimilarityQueries {
   private val e02 = Q(
     "e02_knn_lsh",
     (s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("bkt", bucket(col("e")))
+      val emb = normalizedEmb(s, d).withColumn("bkt", bucket(col("e")))
       val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("bkt"))
-      val cands = emb.select(col("vec_id").as("cid"), col("e").as("ce"), col("bkt"))
+        .select(col("vec_id").as("qid"), col("en").as("qe"), col("bkt"))
+      val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
       val scored = broadcast(queries).join(cands, Seq("bkt"))
         .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), Portable.cosine(col("qe"), col("ce")).as("cos"))
+        .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
       graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
         .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
     },
     Some(s"""
-      WITH emb AS (
-        SELECT vec_id, e, ${bucketSql("e")} AS bkt
-        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
-      q AS (SELECT vec_id AS qid, e AS qe, bkt FROM emb WHERE vec_id % 100 = 0),
+      WITH $normalizedSql,
+      b AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM emb),
+      q AS (SELECT vec_id AS qid, en AS qe, bkt FROM b WHERE vec_id % 100 = 0),
       scored AS (
-        SELECT qid, c.vec_id AS cid,
-               $cosSql AS cos
-        FROM q JOIN (SELECT vec_id, e AS ce, bkt FROM emb) c USING (bkt)
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q JOIN (SELECT vec_id, en AS ce, bkt FROM b) c USING (bkt)
         WHERE qid <> c.vec_id),
       r AS (SELECT qid, cid, cos,
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
@@ -129,31 +144,29 @@ object SimilarityQueries {
   private val e03 = Q(
     "e03_embed_neardup",
     (s, d) => {
-      val raw = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val raw = normalizedEmb(s, d)
       // doubled corpus → every vector has one exact duplicate (cos = 1)
       val emb = raw.unionAll(
-        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e")))
+        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
         .withColumn("bkt", bucket(col("e")))
-      val a = emb.select(col("vec_id").as("a"), col("e").as("qe"), col("bkt"))
-      val b = emb.select(col("vec_id").as("b"), col("e").as("ce"), col("bkt"))
+      val a = emb.select(col("vec_id").as("a"), col("en").as("qe"), col("bkt"))
+      val b = emb.select(col("vec_id").as("b"), col("en").as("ce"), col("bkt"))
       a.join(b, Seq("bkt")).filter(col("a") < col("b"))
         .select(col("a").as("vec_a"), col("b").as("vec_b"),
-          Portable.cosine(col("qe"), col("ce")).as("cos"))
+          Portable.dot(col("qe"), col("ce")).as("cos"))
         .filter(col("cos") >= 0.95)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
     },
     Some(s"""
-      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      emb AS (
-        SELECT vec_id, e, ${bucketSql("e")} AS bkt
-        FROM (SELECT vec_id, e FROM raw
-              UNION ALL SELECT vec_id + $dupShift, e FROM raw)),
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
+      bk AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM dbl),
       p AS (
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-               list_dot_product(x.e, y.e)
-                 / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
-        FROM emb x JOIN emb y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+               list_dot_product(x.en, y.en) AS cos
+        FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
       SELECT vec_a, vec_b, round(cos, 6) AS sim FROM p WHERE cos >= 0.95
     """))
 

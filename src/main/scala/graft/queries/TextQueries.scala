@@ -52,8 +52,10 @@ object TextQueries {
   private def lshPairsSql(
       baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
       maxBucket: Int, threshold: Double): String = {
+    val consts = Portable.minhashConsts(k)
     val minCols = (0 until k)
-      .map(i => s"min(${hSql("s", i)}) AS m$i").mkString(",\n               ")
+      .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
+      .mkString(",\n               ")
     val bandRows = (0 until numBands).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"m$i").mkString("||'|'||")
@@ -61,7 +63,8 @@ object TextQueries {
     }.mkString("\n        UNION ALL ")
     s"""
       WITH base AS ($baseSql),
-      ex AS (SELECT doc_id, unnest(sh) AS s FROM base),
+      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
+             FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
       sig AS (SELECT doc_id,
                $minCols
               FROM ex GROUP BY doc_id),
@@ -144,13 +147,22 @@ object TextQueries {
   private val t03 = Q(
     "t03_lang_id",
     (s, d) => {
+      // tokens / cjk ratio materialized once, scores built from the
+      // attribute, langId from the score attributes — one tokenization
+      // and one CJK regex per row instead of ~9.
       val t = Tables.documents(s, d)
-      val scoreCols = TA.langStopwords.map { case (l, sw) =>
-        TA.stopwordHits(TA.tokens(col("text")), sw).as(s"s_$l")
-      }
-      t.select(Seq(col("doc_id"),
-        round(TA.cjkRatio(col("text")), 6).as("cjk_ratio"),
-        TA.langId(col("text")).as("pred_lang")) ++ scoreCols: _*)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("_cjk", TA.cjkRatio(col("text")))
+      val scored = t.select(Seq(col("doc_id"), col("_cjk")) ++
+        TA.langStopwords.map { case (l, sw) =>
+          TA.stopwordHits(col("_toks"), sw).as(s"s_$l")
+        }: _*)
+      scored.select(Seq(col("doc_id"),
+        round(col("_cjk"), 6).as("cjk_ratio"),
+        TA.langIdFromScores(col("_cjk"),
+          TA.langStopwords.map { case (l, _) => l -> col(s"s_$l") })
+          .as("pred_lang")) ++
+        TA.langStopwords.map { case (l, _) => col(s"s_$l") }: _*)
     },
     Some {
       val scoreSel = TA.langStopwords.map { case (l, sw) =>
@@ -183,12 +195,13 @@ object TextQueries {
   private val t04 = Q(
     "t04_fingerprint",
     (s, d) => {
-      val toks = TA.tokens(col("text"))
-      val sh = Portable.tokenShingles(toks, 3)
-      Tables.documents(s, d).select(col("doc_id"),
-        TA.md5Fingerprint(col("text")).as("md5_fp"),
-        TA.polyFingerprint(toks).as("poly_fp"),
-        array_min(transform(sh, x => Portable.hash60(x, 7))).as("min_shingle_h"))
+      Tables.documents(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("_sh", Portable.tokenShingles(col("_toks"), 3))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("_toks"))).as("md5_fp"),
+          TA.polyFingerprint(col("_toks")).as("poly_fp"),
+          array_min(transform(col("_sh"), x => Portable.hash60(x, 7))).as("min_shingle_h"))
     },
     Some(s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -226,26 +239,38 @@ object TextQueries {
     """))
 
   // ---- t06: MinHash + LSH near-dup pairs (token 3-gram shingles) -----
+  //
+  // Band geometry is tuned to each query's threshold: the LSH S-curve
+  // midpoint is (1/bands)^(1/rows), so t06 (threshold 0.8) uses 3×5 →
+  // t50 ≈ 0.80 and t08 (threshold 0.9) uses 2×8 → t50 ≈ 0.92. A loose
+  // geometry (4×4 → t50 0.71) floods verification with sub-threshold
+  // candidate pairs — it's the LSH analogue of a non-selective pushdown.
+  // maxBucket = 20: a bucket only exceeds ~copies-per-near-dup-cluster
+  // when a band value is boilerplate-hot, and each such bucket costs
+  // O(bucket²) candidates.
 
-  private val numHashes = 16
-  private val numBands = 4
-  private val rowsPerBand = numHashes / numBands
-  private val maxBucket = 100
+  private val maxBucket = 20
 
-  private def lshPairs(base: DataFrame, threshold: Double): DataFrame = {
-    val sig = Dedup.minhashSignatures(base, "doc_id", "sh", numHashes)
-    val cand = Dedup.bandCandidates(sig, "doc_id", numBands, rowsPerBand, maxBucket)
-    Dedup.verifyJaccard(base, "doc_id", "sh", cand, threshold)
+  private def lshPairs(base: DataFrame, k: Int, bands: Int, rows: Int,
+                       threshold: Double): DataFrame = {
+    // base feeds the signature build AND both sides of the verify join —
+    // persist it so the shingle extraction runs once, not three times
+    // (at cluster scale this is a checkpoint to storage, same shape).
+    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = Dedup.minhashSignatures(cached, "doc_id", "sh", k)
+    val cand = Dedup.bandCandidates(sig, "doc_id", bands, rows, maxBucket)
+    Dedup.verifyJaccard(cached, "doc_id", "sh", cand, threshold)
   }
 
   private val t06 = Q(
     "t06_minhash_lsh_pairs",
     (s, d) => {
       val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"),
-          Portable.tokenShingles(TA.tokens(col("text")), 3).as("sh"))
+          Portable.tokenShingles(col("_toks"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-      lshPairs(base, 0.8)
+      lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
     },
     Some(lshPairsSql(
       s"""
@@ -255,7 +280,8 @@ object TextQueries {
         FROM (SELECT doc_id, $toksSql AS toks
               FROM $doubledSql AS documents(doc_id, text))
         WHERE len(toks) >= 3""",
-      numHashes, numBands, rowsPerBand, maxBucket, 0.8)))
+      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+      threshold = 0.8)))
 
   // ---- t07: SimHash --------------------------------------------------
 
@@ -311,7 +337,7 @@ object TextQueries {
       val base = doubledCorpus(s, d)
         .select(col("doc_id"), Portable.charShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-      lshPairs(base, 0.9)
+      lshPairs(base, k = 16, bands = 2, rows = 8, threshold = 0.9)
     },
     Some(lshPairsSql(
       s"""
@@ -321,7 +347,8 @@ object TextQueries {
         FROM (SELECT doc_id, trim(lower(text)) AS s
               FROM $doubledSql AS documents(doc_id, text))
         WHERE length(s) >= 3""",
-      numHashes, numBands, rowsPerBand, maxBucket, 0.9)))
+      k = 16, numBands = 2, rowsPerBand = 8, maxBucket = maxBucket,
+      threshold = 0.9)))
 
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }
