@@ -71,8 +71,24 @@ object Portable {
     s"($a * ($h & $mask30) + $b * ($h >> 30) + $c) % $minhashMod"
   }
 
-  /** Sequential-fold dot product of two numeric arrays (double). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two numeric arrays (double) — the
+    * codegen'd [[DotProduct]] Catalyst expression. Same accumulation
+    * order (and thus bit pattern) as the declarative
+    * `aggregate(zip_with(a,b,*),0d,+)` fold and DuckDB's
+    * `list_dot_product`, but a primitive loop instead of an interpreted
+    * higher-order function.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+  }
+
+  /** The declarative-fold formulation of [[dot]] (kept as the executable
+    * spec the custom expression is tested against).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0),
