@@ -18,7 +18,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ParityQueries.all ++ PipelineQueries.all ++ KpiQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      StreamQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+import graft.streaming.StreamOps
+
+/** Batch twins of the streaming operators (plus JSON props extraction)
+  * over the `events` table. The SAME StreamOps definitions run under
+  * Structured Streaming (StreamingSpec proves batch/stream parity with a
+  * MemoryStream); these entries pin their semantics to DuckDB oracles.
+  */
+object StreamQueries {
+
+  // ---- q23: gap sessionization (batch formulation) -------------------
+
+  private val gapMinutes = 30
+
+  private val q23 = Q(
+    "q23_event_sessions",
+    (s, d) => StreamOps.sessionizeBatch(Tables.events(s, d), gapMinutes),
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      flagged AS (
+        SELECT user_id, ts_us, value,
+               CASE WHEN ts_us - lag(ts_us) OVER w > ${gapMinutes * 60L * 1000000L}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS sess_idx
+        FROM flagged)
+      SELECT user_id,
+             min(ts_us) AS session_start_us,
+             max(ts_us) AS session_end_us,
+             count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM sess GROUP BY user_id, sess_idx
+    """))
+
+  // ---- q24: tumbling event-time window stats -------------------------
+
+  private val q24 = Q(
+    "q24_event_windowed",
+    (s, d) => StreamOps.windowedTypeStats(Tables.events(s, d), "6 hours")
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("event_type"), col("n_events"), col("value_sum")),
+    // Spark's window() aligns tumbling windows to the unix epoch; mirror
+    // with integer epoch-second bucketing.
+    Some("""
+      SELECT strftime(to_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600),
+                      '%Y-%m-%d %H:%M') AS w_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM events
+      GROUP BY 1, 2
+    """))
+
+  // ---- q25: JSON props extraction ------------------------------------
+
+  private val q25 = Q(
+    "q25_props_json",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max")),
+    Some("""
+      SELECT event_type,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      FROM events
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Ev, Session}
+
+/** Structured-Streaming ↔ batch parity for the StreamOps operators, via
+  * MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val US = 1000000L
+  private val MIN = 60L * US
+
+  /** Deterministic little event log: 3 users, gaps around the 30-min
+    * session threshold, values with 2 decimals.
+    */
+  private def events: Seq[Ev] = {
+    val base = 1700000000L * US
+    Seq(
+      // user 1: two sessions (40-min gap between event 2 and 3)
+      Ev(1, base, 1.25), Ev(1, base + 10 * MIN, 2.5), Ev(1, base + 50 * MIN, 4.0),
+      Ev(1, base + 55 * MIN, 0.75),
+      // user 2: one session, events fed out of order across batches
+      Ev(2, base + 5 * MIN, 10.0), Ev(2, base + 25 * MIN, 20.0),
+      // user 3: single-event session
+      Ev(3, base + 3 * MIN, 7.77))
+  }
+
+  test("sessionizeStream emits exactly the batch sessions once closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionizeStream(spark, input.toDS(), gapMinutes = 30)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val evs = events
+      // batch 1: the early events, deliberately out of order inside the
+      // batch (order within a micro-batch must not matter); batch 2: the
+      // later events — all newer than batch 1's watermark, so nothing is
+      // dropped as late
+      input.addData(evs(4), evs(6), evs(0), evs(1))
+      q.processAllAvailable()
+      input.addData(evs(5), evs(2), evs(3))
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every
+      // session's end + gap → all real sessions time out and emit
+      input.addData(Ev(99, evs.map(_.ts_us).max + 1000 * MIN, 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id != 99).sortBy(s => (s.user_id, s.session_start_us))
+      val batch = StreamOps.sessionizeBatch(
+        events.toDF("user_id", "ts_us", "value")
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value")),
+        gapMinutes = 30)
+        .as[Session].collect().sortBy(s => (s.user_id, s.session_start_us))
+
+      assert(batch.length == 4) // u1 × 2, u2 × 1, u3 × 1
+      assert(streamed.map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSeq ==
+        batch.map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSeq)
+      // sums: same values, tolerance for addition-order difference
+      streamed.zip(batch).foreach { case (a, b) =>
+        assert(math.abs(a.value_sum - b.value_sum) < 1e-9, s"$a vs $b")
+      }
+    } finally q.stop()
+  }
+
+  test("windowedTypeStats: streaming result equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val rows = Seq(
+      (0L, "a", 1.0), (10L, "a", 2.0), (20L, "b", 3.0), // window 0
+      (70L, "a", 5.0), (80L, "b", 6.0)) // window 1 (1-min windows)
+      .map { case (m, t, v) => (base + m * MIN / 60, t, v) }
+    def asDf(s: Seq[(Long, String, Double)]) =
+      s.toDF("us", "event_type", "value")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+
+    val input = MemoryStream[(Long, String, Double)]
+    val streamDf = StreamOps.windowedTypeStats(
+      input.toDS().toDF("us", "event_type", "value")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value")),
+      "1 minute", watermark = "1 minute")
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val q = streamDf.writeStream
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // watermark mover: closes both windows
+      input.addData((base + 1000 * MIN, "z", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .filter(col("event_type") =!= "z")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val batch = StreamOps.windowedTypeStats(asDf(rows), "1 minute")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.nonEmpty && streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
