@@ -69,13 +69,14 @@ object HeaderScan {
       spark: SparkSession,
       file: String,
       keyCol: String = defaultKeyCol,
-      maxScanLines: Int = 100): Option[HeaderInfo] = {
+      maxScanLines: Int = 100,
+      encoding: String = "UTF-8"): Option[HeaderInfo] = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     try {
       val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        new java.io.InputStreamReader(in, java.nio.charset.Charset.forName(encoding)))
       val prefix = ArrayBuffer.empty[String]
       var line = reader.readLine()
       // strip a UTF-8 BOM if present (utf-8-sig exports)
@@ -98,15 +99,30 @@ object HeaderScan {
   /** Distributed read of one header-scanned file: all-string schema from
     * the discovered header, prefix + header lines dropped by per-file
     * line index.
+    *
+    * Non-UTF-8 encodings (the reference's `--encoding` flag,
+    * fan_out_by_storeid.py:57) decode each line's raw bytes with the
+    * given charset — valid for any ASCII-newline-compatible charset
+    * (latin-1, GBK, Big5, UTF-8, ...), which is also the constraint of
+    * Hadoop's line reader itself.
     */
-  def readFile(spark: SparkSession, info: HeaderInfo): DataFrame = {
+  def readFile(spark: SparkSession, info: HeaderInfo, encoding: String = "UTF-8"): DataFrame = {
     val schema = StructType(info.columns.map(c => StructField(c, StringType)))
     // zipWithIndex: partitions of a text read are ordered by file offset,
     // so the index is the 0-based line number.
-    val rdd = spark.sparkContext.textFile(info.path).zipWithIndex()
-      .filter(_._2 >= info.skipLines).map(_._1)
+    val rdd =
+      if (java.nio.charset.Charset.forName(encoding) == java.nio.charset.StandardCharsets.UTF_8)
+        spark.sparkContext.textFile(info.path)
+      else {
+        val enc = encoding
+        spark.sparkContext
+          .hadoopFile[org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text,
+            org.apache.hadoop.mapred.TextInputFormat](info.path)
+          .map { case (_, t) => new String(t.getBytes, 0, t.getLength, enc) }
+      }
+    val lines = rdd.zipWithIndex().filter(_._2 >= info.skipLines).map(_._1)
     import spark.implicits._
-    rdd.toDF("_line")
+    lines.toDF("_line")
       .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"))
       .select(col("r.*"))
   }
@@ -119,15 +135,16 @@ object HeaderScan {
   def readDirFrames(
       spark: SparkSession,
       dir: String,
-      keyCol: String = defaultKeyCol): Seq[(HeaderInfo, DataFrame)] = {
+      keyCol: String = defaultKeyCol,
+      encoding: String = "UTF-8"): Seq[(HeaderInfo, DataFrame)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).map(_.getPath)
       .filter(f => f.getName.toLowerCase.endsWith(".csv"))
       .sortBy(_.getName)
     files.toSeq.flatMap { f =>
-      scanHeader(spark, f.toString, keyCol).map { info =>
-        info -> readFile(spark, info).withColumn("_src", lit(f.getName))
+      scanHeader(spark, f.toString, keyCol, encoding = encoding).map { info =>
+        info -> readFile(spark, info, encoding).withColumn("_src", lit(f.getName))
       }
     }
   }
@@ -139,8 +156,9 @@ object HeaderScan {
   def readDir(
       spark: SparkSession,
       dir: String,
-      keyCol: String = defaultKeyCol): DataFrame = {
-    val parts = readDirFrames(spark, dir, keyCol).map(_._2)
+      keyCol: String = defaultKeyCol,
+      encoding: String = "UTF-8"): DataFrame = {
+    val parts = readDirFrames(spark, dir, keyCol, encoding).map(_._2)
     require(parts.nonEmpty, s"no readable CSVs with key column '$keyCol' in $dir")
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
