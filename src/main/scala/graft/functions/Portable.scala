@@ -23,11 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
-  /** Deterministic 60-bit hash of a string column, seed-salted. */
-  def hash60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
+  /** Deterministic 60-bit hash of a string column, seed-salted — the
+    * native [[Md5Prefix60]] expression (bit-identical to
+    * `conv(substr(md5(x||'#seed'),1,15),16,10)`, which stays the DuckDB
+    * oracle formulation; [[hash60Decl]] keeps the declarative version as
+    * the executable spec).
+    */
+  def hash60(c: Column, seed: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Md5Prefix60(
+      ColumnBridge.expression(concat(c, lit(s"#$seed")))))
+  }
 
   def hash60(c: Column): Column = hash60(c, 0)
+
+  /** Declarative formulation of [[hash60]] (tested bit-equal). */
+  def hash60Decl(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
 
   // ---- minhash hash family --------------------------------------------
   //
