@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * First line of defense at scale is AQE (`spark.sql.adaptive.enabled` +
+  * `skewJoin.enabled`), which splits oversized shuffle partitions at run
+  * time. Salting is the explicit fallback for the cases AQE can't fix —
+  * a broadcast-too-big build side, or aggregation skew upstream of the
+  * join: replicate the small side `salts` times and scatter the big
+  * side's hot keys across the replicas, so one hot key occupies `salts`
+  * shuffle partitions instead of one.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `keys`, with the big side salted into
+    * `salts` buckets. Row-identical to the plain join for "inner" and
+    * "left" join types (each big row meets exactly one replica of each
+    * matching small row).
+    *
+    * The salt is `xxhash64` of the big side's full row, so same-key rows
+    * spread deterministically (no `rand()` — keeps retries/speculative
+    * tasks consistent).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"salted join replicates the small side — only inner/left are row-identical (got $joinType)")
+    val spark = big.sparkSession
+    import spark.implicits._
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val replicated = small.crossJoin(
+      broadcast((0 until salts).toDF("_salt")))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+}
