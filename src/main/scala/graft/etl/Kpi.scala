@@ -51,6 +51,12 @@ object Kpi {
 
   /** Config 23-1 (aggregate_by_store.py:109–236): interval binds + YoY +
     * binding rate. `order` flips to 24-1's column order (:400–405).
+    *
+    * The cur/prev year sums are ONE conditional aggregation over a single
+    * normalized scan (not two filtered scans + a self-join): a store "has
+    * current-year data" ⟺ its conditional cur-sum is non-null, because
+    * zeroFill makes every surviving row's measure non-null. Halves the
+    * fact-side work and drops a shuffle+join from the plan.
     */
   def config23_1(
       binds: DataFrame,
@@ -59,16 +65,19 @@ object Kpi {
       curYear: String = "2025",
       prevYear: String = "2024",
       order24_1: Boolean = false): DataFrame = {
-    val cur = bindSumByStore(binds, curYear).withColumnRenamed("v", "cur")
-    val prev = bindSumByStore(binds, prevYear).withColumnRenamed("v", "prev")
+    val yearSums = normBinds(binds)
+      .groupBy(col(S))
+      .agg(
+        sum(when(col("年度") === curYear, col("總綁定"))).as("cur"),
+        sum(when(col("年度") === prevYear, col("總綁定"))).as("prev"))
+      .filter(col("cur").isNotNull) // = stores with cur-year rows
     val cum = store(Normalize.trimHeaders(cumulative))
       .withColumn("c", N.zeroFill(N.toNumber(col("累計至今推薦人綁定人數"))))
       .groupBy(col(S)).agg(sum(col("c")).as("cum"))
     val mem = store(Normalize.trimHeaders(members))
       .withColumn("m", N.zeroFill(N.toNumber(col("總會員數"))))
       .groupBy(col(S)).agg(sum(col("m")).as("mem"))
-    val joined = cur
-      .join(prev, Seq(S), "left")
+    val joined = yearSums
       .join(cum, Seq(S), "left")
       .join(mem, Seq(S), "left")
       .select(col(S), col("cur"),

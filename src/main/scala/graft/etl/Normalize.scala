@@ -32,9 +32,14 @@ object Normalize {
 
   private val numberRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
-  /** Human-formatted number string → double; unparseable → null. */
+  /** Human-formatted number string → double; unparseable → null.
+    * `translate` deletes every ','/'%' in one non-regex pass (same
+    * semantics as pandas str.replace chains, one regex left: the
+    * numeric-shape guard that keeps 'nan'/'inf' null where a bare cast
+    * would accept them).
+    */
   def toNumber(c: Column): Column = {
-    val cleaned = regexp_replace(regexp_replace(trim(c), ",", ""), "%", "")
+    val cleaned = translate(trim(c), ",%", "")
     when(cleaned.rlike(numberRe), cleaned.cast("double"))
   }
 
