@@ -9,6 +9,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Redistribute an under-split scan across all cores before CPU-dense
+    * derivation (regex normalization, shingling, hashing, vector math).
+    *
+    * The testdata parquet files are single row groups, so their scans
+    * produce ONE partition — every expensive expression pipelined onto
+    * the scan would run on one core of the machine. One cheap round-robin
+    * shuffle of the raw rows buys full-width parallelism for everything
+    * after it. On production multi-file/multi-row-group data the scan
+    * splits already provide this; the helper is still the right tool
+    * whenever a compact source feeds compute-heavy work (the classic
+    * "small input, big CPU" shape — `spark.sql.files.maxPartitionBytes`
+    * cannot split inside a row group).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")

@@ -132,9 +132,17 @@ object Portable {
     element_at(transform(array(c), f), 1)
 
   /** Distinct character n-gram shingles of a string column (normalized
-    * via trim+lower). Empty/short strings yield an empty array.
+    * via trim+lower). Empty/short strings yield an empty array. Native
+    * [[CharShingles]] expression; [[charShinglesDecl]] is the
+    * tested-equal declarative spec.
     */
-  def charShingles(c: Column, n: Int): Column =
+  def charShingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(c.cast("string")), n))
+  }
+
+  /** Declarative formulation of [[charShingles]]. */
+  def charShinglesDecl(c: Column, n: Int): Column =
     once(trim(lower(c))) { s =>
       array_distinct(
         when(length(s) >= n,
@@ -143,8 +151,17 @@ object Portable {
           .otherwise(array().cast("array<string>")))
     }
 
-  /** Distinct n-token shingles (consecutive-token n-grams joined by "_"). */
-  def tokenShingles(tokens: Column, n: Int): Column =
+  /** Distinct n-token shingles (consecutive-token n-grams joined by "_").
+    * Native [[TokenShingles]] expression; [[tokenShinglesDecl]] is the
+    * tested-equal declarative spec.
+    */
+  def tokenShingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TokenShingles(ColumnBridge.expression(tokens), n))
+  }
+
+  /** Declarative formulation of [[tokenShingles]]. */
+  def tokenShinglesDecl(tokens: Column, n: Int): Column =
     once(tokens) { ts =>
       array_distinct(
         when(size(ts) >= n,

@@ -49,7 +49,7 @@ object MultimodalQueries {
   private val m01 = Q(
     "m01_media_metadata",
     (s, d) => {
-      val docs = graft.etl.Tables.documents(s, d)
+      val docs = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
         .select(col("doc_id"), hexm(col("text")).as("h"))
         // real BinaryType column: the payload a production pipeline would
         // carry; metadata derives from it via hex round-trip
@@ -90,7 +90,7 @@ object MultimodalQueries {
     "m02_frame_sample",
     (s, d) => {
       val nFrames = mediaBytes / frameBytes
-      val docs = graft.etl.Tables.documents(s, d)
+      val docs = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
         .select(col("doc_id"), lower(hex(unhex(hexm(col("text"))))).as("h"))
       docs
         .select(col("doc_id"),
@@ -117,7 +117,7 @@ object MultimodalQueries {
   private val m03 = Q(
     "m03_decode_features",
     (s, d) => {
-      val media = graft.etl.Tables.documents(s, d)
+      val media = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
         .select(col("doc_id"), unhex(hexm(col("text"))).as("media"))
       graft.etl.MediaDecode.decodePipeline(s, media)
     },

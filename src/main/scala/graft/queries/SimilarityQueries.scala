@@ -65,7 +65,7 @@ object SimilarityQueries {
     * the per-element divide so the interpreted lambda doesn't re-fold it.
     */
   private def normalizedEmb(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.spread(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("_n", Portable.norm(col("e")))
       .withColumn("en",

@@ -38,7 +38,10 @@ object TextQueries {
 
   private def doubledCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionAll(docs.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
+    // spread: single-row-group scan → 1 partition; everything downstream
+    // (shingling, hashing, signatures) is CPU-dense
+    Tables.spread(
+      docs.unionAll(docs.select((col("doc_id") + dupShift).as("doc_id"), col("text"))))
   }
 
   private val doubledSql =
@@ -93,7 +96,7 @@ object TextQueries {
   private val t01 = Q(
     "t01_token_stats",
     (s, d) => {
-      val t = Tables.documents(s, d)
+      val t = Tables.spread(Tables.documents(s, d))
       t.select(col("doc_id"),
         size(TA.tokens(col("text"))).as("ws_tokens"),
         TA.bpeTokenCount(col("text")).as("bpe_tokens"),
@@ -116,7 +119,7 @@ object TextQueries {
   private val t02 = Q(
     "t02_quality_score",
     (s, d) => {
-      Tables.documents(s, d).select(col("doc_id"),
+      Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
         TA.qualityScore(col("text")).as("quality"))
     },
     Some {
@@ -150,7 +153,7 @@ object TextQueries {
       // tokens / cjk ratio materialized once, scores built from the
       // attribute, langId from the score attributes — one tokenization
       // and one CJK regex per row instead of ~9.
-      val t = Tables.documents(s, d)
+      val t = Tables.spread(Tables.documents(s, d))
         .withColumn("_toks", TA.tokens(col("text")))
         .withColumn("_cjk", TA.cjkRatio(col("text")))
       val scored = t.select(Seq(col("doc_id"), col("_cjk")) ++
@@ -195,7 +198,7 @@ object TextQueries {
   private val t04 = Q(
     "t04_fingerprint",
     (s, d) => {
-      Tables.documents(s, d)
+      Tables.spread(Tables.documents(s, d))
         .withColumn("_toks", TA.tokens(col("text")))
         .withColumn("_sh", Portable.tokenShingles(col("_toks"), 3))
         .select(col("doc_id"),
