@@ -14,16 +14,33 @@ object Tables {
     *
     * The testdata parquet files are single row groups, so their scans
     * produce ONE partition — every expensive expression pipelined onto
-    * the scan would run on one core of the machine. One cheap round-robin
-    * shuffle of the raw rows buys full-width parallelism for everything
-    * after it. On production multi-file/multi-row-group data the scan
-    * splits already provide this; the helper is still the right tool
-    * whenever a compact source feeds compute-heavy work (the classic
-    * "small input, big CPU" shape — `spark.sql.files.maxPartitionBytes`
-    * cannot split inside a row group).
+    * the scan would run on one core of the machine. One cheap shuffle of
+    * the raw rows buys full-width parallelism for everything after it.
+    * On production multi-file/multi-row-group data the scan splits
+    * already provide this; the helper is still the right tool whenever a
+    * compact source feeds compute-heavy work (the classic "small input,
+    * big CPU" shape — `spark.sql.files.maxPartitionBytes` cannot split
+    * inside a row group).
+    *
+    * HASH-partitions on the first column (the tables' unique id) rather
+    * than round-robin: round-robin repartition sorts the whole source
+    * partition by every column first (`sortBeforeRepartition`, needed for
+    * its determinism) — a single-task full sort that costs more than the
+    * parallelism wins back. Hashing one id column is allocation-free and
+    * deterministic by construction.
     */
   def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(df.columns.head))
+      // lazy localCheckpoint = an optimizer barrier. Without it Catalyst
+      // pushes every downstream filter below the repartition to the scan
+      // — substitution inlines the filtered expression (e.g.
+      // parseMonth∘fabrication appears ~8× in the pushed predicate) and
+      // the whole thing evaluates on the scan's ONE core, which is
+      // exactly what spread exists to avoid. Checkpointing the raw
+      // spread rows (small by the premise of this helper) pins the
+      // exchange in place; all derivation above it runs full-width.
+      .localCheckpoint(false)
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")

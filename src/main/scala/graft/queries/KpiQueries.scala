@@ -40,7 +40,8 @@ object KpiQueries {
 
   /** A2 區間綁定推薦人人數 from orders. */
   private def fabBinds(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    Tables.spread(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate"))
       .withColumn("_mv", pmod(col("o_orderkey"), lit(5000)))
       .select(
         messyStore(pmod(col("o_custkey"), lit(100)), col("o_orderkey")).as("商店序號"),
@@ -50,7 +51,7 @@ object KpiQueries {
 
   /** A3 累計至今綁定推薦人人數 from customer (with null tokens). */
   private def fabCumulative(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
+    Tables.spread(Tables.customer(s, d).select("c_custkey"))
       .withColumn("_mv", pmod(col("c_custkey"), lit(997)))
       .select(
         messyStore(pmod(col("c_custkey"), lit(100)), col("c_custkey")).as("商店序號"),
@@ -59,7 +60,7 @@ object KpiQueries {
 
   /** A4 member totals from customer. */
   private def fabMembers(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d)
+    Tables.spread(Tables.customer(s, d).select("c_custkey"))
       .withColumn("_mv", pmod(col("c_custkey"), lit(89)) + 10)
       .select(
         messyStore(pmod(col("c_custkey"), lit(100)), col("c_custkey") + 1).as("商店序號"),
@@ -69,7 +70,8 @@ object KpiQueries {
     * "Established At Month" alias header (exercises ensureMonthCol).
     */
   private def fabFirstByMonth(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
+    Tables.spread(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate"))
       .filter(year(col("o_orderdate")) === 2000)
       .withColumn("_mv", pmod(col("o_orderkey"), lit(37)))
       .select(
@@ -81,7 +83,8 @@ object KpiQueries {
     * alias, with injected null tokens.
     */
   private def fabFirstByBranch(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber"))
       .withColumn("_mv", col("l_linenumber").cast("long"))
       .select(
         messyStore(pmod(col("l_suppkey"), lit(20)), col("l_orderkey")).as("商店序號"),
@@ -91,7 +94,8 @@ object KpiQueries {
 
   /** A7 cumulative binds per branch from lineitem — "Store Name" alias. */
   private def fabBranchBinds(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    Tables.spread(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity"))
       .withColumn("_mv", col("l_quantity").cast("long"))
       .select(
         messyStore(pmod(col("l_suppkey"), lit(20)), col("l_orderkey") + 1).as("商店序號"),

@@ -202,7 +202,9 @@ object ParityQueries {
     """))
 
   private def branchRatio(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.lineitem(s, d)
+    Tables.spread(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
+          "l_discount", "l_quantity"))
       .groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
       .agg(
         sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
@@ -308,8 +310,8 @@ object ParityQueries {
   private val q11 = Q(
     "q11_normalize_numbers",
     (s, d) => {
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        col("o_totalprice"))
+      val base = Tables.spread(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice")))
       val intStr = round(col("o_totalprice"), 0).cast("bigint").cast("string")
       val messy = when(col("o_orderkey") % 6 === 0, concat(lit("  "), intStr, lit("  ")))
         .when(col("o_orderkey") % 6 === 1, lit("nan"))
@@ -342,7 +344,7 @@ object ParityQueries {
   private val q12 = Q(
     "q12_parse_month",
     (s, d) => {
-      val e = Tables.events(s, d).select(col("event_id"), col("ts"))
+      val e = Tables.spread(Tables.events(s, d).select(col("event_id"), col("ts")))
       val raw = when(col("event_id") % 5 === 0, date_format(col("ts"), "yyyyMM"))
         .when(col("event_id") % 5 === 1, date_format(col("ts"), "yyyy-MM"))
         .when(col("event_id") % 5 === 2, month(col("ts")).cast("string"))

@@ -170,5 +170,64 @@ object SimilarityQueries {
       SELECT vec_a, vec_b, round(cos, 6) AS sim FROM p WHERE cos >= 0.95
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03)
+  // ---- e04: IVF (inverted-file) approximate top-k ---------------------
+  //
+  // Coarse quantizer: nCells sampled centroids (the first nCells vectors
+  // by id — deterministic, no training iterations; at 100 TB you'd
+  // k-means a sample, broadcast the centroids, and keep exactly this
+  // plan shape). Every vector is assigned to its best cell via window
+  // argmax; a query probes its nProbe best cells and scores only those
+  // cells' members — the candidate set shrinks by ~nCells/nProbe vs
+  // brute force, and the probe join is an equi-join on cell id (shuffle
+  // by cell, no cross join).
+
+  private val nCells = 16
+  private val nProbe = 2
+
+  private val e04 = Q(
+    "e04_knn_ivf",
+    (s, d) => {
+      val emb = normalizedEmb(s, d)
+      val cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("en").as("cen"))
+      val affinity = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("en"), col("cent_id"),
+          Portable.dot(col("en"), col("cen")).as("cd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id").asc)
+      val ranked = affinity.withColumn("crnk", row_number().over(w))
+      val members = ranked.filter(col("crnk") === 1)
+        .select(col("vec_id").as("cid"), col("en").as("ce"), col("cent_id"))
+      val probes = ranked.filter(col("crnk") <= nProbe && col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("en").as("qe"), col("cent_id"))
+      val scored = probes.join(members, Seq("cent_id"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      cents AS (SELECT vec_id AS cent_id, en AS cen FROM emb WHERE vec_id < $nCells),
+      affinity AS (
+        SELECT e.vec_id, e.en, c.cent_id, list_dot_product(e.en, c.cen) AS cd
+        FROM emb e CROSS JOIN cents c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cd DESC, cent_id ASC) AS crnk
+        FROM affinity),
+      members AS (SELECT vec_id AS cid, en AS ce, cent_id FROM ranked WHERE crnk = 1),
+      probes AS (SELECT vec_id AS qid, en AS qe, cent_id
+                 FROM ranked WHERE crnk <= $nProbe AND vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, cid, list_dot_product(qe, ce) AS cos
+        FROM probes JOIN members USING (cent_id)
+        WHERE qid <> cid),
+      r AS (SELECT qid, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03, e04)
 }

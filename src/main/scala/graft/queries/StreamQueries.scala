@@ -61,7 +61,8 @@ object StreamQueries {
 
   private val q25 = Q(
     "q25_props_json",
-    (s, d) => Tables.events(s, d)
+    (s, d) => Tables.spread(Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props")))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
