@@ -19,7 +19,7 @@ object Registry {
   def all: Seq[Q] =
     ParityQueries.all ++ PipelineQueries.all ++ KpiQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamQueries.all
+      StreamQueries.all ++ StatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

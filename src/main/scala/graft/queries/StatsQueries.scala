@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Tables
+
+/** Distribution statistics over the fact table: exact interpolated
+  * percentiles and fixed-width histograms — the reporting ops a
+  * training-data pipeline runs to understand value/length distributions
+  * before filtering. Percentile is sort-based (deterministic, so the
+  * DuckDB `quantile_cont` mirror is bit-exact, verified); the histogram
+  * uses integer floor-division bucketing, portable by construction.
+  */
+object StatsQueries {
+
+  private val q26 = Q(
+    "q26_value_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5)  AS p50,
+             quantile_cont(l_extendedprice, 0.9)  AS p90,
+             quantile_cont(l_extendedprice, 0.99) AS p99,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY 1
+    """))
+
+  private val bucketWidth = 5000
+
+  private val q27 = Q(
+    "q27_price_histogram",
+    (s, d) => Tables.lineitem(s, d)
+      .select((floor(col("l_extendedprice") / bucketWidth)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (col("bucket") * bucketWidth).as("lo"), col("n")),
+    Some(s"""
+      SELECT bucket, bucket * $bucketWidth AS lo, count(*) AS n
+      FROM (SELECT CAST(floor(l_extendedprice / $bucketWidth) AS BIGINT) AS bucket
+            FROM lineitem)
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27)
+}
