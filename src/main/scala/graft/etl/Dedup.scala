@@ -68,6 +68,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve verified near-dup pairs into clusters: every member maps to
+    * its cluster's minimum doc id (the canonical representative a
+    * training pipeline keeps). Distributed label propagation — each
+    * round every node takes the min label among itself and its
+    * neighbors; converges in O(diameter) rounds (near-dup clusters are
+    * dense, so typically 2–4). The driver loop is over ITERATIONS, not
+    * groups; each round is one join + one aggregation, all data stays
+    * distributed. Labels persist per round and unpersist when replaced.
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                      maxIter: Int = 20): DataFrame = {
+    // eager localCheckpoint per round truncates the lineage — iterative
+    // self-joins otherwise nest the whole plan history and the driver
+    // dies on plan size long before the data is large
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val nChanged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.rep") =!= col("o.rep"))
+        .limit(1).count()
+      labels = next
+      converged = nChanged == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Join candidates back to shingle sets and keep pairs with exact
     * Jaccard ≥ threshold.
     */

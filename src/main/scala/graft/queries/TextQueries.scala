@@ -353,5 +353,47 @@ object TextQueries {
       k = 16, numBands = 2, rowsPerBand = 8, maxBucket = maxBucket,
       threshold = 0.9)))
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // ---- t09: near-dup cluster resolution (pairs → canonical rep) ------
+  //
+  // The step after LSH a dedup pipeline actually keeps: map every member
+  // of a near-dup cluster to the cluster's min doc_id. Spark side is
+  // distributed min-label propagation (Dedup.resolveClusters); the
+  // oracle computes the same fixpoint with a recursive CTE.
+
+  private val t09 = Q(
+    "t09_neardup_resolve",
+    (s, d) => {
+      val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val pairs = lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Dedup.resolveClusters(pairs)
+    },
+    Some {
+      val pairsSql = lshPairsSql(
+        s"""
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+          FROM (SELECT doc_id, $toksSql AS toks
+                FROM $doubledSql AS documents(doc_id, text))
+          WHERE len(toks) >= 3""",
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+        threshold = 0.8)
+      s"""
+      WITH RECURSIVE pairs AS ($pairsSql),
+      ud(src, dst) AS (
+        SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      r(node, root) AS (
+        SELECT src, src FROM ud
+        UNION
+        SELECT ud.src, r.root FROM ud JOIN r ON r.node = ud.dst)
+      SELECT node AS doc_id, min(root) AS cluster_rep FROM r GROUP BY node
+      """
+    })
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -104,6 +104,21 @@ class TextDedupSpec extends SparkSpec {
     assert(open.count() == 20L * 19 / 2)
   }
 
+  test("resolveClusters: min-label propagation finds component reps") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (2L, 4L))
+      .toDF("a", "b")
+    val out = Dedup.resolveClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // a long chain exercises multi-round convergence
+    val chain = (1L to 20L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val reps = Dedup.resolveClusters(chain).select("cluster_rep")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(reps == Seq(1L))
+  }
+
   test("TopK: deterministic under ties, k bound per group") {
     val df = Seq(
       ("g1", "b", 1.0), ("g1", "a", 1.0), ("g1", "c", 2.0), ("g1", "d", 0.5),
