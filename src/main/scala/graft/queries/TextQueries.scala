@@ -395,5 +395,77 @@ object TextQueries {
       """
     })
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // ---- t10: end-to-end curation pipeline -----------------------------
+  //
+  // The composition a training-data pipeline actually ships: language
+  // gate → quality gate → exact-dedup (keep the lowest doc_id per
+  // normalized-content fingerprint) → curated corpus with token budget.
+  // One pass over the corpus, one agg for the dedup, one self-join back.
+
+  private val t10 = Q(
+    "t10_curation_pipeline",
+    (s, d) => {
+      val scored = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("_cjk", TA.cjkRatio(col("text")))
+        .withColumn("fp", md5(concat_ws(" ", col("_toks"))))
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("lang", TA.langIdFromScores(col("_cjk"),
+          TA.langStopwords.map { case (l, sw) =>
+            l -> TA.stopwordHits(col("_toks"), sw)
+          }))
+        .withColumn("ws_tokens", size(col("_toks")))
+      val gated = scored
+        .filter(col("lang") === "en" && col("quality") >= 0.5)
+      val keep = gated.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keep, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("quality"), col("ws_tokens"))
+    },
+    Some {
+      val allStops = TA.langStopwords.flatMap(_._2)
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      val scoreSel = TA.langStopwords.map { case (l, sw) =>
+        val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
+      }.mkString(", ")
+      val langs = TA.langStopwords.map(_._1)
+      val pick = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+      s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (
+        SELECT doc_id, text, toks,
+               md5(array_to_string(toks, ' ')) AS fp,
+               CAST(len(toks) AS DOUBLE) AS ntok,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE) AS stops,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS cjk,
+               $scoreSel
+        FROM t),
+      q AS (
+        SELECT *,
+               round(0.3 * least(ntok / 50.0, 1.0)
+                   + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
+                   + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
+                   + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
+                 6) AS quality,
+               greatest(${langs.map("s_" + _).mkString(", ")}) AS best
+        FROM m),
+      gated AS (
+        SELECT doc_id, fp, quality, CAST(len(toks) AS INTEGER) AS ws_tokens
+        FROM q
+        WHERE (CASE WHEN cjk > 0.3 THEN 'zh'
+                    WHEN best > 0 THEN (CASE $pick END)
+                    ELSE 'und' END) = 'en'
+          AND quality >= 0.5),
+      keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
+      SELECT g.doc_id, g.quality, g.ws_tokens
+      FROM gated g JOIN keep USING (fp, doc_id)
+      """
+    })
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
