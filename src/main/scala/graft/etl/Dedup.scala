@@ -93,16 +93,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nrep"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      // old and new label sit in the same row, so convergence detection
+      // rides along in a flag column — one job per round (the eager
+      // checkpoint), plus a cheap scan of the checkpointed frame
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+          (coalesce(col("nrep"), col("rep")) < col("rep")).as("_chg"))
         .localCheckpoint()
-      val nChanged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.rep") =!= col("o.rep"))
-        .limit(1).count()
-      labels = next
-      converged = nChanged == 0
+      converged = stepped.filter(col("_chg")).limit(1).count() == 0
+      labels = stepped.drop("_chg")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
