@@ -77,5 +77,40 @@ object StreamQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25)
+  // ---- q28: as-of join (purchase ← most recent prior click) ----------
+  //
+  // Spark has no native as-of operator; graft.etl.AsOf composes it from a
+  // tagged union + one running-last window (single shuffle on the key).
+  // The oracle is DuckDB's NATIVE ASOF JOIN — two entirely different
+  // implementations of the operator hash-matched against each other.
+
+  private val q28 = Q(
+    "q28_asof_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("ts_us").as("click_ts_us"), col("value").as("click_value"),
+          col("event_id"))
+      graft.etl.AsOf.joinBackward(purchases, clicks,
+        keyCols = Seq("user_id"), tsCol = "ts_us",
+        payloadCols = Seq("click_ts_us", "click_value"),
+        tieBreak = col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("_match.click_ts_us").as("click_ts_us"),
+          col("_match.click_value").as("click_value"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             epoch_us(c.ts) AS click_ts_us, c.value AS click_value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28)
 }
