@@ -113,6 +113,11 @@ object FanOut {
     * the key column and the header line's key cell is the column name
     * itself, so neither can collide with a data row (whose key cell is a
     * non-blank key value).
+    *
+    * Limitation (inherent to any line-oriented CSV read): quoted cells
+    * with embedded newlines aren't reassembled. The reference's BI
+    * exports don't produce them; switch to Spark's `multiLine` CSV
+    * reader per file if a source ever does.
     */
   def read(spark: SparkSession, outDir: String, srcName: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}

@@ -131,7 +131,14 @@ object StreamOps {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.end + gapUs) / 1000L + 1)
+              // a late-but-within-watermark event can put end+gap behind
+              // the current watermark (when gap < watermark delay);
+              // setTimeoutTimestamp rejects past timestamps, so clamp —
+              // the session then times out on the next trigger, which is
+              // exactly when it should
+              state.setTimeoutTimestamp(
+                math.max((s.end + gapUs) / 1000L + 1,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
