@@ -112,5 +112,39 @@ object StreamQueries {
         ON p.user_id = c.user_id AND p.ts >= c.ts
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28)
+  // ---- q29: rolling time-range window + inter-event gaps -------------
+  //
+  // RANGE-framed window (trailing 1 hour of event time, peers included)
+  // plus a lag-based inter-event gap — the per-entity time-series ops
+  // (rolling rate limits, burst detection) the tumbling-window model
+  // can't express. One shuffle on user_id serves both windows.
+
+  private val q29 = Q(
+    "q29_rolling_window",
+    (s, d) => {
+      val hourUs = 3600L * 1000000L
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val trailing = byUser.rangeBetween(-hourUs, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(trailing).as("n_1h"),
+          round(sum(col("value")).over(trailing), 4).as("sum_1h"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(byUser)).as("gap_us"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             count(*) OVER w_range AS n_1h,
+             round(sum(value) OVER w_range, 4) AS sum_1h,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER w_order AS gap_us
+      FROM events
+      WINDOW
+        w_range AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+        w_order AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29)
 }
