@@ -132,5 +132,39 @@ object MultimodalQueries {
       FROM m
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03)
+  // ---- m04: resize (stub kernel, real plumbing) ----------------------
+  // A ==STUB== resize standing in for an image downsample: keep every
+  // 2nd byte, halve the metadata dimensions. Partition-local map work —
+  // the plan shape (payload in, payload out, derived metadata, checksum)
+  // is what a real resize kernel slots into.
+
+  private val m04 = Q(
+    "m04_resize_stub",
+    (s, d) => {
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+        .withColumn("rh", array_join(
+          transform(sequence(lit(0), lit(mediaBytes / 2 - 1)),
+            i => col("h").substr(i * 4 + 1, lit(2))), ""))
+        .select(col("doc_id"),
+          floor(length(col("rh")) / 2).cast("int").as("n_bytes"),
+          greatest(floor((hexByte(col("h"), 1) + 1) / 2), lit(1)).cast("int").as("width"),
+          greatest(floor((hexByte(col("h"), 2) + 1) / 2), lit(1)).cast("int").as("height"),
+          md5(col("rh")).as("res_checksum"))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents),
+      r AS (SELECT doc_id, h,
+                   array_to_string(list_transform(range(0, ${mediaBytes / 2}),
+                     i -> substr(h, i * 4 + 1, 2)), '') AS rh
+            FROM m)
+      SELECT doc_id,
+             CAST(length(rh) / 2 AS INTEGER) AS n_bytes,
+             CAST(greatest((${hexByteSql("h", "1")} + 1) // 2, 1) AS INTEGER) AS width,
+             CAST(greatest((${hexByteSql("h", "2")} + 1) // 2, 1) AS INTEGER) AS height,
+             md5(rh) AS res_checksum
+      FROM r
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04)
 }
