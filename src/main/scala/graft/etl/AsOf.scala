@@ -37,14 +37,17 @@ object AsOf {
       tieBreak: Column): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct(payloadCols.map(col): _*)
+    // tie-break keeps its own type (casting to long would crash on string
+    // ids under ANSI mode and collapse fractional tiebreaks)
+    val tbType = right.select(tieBreak).schema.head.dataType
     val l = left
       .withColumn("_tag", lit(1))
       .withColumn("_p", lit(null).cast(
         right.select(payload).schema.head.dataType.catalogString))
-      .withColumn("_tb", lit(null).cast("long"))
+      .withColumn("_tb", lit(null).cast(tbType))
     val r = right
       .withColumn("_p", payload)
-      .withColumn("_tb", tieBreak.cast("long"))
+      .withColumn("_tb", tieBreak)
       .select((keyCols :+ tsCol).map(col) ++ Seq(col("_p"), col("_tb")): _*)
       .withColumn("_tag", lit(0))
     // align columns: left-only columns null on right rows

@@ -75,7 +75,9 @@ object Dedup {
     * neighbors; converges in O(diameter) rounds (near-dup clusters are
     * dense, so typically 2–4). The driver loop is over ITERATIONS, not
     * groups; each round is one join + one aggregation, all data stays
-    * distributed. Labels persist per round and unpersist when replaced.
+    * distributed. Each round's eager localCheckpoint pins one copy of
+    * the (small) label table until the ContextCleaner reclaims it —
+    * bounded by maxIter copies of edge-set-sized data.
     */
   def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                       maxIter: Int = 20): DataFrame = {

@@ -34,6 +34,7 @@ object MediaDecode {
   def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val groups = 4
     val per = bytes.length / groups
+    if (per == 0) return Array.fill(groups)(0.0) // <4-byte payload: no NaNs
     Array.tabulate(groups) { g =>
       var s = 0
       var i = g * per

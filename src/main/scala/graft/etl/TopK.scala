@@ -39,8 +39,13 @@ object TopK {
            tieBreak: Column, k: Int): DataFrame =
     perGroup(df, groupCols, Seq(metric.desc, tieBreak.asc), k)
 
-  /** Bottom-k per group by `metric` ascending, id ascending as tie-break. */
+  /** Bottom-k per group by `metric` ascending, id ascending as tie-break.
+    * `asc_nulls_last`: Spark's plain asc puts NULLs FIRST, but the
+    * pandas reference (NaN last in sort_values) and DuckDB's default
+    * null order (NULLS LAST) both sort them last — a null-ratio branch
+    * must not displace real low ratios from the bottom-5.
+    */
   def bottomK(df: DataFrame, groupCols: Seq[Column], metric: Column,
               tieBreak: Column, k: Int): DataFrame =
-    perGroup(df, groupCols, Seq(metric.asc, tieBreak.asc), k)
+    perGroup(df, groupCols, Seq(metric.asc_nulls_last, tieBreak.asc), k)
 }

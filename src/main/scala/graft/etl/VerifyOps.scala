@@ -23,11 +23,22 @@ object VerifyOps {
   /** Per-key missing/extra source files. `present` must have columns
     * (key, src); `expectedSrcs` is the full source-file list (small →
     * broadcast cross join).
+    *
+    * By default the key universe comes from `present` — the reference's
+    * semantics (verify_fanout.py iterates EXISTING output store dirs, so
+    * a store whose output vanished entirely is equally invisible to it;
+    * its `verify_store_presence` covers that from the source side). Pass
+    * `expectedKeys` (one column, the key) derived from the SOURCE data
+    * for the stronger total-loss-detecting check.
     */
-  def fileSetCheck(present: DataFrame, keyCol: String, expectedSrcs: Seq[String]): DataFrame = {
+  def fileSetCheck(present: DataFrame, keyCol: String, expectedSrcs: Seq[String],
+                   expectedKeys: Option[DataFrame] = None): DataFrame = {
     val spark = present.sparkSession
     import spark.implicits._
-    val expected = present.select(col(keyCol)).distinct()
+    val keys = expectedKeys
+      .map(_.toDF(keyCol).select(col(keyCol)).distinct())
+      .getOrElse(present.select(col(keyCol)).distinct())
+    val expected = keys
       .crossJoin(broadcast(expectedSrcs.toDF("src")))
     val have = present.select(col(keyCol), col("src")).distinct()
     val missing = expected.join(have, Seq(keyCol, "src"), "left_anti")

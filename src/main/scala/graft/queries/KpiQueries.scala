@@ -31,7 +31,7 @@ object KpiQueries {
   private def messyNum(v: Column, k: Column): Column =
     when(k % 3 === 0, v.cast("string"))
       .when(k % 3 === 1, concat(lit("  "), v.cast("string"), lit("  ")))
-      .otherwise(concat(expr("CAST(_mv DIV 100 AS STRING)"), lit(","),
+      .otherwise(concat(floor(v / 100).cast("long").cast("string"), lit(","),
         lpad(pmod(v, lit(100)).cast("string"), 2, "0")))
 
   private def messyStore(id: Column, k: Column): Column =

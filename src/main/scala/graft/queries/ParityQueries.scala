@@ -335,7 +335,10 @@ object ParityQueries {
                END AS raw
         FROM orders)
       SELECT o_orderkey, raw,
-             TRY_CAST(replace(replace(trim(raw), ',', ''), '%', '') AS DOUBLE) AS parsed
+             CASE WHEN regexp_full_match(replace(replace(trim(raw), ',', ''), '%', ''),
+                                         '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?')
+                  THEN CAST(replace(replace(trim(raw), ',', ''), '%', '') AS DOUBLE)
+             END AS parsed
       FROM m
     """))
 

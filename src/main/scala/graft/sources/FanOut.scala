@@ -68,8 +68,11 @@ object FanOut {
     fs.listStatus(new Path(staging))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$keyCol="))
       .foreach { partDir =>
-        val key = java.net.URLDecoder.decode(
-          partDir.getPath.getName.stripPrefix(s"$keyCol="), "UTF-8")
+        // Spark's own partition-value unescaping — NOT URLDecoder, whose
+        // '+'-means-space rule corrupts keys containing '+' (Spark's
+        // escapePathName leaves '+' literal)
+        val key = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(partDir.getPath.getName.stripPrefix(s"$keyCol="))
         val parts = fs.listStatus(partDir.getPath)
           .filter(_.getPath.getName.endsWith(".csv")).map(_.getPath).sortBy(_.getName)
         val dest = new Path(s"$outDir/$key/$srcName.csv")
@@ -137,7 +140,10 @@ object FanOut {
       .withColumn("_line", regexp_replace(col("_line"), "^﻿", ""))
       .filter(!col("_line").isin(prefixSet.toSeq: _*))
       .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"),
-        url_decode(col("_dir_key")).as("_dir_key"))
+        // input_file_name is URI-percent-encoded; url_decode additionally
+        // treats '+' as space (form encoding), so protect literal '+'
+        // (never raw in a URI) by pre-escaping it
+        url_decode(regexp_replace(col("_dir_key"), "\\+", "%2B")).as("_dir_key"))
       .select(col("r.*") +: Seq(col("_dir_key")): _*)
       .filter(col(keyCol) =!= keyCol) // drop each file's header line
   }

@@ -124,7 +124,12 @@ object StreamOps {
                   closed += close(uid, s)
                   open = Some(OpenSession(ts, ts, 1, v))
                 case Some(s) =>
-                  open = Some(OpenSession(s.start, math.max(s.end, ts), s.n + 1, s.sum + v))
+                  // min on start too: a late-but-within-watermark event
+                  // from a later micro-batch may precede the open
+                  // session's start — the batch twin (global sort) would
+                  // include it, so parity requires extending backward
+                  open = Some(OpenSession(math.min(s.start, ts),
+                    math.max(s.end, ts), s.n + 1, s.sum + v))
                 case None =>
                   open = Some(OpenSession(ts, ts, 1, v))
               }

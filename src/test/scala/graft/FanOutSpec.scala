@@ -54,6 +54,20 @@ class FanOutSpec extends SparkSpec {
       sum.getLong(2) == 0 && sum.getLong(3) == 2)
   }
 
+  test("special-character keys round-trip: space, percent, plus, hash") {
+    val out = tmpDir("fanout_sp").toString
+    val df = Seq(("a b", "1"), ("50%", "2"), ("x+y", "3"), ("s#1", "4"))
+      .toDF(S, "v")
+    FanOut.write(df, S, out, "src")
+    // exact on-disk layout uses the literal keys
+    assert(Seq("a b", "50%", "x+y", "s#1").forall(k =>
+      new java.io.File(s"$out/$k/src.csv").isFile))
+    val back = FanOut.read(spark, out, "src", S)
+    assert(VerifyOps.contentViolations(back, S).count() == 0)
+    assert(back.select(S).collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("50%", "a b", "s#1", "x+y"))
+  }
+
   test("VerifyOps: missing/extra file sets and injected content violation") {
     val present = Seq(("s1", "a.csv"), ("s1", "b.csv"), ("s2", "a.csv"))
       .toDF(S, "src")
