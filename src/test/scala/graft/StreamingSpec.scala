@@ -74,6 +74,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark event extends the open session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val input = MemoryStream[Ev]
+    val sessions = StreamOps.sessionizeStream(spark, input.toDS(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_back")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(7, base + 20 * MIN, 1.0)) // opens session at +20
+      q.processAllAvailable() // watermark → +10min
+      input.addData(Ev(7, base + 15 * MIN, 2.0)) // late (≥ wm), before start
+      q.processAllAvailable()
+      input.addData(Ev(99, base + 1000 * MIN, 0.0)) // flush
+      q.processAllAvailable()
+      val s = spark.table("sess_back").as[Session].collect()
+        .filter(_.user_id == 7)
+      assert(s.length == 1)
+      assert(s(0).session_start_us == base + 15 * MIN) // extended backward
+      assert(s(0).session_end_us == base + 20 * MIN && s(0).n_events == 2)
+    } finally q.stop()
+  }
+
   test("windowedTypeStats: streaming result equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000L * US
