@@ -77,7 +77,13 @@ object TextAnalysis {
     * density, stopword presence (natural-language-ness), and word shape.
     * All double arithmetic is identical in the oracle → bit-exact.
     */
-  def qualityScore(text: Column): Column = Portable.once(tokens(text)) { toks =>
+  def qualityScore(text: Column): Column =
+    Portable.once(tokens(text))(qualityScoreFromToks(text, _))
+
+  /** [[qualityScore]] over already-materialized tokens — callers that
+    * have `toks` as a column attribute skip the second tokenization.
+    */
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val len = length(text).cast("double")
     val punct = length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}]", ""))

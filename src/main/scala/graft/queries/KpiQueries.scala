@@ -275,14 +275,12 @@ object KpiQueries {
 
   private val q21 = Q(
     "q21_kpi_25_1",
-    (s, d) => Kpi.config25_1(fabFirstByBranch(s, d), fabBranchBinds(s, d), year = "2000")
-      .drop("rnk"),
+    (s, d) => Kpi.config25_1(fabFirstByBranch(s, d), fabBranchBinds(s, d), year = "2000"),
     Some(kpi25Sql("DESC")))
 
   private val q22 = Q(
     "q22_kpi_25_2",
-    (s, d) => Kpi.config25_2(fabFirstByBranch(s, d), fabBranchBinds(s, d), year = "2000")
-      .drop("rnk"),
+    (s, d) => Kpi.config25_2(fabFirstByBranch(s, d), fabBranchBinds(s, d), year = "2000"),
     Some(kpi25Sql("ASC")))
 
   def all: Seq[Q] = Seq(q18, q19, q20, q21, q22)

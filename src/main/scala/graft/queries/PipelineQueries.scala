@@ -20,13 +20,30 @@ import graft.sources.{FanOut, HeaderScan}
   */
 object PipelineQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+  /** Temp layout path scoped by dataset AND process: a stale `{key}`
+    * dir from a previous run over a different dataset would otherwise
+    * survive into the read glob, and concurrent Bench/Verify processes
+    * would clobber each other's staging dirs.
+    */
+  private def tmp(name: String, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+      s"${math.abs(sfDir.hashCode)}_${ProcessHandle.current().pid()}"
+
+  private def deleteRecursively(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) {
+      val stream = java.nio.file.Files.walk(f.toPath)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+      finally stream.close()
+    }
+  }
 
   // ---- q15: fan-out write → exact {key}/{src}.csv layout → read back --
 
   private def fanOutEvents(s: SparkSession, d: String): DataFrame = {
-    val out = tmp("fanout_events")
+    val out = tmp("fanout_events", d)
+    deleteRecursively(out)
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"))
     FanOut.write(ev, "event_type", out, "events")
@@ -54,7 +71,8 @@ object PipelineQueries {
     * column (must be warn-skipped).
     */
   private def fabricateMessyCsvs(s: SparkSession, d: String): String = {
-    val dir = tmp("headerscan_in")
+    val dir = tmp("headerscan_in", d)
+    deleteRecursively(dir)
     val rows = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long"), col("n_name"),
         col("n_regionkey").cast("long"))

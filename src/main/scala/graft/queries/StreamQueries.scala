@@ -47,9 +47,12 @@ object StreamQueries {
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
         col("event_type"), col("n_events"), col("value_sum")),
     // Spark's window() aligns tumbling windows to the unix epoch; mirror
-    // with integer epoch-second bucketing.
+    // with integer epoch-second bucketing. make_timestamp builds a NAIVE
+    // timestamp — to_timestamp would return TIMESTAMPTZ and strftime
+    // would render it in DuckDB's machine timezone, false-failing the
+    // gate on any non-UTC host (the Spark side is pinned to UTC).
     Some("""
-      SELECT strftime(to_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600),
+      SELECT strftime(make_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600 * 1000000),
                       '%Y-%m-%d %H:%M') AS w_start,
              event_type, count(*) AS n_events,
              round(sum(value), 4) AS value_sum
@@ -64,15 +67,17 @@ object StreamQueries {
     (s, d) => Tables.spread(Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("props")))
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // try_cast: a non-integral props.k must coerce to null (the
+        // kit-wide contract), not abort the query under ANSI mode
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n_k"), sum(col("k")).as("k_sum"),
         max(col("k")).as("k_max")),
     Some("""
       SELECT event_type,
-             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
-             max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+             count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+             sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       FROM events
       GROUP BY 1
     """))

@@ -409,7 +409,7 @@ object TextQueries {
         .withColumn("_toks", TA.tokens(col("text")))
         .withColumn("_cjk", TA.cjkRatio(col("text")))
         .withColumn("fp", md5(concat_ws(" ", col("_toks"))))
-        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("quality", TA.qualityScoreFromToks(col("text"), col("_toks")))
         .withColumn("lang", TA.langIdFromScores(col("_cjk"),
           TA.langStopwords.map { case (l, sw) =>
             l -> TA.stopwordHits(col("_toks"), sw)
