@@ -120,22 +120,9 @@ object KpiQueries {
   private def messyStoreSql(id: String, k: String): String =
     s"CASE ($k) % 3 WHEN 0 THEN ' ' || CAST($id AS VARCHAR) || ' ' ELSE CAST($id AS VARCHAR) END"
 
-  /** _parse_month (aggregate_by_store.py:436–446) in DuckDB. */
-  private def parseMonthSql(raw: String): String =
-    s"""(SELECT CASE WHEN mo BETWEEN 1 AND 12 THEN mo END FROM (
-          SELECT TRY_CAST(CASE WHEN length(dg) >= 6 THEN substr(dg, length(dg) - 1, 2)
-                               ELSE dg END AS INTEGER) AS mo
-          FROM (SELECT regexp_replace(trim($raw), '[^0-9]', '', 'g') AS dg)))"""
+  private def parseMonthSql(raw: String): String = OracleSql.parseMonthSql(raw)
 
-  /** _to_number + fillna(0) (aggregate_by_store.py:112–119, 135). The
-    * regex guard mirrors Normalize.toNumber exactly — DuckDB's TRY_CAST
-    * accepts 'nan'/'inf' as float literals, Spark's coerce must not.
-    */
-  private def toNum0Sql(raw: String): String = {
-    val clean = s"replace(replace(trim($raw), ',', ''), '%', '')"
-    s"""coalesce(CASE WHEN regexp_full_match($clean, '[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?')
-                      THEN CAST($clean AS DOUBLE) END, 0)"""
-  }
+  private def toNum0Sql(raw: String): String = OracleSql.toNum0Sql(raw)
 
   /** _fmt_pct of a null-on-zero-denominator ratio (:204–215); rounds to 2
     * decimals before printf (see Normalize.fmtPct's tie note).

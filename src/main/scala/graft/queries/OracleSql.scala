@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.etl.{TextAnalysis => TA}
+
+/** Shared DuckDB-side fragments for the oracle SQL — ONE copy of each
+  * normalization/scoring formula, mirrored 1:1 against its Spark
+  * implementation in [[graft.etl.Normalize]] / [[graft.etl.TextAnalysis]].
+  * Queries that embed these fragments stay in lock-step: a contract
+  * change edits the Spark helper and the fragment here, and every
+  * dependent oracle follows.
+  */
+object OracleSql {
+
+  /** The numeric-shape guard of `Normalize.toNumber` (DuckDB's TRY_CAST
+    * accepts 'nan'/'inf' as float literals; the guarded cast must not).
+    */
+  val numberShapeRe = """[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"""
+
+  def cleanNumSql(raw: String): String =
+    s"replace(replace(trim($raw), ',', ''), '%', '')"
+
+  /** `Normalize.toNumber`: human-format cleanup, coerce-to-null. */
+  def toNumberSql(raw: String): String =
+    s"""CASE WHEN regexp_full_match(${cleanNumSql(raw)}, '$numberShapeRe')
+                  THEN CAST(${cleanNumSql(raw)} AS DOUBLE)
+             END"""
+
+  /** toNumber + fillna(0) (aggregate_by_store.py:112–119, 135). */
+  def toNum0Sql(raw: String): String =
+    s"coalesce(${toNumberSql(raw)}, 0)"
+
+  /** `Normalize.parseMonth` (aggregate_by_store.py:436–446) as a scalar
+    * subquery over one raw value.
+    */
+  def parseMonthSql(raw: String): String =
+    s"""(SELECT CASE WHEN mo BETWEEN 1 AND 12 THEN mo END FROM (
+          SELECT TRY_CAST(CASE WHEN length(dg) >= 6 THEN substr(dg, length(dg) - 1, 2)
+                               ELSE dg END AS INTEGER) AS mo
+          FROM (SELECT regexp_replace(trim($raw), '[^0-9]', '', 'g') AS dg)))"""
+
+  /** `TextAnalysis.tokens(text)`. */
+  val toksSql =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+
+  /** Quality-score measure columns over a relation with (text, toks) —
+    * mirrors `TextAnalysis.qualityScoreFromToks`'s inputs.
+    */
+  val qualityColsSql: String = {
+    val allStops = TA.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""CAST(len(toks) AS DOUBLE) AS ntok,
+               CAST(length(text) AS DOUBLE) AS len,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS punct,
+               CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE) AS stops,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen"""
+  }
+
+  /** The quality formula over the [[qualityColsSql]] measures. */
+  val qualityExprSql: String =
+    """round(0.3 * least(ntok / 50.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
+                 + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
+                 + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
+               6)"""
+
+  /** CJK-character ratio of `text` (`TextAnalysis.cjkRatio`). */
+  val cjkSql: String =
+    """CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END"""
+
+  /** Per-language stopword-score select list over `toks`. */
+  val langScoreSelSql: String = TA.langStopwords.map { case (l, sw) =>
+    val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
+  }.mkString(",\n               ")
+
+  /** `greatest` over the per-language scores. */
+  val langBestSql: String =
+    s"greatest(${TA.langStopwords.map("s_" + _._1).mkString(", ")})"
+
+  /** The language pick over columns (cjk, best, s_*) — mirrors
+    * `TextAnalysis.langIdFromScores`, same CASE priority order.
+    */
+  val langCaseSql: String = {
+    val pick = TA.langStopwords.map(_._1)
+      .map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""CASE WHEN cjk > 0.3 THEN 'zh'
+                  WHEN best > 0 THEN (CASE $pick END)
+                  ELSE 'und' END"""
+  }
+
+  /** Top-k ranking tail over a CTE `scored(qid, cid, cos)` — mirrors
+    * `TopK.topK` with the (cos DESC, cid ASC) total order.
+    */
+  def knnTailSql(k: Int): String =
+    s"""r AS (SELECT qid, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k"""
+}

@@ -322,7 +322,7 @@ object ParityQueries {
       base.select(col("o_orderkey"), messy.as("raw"),
         Normalize.toNumber(messy).as("parsed"))
     },
-    Some("""
+    Some(s"""
       WITH m AS (
         SELECT o_orderkey,
                CASE o_orderkey % 6
@@ -335,10 +335,7 @@ object ParityQueries {
                END AS raw
         FROM orders)
       SELECT o_orderkey, raw,
-             CASE WHEN regexp_full_match(replace(replace(trim(raw), ',', ''), '%', ''),
-                                         '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?')
-                  THEN CAST(replace(replace(trim(raw), ',', ''), '%', '') AS DOUBLE)
-             END AS parsed
+             ${OracleSql.toNumberSql("raw")} AS parsed
       FROM m
     """))
 
@@ -357,7 +354,7 @@ object ParityQueries {
       e.select(col("event_id"), raw.as("raw"),
         Normalize.parseMonth(raw).as("month"))
     },
-    Some("""
+    Some(s"""
       WITH m AS (
         SELECT event_id,
                CASE event_id % 5
@@ -367,19 +364,10 @@ object ParityQueries {
                  WHEN 3 THEN '2024/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
                  ELSE 'n/a'
                END AS raw
-        FROM events),
-      p AS (
-        SELECT event_id, raw,
-               regexp_replace(trim(raw), '[^0-9]', '', 'g') AS digits
-        FROM m),
-      n AS (
-        SELECT event_id, raw,
-               TRY_CAST(CASE WHEN length(digits) >= 6 THEN substr(digits, length(digits) - 1, 2)
-                             ELSE digits END AS INTEGER) AS mo
-        FROM p)
+        FROM events)
       SELECT event_id, raw,
-             CASE WHEN mo BETWEEN 1 AND 12 THEN mo END AS month
-      FROM n
+             ${OracleSql.parseMonthSql("raw")} AS month
+      FROM m
     """))
 
   // §2.7 U1: vertical union of two tagged subsets.

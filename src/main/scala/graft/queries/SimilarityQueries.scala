@@ -102,10 +102,7 @@ object SimilarityQueries {
         SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
         FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
         WHERE qid <> c.vec_id),
-      r AS (SELECT qid, cid, cos,
-                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
-            FROM scored)
-      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+      ${OracleSql.knnTailSql(k)}
     """))
 
   // ---- e02: LSH-bucketed approximate top-k ---------------------------
@@ -131,10 +128,7 @@ object SimilarityQueries {
         SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
         FROM q JOIN (SELECT vec_id, en AS ce, bkt FROM b) c USING (bkt)
         WHERE qid <> c.vec_id),
-      r AS (SELECT qid, cid, cos,
-                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
-            FROM scored)
-      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+      ${OracleSql.knnTailSql(k)}
     """))
 
   // ---- e03: embedding-cosine near-dup pairs --------------------------
@@ -223,10 +217,7 @@ object SimilarityQueries {
         SELECT qid, cid, list_dot_product(qe, ce) AS cos
         FROM probes JOIN members USING (cent_id)
         WHERE qid <> cid),
-      r AS (SELECT qid, cid, cos,
-                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
-            FROM scored)
-      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM r WHERE rnk <= $k
+      ${OracleSql.knnTailSql(k)}
     """))
 
   def all: Seq[Q] = Seq(e01, e02, e03, e04)

@@ -27,8 +27,7 @@ object TextQueries {
     s"CAST(('0x'||substr(md5($x||'#$seed'),1,15)) AS BIGINT)"
 
   /** DuckDB equivalent of TextAnalysis.tokens(text). */
-  private val toksSql =
-    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+  private val toksSql = OracleSql.toksSql
 
   /** Spark/DuckDB pair for the doubled corpus used by dedup queries:
     * documents ∪ (documents with doc_id shifted) — guarantees every doc
@@ -122,28 +121,15 @@ object TextQueries {
       Tables.spread(Tables.documents(s, d)).select(col("doc_id"),
         TA.qualityScore(col("text")).as("quality"))
     },
-    Some {
-      val allStops = TA.langStopwords.flatMap(_._2)
-        .map(w => s"'$w'").mkString("[", ",", "]")
-      s"""
+    Some(s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (
         SELECT doc_id,
-               CAST(len(toks) AS DOUBLE) AS ntok,
-               CAST(length(text) AS DOUBLE) AS len,
-               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS punct,
-               CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE) AS stops,
-               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen
+               ${OracleSql.qualityColsSql}
         FROM t)
-      SELECT doc_id,
-             round(0.3 * least(ntok / 50.0, 1.0)
-                 + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
-                 + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
-                 + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
-               6) AS quality
+      SELECT doc_id, ${OracleSql.qualityExprSql} AS quality
       FROM m
-    """
-    })
+    """))
 
   // ---- t03: language ID ----------------------------------------------
 
@@ -168,26 +154,17 @@ object TextQueries {
         TA.langStopwords.map { case (l, _) => col(s"s_$l") }: _*)
     },
     Some {
-      val scoreSel = TA.langStopwords.map { case (l, sw) =>
-        val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
-      }.mkString(",\n               ")
       val langs = TA.langStopwords.map(_._1)
-      val pick = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
       s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       sc AS (
         SELECT doc_id,
-               CASE WHEN length(text) > 0
-                    THEN CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
-                    ELSE 0.0 END AS cjk,
-               $scoreSel
+               ${OracleSql.cjkSql} AS cjk,
+               ${OracleSql.langScoreSelSql}
         FROM t),
-      b AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS best FROM sc)
+      b AS (SELECT *, ${OracleSql.langBestSql} AS best FROM sc)
       SELECT doc_id, round(cjk, 6) AS cjk_ratio,
-             CASE WHEN cjk > 0.3 THEN 'zh'
-                  WHEN best > 0 THEN (CASE $pick END)
-                  ELSE 'und' END AS pred_lang,
+             ${OracleSql.langCaseSql} AS pred_lang,
              ${langs.map("s_" + _).mkString(", ")}
       FROM b
     """
@@ -421,51 +398,29 @@ object TextQueries {
       gated.join(keep, Seq("fp", "doc_id"))
         .select(col("doc_id"), col("quality"), col("ws_tokens"))
     },
-    Some {
-      val allStops = TA.langStopwords.flatMap(_._2)
-        .map(w => s"'$w'").mkString("[", ",", "]")
-      val scoreSel = TA.langStopwords.map { case (l, sw) =>
-        val lst = sw.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$l"
-      }.mkString(", ")
-      val langs = TA.langStopwords.map(_._1)
-      val pick = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
-      s"""
+    Some(s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
       m AS (
         SELECT doc_id, text, toks,
                md5(array_to_string(toks, ' ')) AS fp,
-               CAST(len(toks) AS DOUBLE) AS ntok,
-               CAST(length(text) AS DOUBLE) AS len,
-               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}]', '', 'g')) AS DOUBLE) AS punct,
-               CAST(len(list_filter(toks, t -> list_contains($allStops, t))) AS DOUBLE) AS stops,
-               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen,
-               CASE WHEN length(text) > 0
-                    THEN CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / length(text)
-                    ELSE 0.0 END AS cjk,
-               $scoreSel
+               ${OracleSql.qualityColsSql},
+               ${OracleSql.cjkSql} AS cjk,
+               ${OracleSql.langScoreSelSql}
         FROM t),
       q AS (
         SELECT *,
-               round(0.3 * least(ntok / 50.0, 1.0)
-                   + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
-                   + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
-                   + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
-                 6) AS quality,
-               greatest(${langs.map("s_" + _).mkString(", ")}) AS best
+               ${OracleSql.qualityExprSql} AS quality,
+               ${OracleSql.langBestSql} AS best
         FROM m),
       gated AS (
         SELECT doc_id, fp, quality, CAST(len(toks) AS INTEGER) AS ws_tokens
         FROM q
-        WHERE (CASE WHEN cjk > 0.3 THEN 'zh'
-                    WHEN best > 0 THEN (CASE $pick END)
-                    ELSE 'und' END) = 'en'
+        WHERE (${OracleSql.langCaseSql}) = 'en'
           AND quality >= 0.5),
       keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp)
       SELECT g.doc_id, g.quality, g.ws_tokens
       FROM gated g JOIN keep USING (fp, doc_id)
-      """
-    })
+      """))
 
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
