@@ -34,6 +34,12 @@ def approx_equal(a, b):
         return False, f"shape/cols: {a.shape}{list(a.columns)} vs {b.shape}{list(b.columns)}"
     for c in a.columns:
         x, y = a[c], b[c]
+        # dtype-strict: the driver's hash compare stringifies values, so an
+        # int64-vs-float64 split (e.g. DuckDB HUGEINT sums) renders "123" vs
+        # "123.0" and fails there even when numerically equal. Fail it here
+        # too, so local green predicts driver green.
+        if (x.dtype.kind in "iu") != (y.dtype.kind in "iu"):
+            return False, f"col {c}: dtype split spark={x.dtype} oracle={y.dtype} (int-vs-float fails the driver hash)"
         if x.dtype.kind == "f" or y.dtype.kind == "f":
             import numpy as np
             xa, ya = x.astype(float).values, y.astype(float).values

@@ -52,7 +52,10 @@ object Normalize {
   def parseMonth(c: Column): Column = {
     val digits = digitsOnly(c)
     val mm = when(length(digits) >= 6, substring(digits, -2, 2)).otherwise(digits)
-    val n = when(mm.rlike("^\\d{1,2}$"), mm.cast("int"))
+    // any all-digit string under 6 chars is numeric-coerced whole (the
+    // reference's pd.to_numeric accepts leading zeros: "012" → 12,
+    // "0005" → 5), then the 1..12 guard drops out-of-range months
+    val n = when(mm.rlike("^\\d{1,5}$"), mm.cast("int"))
     when(n.between(1, 12), n)
   }
 

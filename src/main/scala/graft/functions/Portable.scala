@@ -141,15 +141,20 @@ object Portable {
     ColumnBridge.column(CharShingles(ColumnBridge.expression(c.cast("string")), n))
   }
 
-  /** Declarative formulation of [[charShingles]]. */
+  /** Declarative formulation of [[charShingles]]. Null-propagates on null
+    * input (the CaseWhen otherwise-branch would silently return an empty
+    * array instead), keeping it bit-compatible with the native expression
+    * on nullable columns.
+    */
   def charShinglesDecl(c: Column, n: Int): Column =
-    once(trim(lower(c))) { s =>
-      array_distinct(
-        when(length(s) >= n,
-          transform(sequence(lit(1), length(s) - lit(n - 1)),
-            i => s.substr(i, lit(n))))
-          .otherwise(array().cast("array<string>")))
-    }
+    when(c.isNotNull,
+      once(trim(lower(c))) { s =>
+        array_distinct(
+          when(length(s) >= n,
+            transform(sequence(lit(1), length(s) - lit(n - 1)),
+              i => s.substr(i, lit(n))))
+            .otherwise(array().cast("array<string>")))
+      })
 
   /** Distinct n-token shingles (consecutive-token n-grams joined by "_").
     * Native [[TokenShingles]] expression; [[tokenShinglesDecl]] is the
@@ -160,15 +165,18 @@ object Portable {
     ColumnBridge.column(TokenShingles(ColumnBridge.expression(tokens), n))
   }
 
-  /** Declarative formulation of [[tokenShingles]]. */
+  /** Declarative formulation of [[tokenShingles]]. Null-propagates on
+    * null input, matching the native expression (see [[charShinglesDecl]]).
+    */
   def tokenShinglesDecl(tokens: Column, n: Int): Column =
-    once(tokens) { ts =>
-      array_distinct(
-        when(size(ts) >= n,
-          transform(sequence(lit(0), size(ts) - lit(n)),
-            i => concat_ws("_", (0 until n).map(j => element_at(ts, i + lit(j + 1))): _*)))
-          .otherwise(array().cast("array<string>")))
-    }
+    when(tokens.isNotNull,
+      once(tokens) { ts =>
+        array_distinct(
+          when(size(ts) >= n,
+            transform(sequence(lit(0), size(ts) - lit(n)),
+              i => concat_ws("_", (0 until n).map(j => element_at(ts, i + lit(j + 1))): _*)))
+            .otherwise(array().cast("array<string>")))
+      })
 
   /** Jaccard similarity of two distinct-element arrays: |∩| / |∪|.
     * Integer set sizes divided in double — exact in both engines.

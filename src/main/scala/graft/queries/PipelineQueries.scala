@@ -112,9 +112,13 @@ object PipelineQueries {
           sum(col("商店序號").cast("long")).as("key_sum"))
     },
     Some("""
-      SELECT n_regionkey, count(*) AS n_nations,
+      -- CAST: DuckDB sum(INTEGER) yields HUGEINT (pandas float64); Spark
+      -- emits int64 — pin both grouping key and sum to BIGINT for the
+      -- dtype-sensitive hash compare.
+      SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             count(*) AS n_nations,
              count(DISTINCT n_name) AS n_names,
-             sum(n_nationkey) AS key_sum
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum
       FROM nation GROUP BY 1
     """))
 

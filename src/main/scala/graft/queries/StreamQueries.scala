@@ -76,7 +76,9 @@ object StreamQueries {
     Some("""
       SELECT event_type,
              count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-             sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+             -- CAST: DuckDB sum(BIGINT) yields HUGEINT (pandas float64);
+             -- Spark emits int64 — pin the dtype for the hash compare
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
              max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       FROM events
       GROUP BY 1
@@ -109,11 +111,19 @@ object StreamQueries {
           col("_match.click_ts_us").as("click_ts_us"),
           col("_match.click_value").as("click_value"))
     },
+    // The click side is pre-deduped to one row per (user_id, ts) by max
+    // event_id — DuckDB's ASOF picks an ARBITRARY row among ties, while
+    // the Spark side resolves ties deterministically by max event_id;
+    // pinning the same rule here keeps parity deterministic if the data
+    // ever contains two clicks at an identical microsecond.
     Some("""
       SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
              epoch_us(c.ts) AS click_ts_us, c.value AS click_value
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (
+        SELECT * FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1) c
         ON p.user_id = c.user_id AND p.ts >= c.ts
     """))
 

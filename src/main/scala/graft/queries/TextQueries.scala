@@ -193,10 +193,12 @@ object TextQueries {
              FROM t)
       SELECT doc_id,
              md5(array_to_string(toks, ' ')) AS md5_fp,
-             CASE WHEN len(toks) > 0
+             -- CAST: list_sum over BIGINT yields HUGEINT (pandas float64);
+             -- Spark emits int64 — pin the dtype for the hash compare
+             CAST(CASE WHEN len(toks) > 0
                   THEN list_sum(list_transform(range(1, len(toks) + 1),
                          i -> ${hSql("toks[i]||'@'||(i-1)", 0)} % ${1L << 40})) % ${1L << 40}
-                  ELSE 0 END AS poly_fp,
+                  ELSE 0 END AS BIGINT) AS poly_fp,
              list_min(list_transform(shingles, x -> ${hSql("x", 7)})) AS min_shingle_h
       FROM sh
     """))

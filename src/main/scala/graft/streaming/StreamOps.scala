@@ -114,24 +114,29 @@ object StreamOps {
             state.remove()
             out.iterator
           } else {
-            // micro-batch rows are unordered: sort before folding
-            val sorted = rows.map(r => (r.ts_us, r.value)).toSeq.sortBy(_._1)
-            var open = state.getOption
+            // micro-batch rows are unordered, and a late-but-within-
+            // watermark row may precede the open session's start — gap-
+            // merge the open-session atom together with the sorted batch
+            // rows, exactly as the batch twin's global sort would: a late
+            // row within the gap extends the session backward; one more
+            // than the gap earlier becomes its own (emitted) session
+            // rather than being wrongly merged
+            val items =
+              (state.getOption.toSeq ++
+                rows.map(r => OpenSession(r.ts_us, r.ts_us, 1, r.value)).toSeq)
+                .sortBy(s => (s.start, s.end))
+            var open: Option[OpenSession] = None
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { case (ts, v) =>
+            items.foreach { it =>
               open match {
-                case Some(s) if ts - s.end > gapUs =>
+                case Some(s) if it.start - s.end > gapUs =>
                   closed += close(uid, s)
-                  open = Some(OpenSession(ts, ts, 1, v))
+                  open = Some(it)
                 case Some(s) =>
-                  // min on start too: a late-but-within-watermark event
-                  // from a later micro-batch may precede the open
-                  // session's start — the batch twin (global sort) would
-                  // include it, so parity requires extending backward
-                  open = Some(OpenSession(math.min(s.start, ts),
-                    math.max(s.end, ts), s.n + 1, s.sum + v))
+                  open = Some(OpenSession(s.start,
+                    math.max(s.end, it.end), s.n + it.n, s.sum + it.sum))
                 case None =>
-                  open = Some(OpenSession(ts, ts, 1, v))
+                  open = Some(it)
               }
             }
             open.foreach { s =>

@@ -28,6 +28,15 @@ class Md5Prefix60Spec extends SparkSpec {
       .collect()(0)
     assert(edge.getSeq[String](0) == Seq() && edge.getSeq[String](1) == Seq() &&
       edge.getSeq[String](2) == Seq())
+    // null input: native and declarative must BOTH null-propagate
+    val nulls = df.sparkSession.sql("SELECT 1")
+      .select(
+        Portable.charShingles(lit(null).cast("string"), 3).as("a"),
+        Portable.charShinglesDecl(lit(null).cast("string"), 3).as("b"),
+        Portable.tokenShingles(lit(null).cast("array<string>"), 3).as("c"),
+        Portable.tokenShinglesDecl(lit(null).cast("array<string>"), 3).as("d"))
+      .collect()(0)
+    assert((0 until 4).forall(nulls.isNullAt), s"expected all null, got $nulls")
   }
 
   test("hash60 == hash60Decl bit-exactly, incl. unicode and empty strings") {

@@ -28,11 +28,12 @@ class NormalizePropertySpec extends SparkSpec {
     if (re.findFirstIn(cleaned).isDefined) Some(cleaned.toDouble) else None
   }
 
-  // plain-Scala model of parseMonth
+  // plain-Scala model of parseMonth: under-6-digit strings numeric-coerce
+  // whole (pd.to_numeric accepts leading zeros: "012" → 12), then 1..12
   private def modelParseMonth(raw: String): Option[Int] = {
     val digits = raw.trim.replaceAll("[^0-9]", "")
     val mm = if (digits.length >= 6) digits.takeRight(2) else digits
-    if (mm.nonEmpty && mm.length <= 2) {
+    if (mm.nonEmpty && mm.length <= 5) {
       val n = mm.toInt
       if (n >= 1 && n <= 12) Some(n) else None
     } else None
@@ -56,7 +57,9 @@ class NormalizePropertySpec extends SparkSpec {
     Gen.chooseNum(1, 12).map(m => f"2024-$m%02d"),
     Gen.chooseNum(1, 12).map(m => f"2024/$m%02d"),
     Gen.chooseNum(0, 99).map(_.toString),
-    Gen.oneOf("", "n/a", "month", "202500", "202513", " 7 "))
+    Gen.chooseNum(1, 12).map(m => f"0$m%02d"),   // leading-zero 3-digit: "012"
+    Gen.oneOf("", "n/a", "month", "202500", "202513", " 7 ",
+      "0005", "00012", "12345", "013"))
 
   test("toNumber matches the reference model on generated messy numbers") {
     for (seed <- 1L to 5L) {
