@@ -49,8 +49,16 @@ object Kpi {
       .groupBy(col(S))
       .agg(sum(col("總綁定")).as("v"))
 
-  /** Config 23-1 (aggregate_by_store.py:109–236): interval binds + YoY +
-    * binding rate. `order` flips to 24-1's column order (:400–405).
+  /** A2 normalization for config 24-1 (aggregate_by_store.py:342–346):
+    * like [[normBinds]] but WITHOUT the month parse/filter — 24-1 sums
+    * every row of the year slice, including unparseable months.
+    */
+  def normBindsNoMonth(binds: DataFrame): DataFrame =
+    store(Normalize.trimHeaders(binds))
+      .withColumn("總綁定", N.zeroFill(N.toNumber(col("總綁定"))))
+      .withColumn("年度", trim(col("年度")))
+
+  /** Shared 23-1 / 24-1 body.
     *
     * The cur/prev year sums are ONE conditional aggregation over a single
     * normalized scan (not two filtered scans + a self-join): a store "has
@@ -58,14 +66,16 @@ object Kpi {
     * zeroFill makes every surviving row's measure non-null. Halves the
     * fact-side work and drops a shuffle+join from the plan.
     */
-  def config23_1(
+  private def config23Core(
       binds: DataFrame,
       cumulative: DataFrame,
       members: DataFrame,
-      curYear: String = "2025",
-      prevYear: String = "2024",
-      order24_1: Boolean = false): DataFrame = {
-    val yearSums = normBinds(binds)
+      curYear: String,
+      prevYear: String,
+      parseMonths: Boolean,
+      order24_1: Boolean): DataFrame = {
+    val nb = if (parseMonths) normBinds(binds) else normBindsNoMonth(binds)
+    val yearSums = nb
       .groupBy(col(S))
       .agg(
         sum(when(col("年度") === curYear, col("總綁定"))).as("cur"),
@@ -94,6 +104,51 @@ object Kpi {
         col("區間推薦人綁定人數 YoY"))
     else out
   }
+
+  /** Config 23-1 (aggregate_by_store.py:109–236): interval binds + YoY +
+    * binding rate; months normalized to 1..12 and out-of-range rows
+    * dropped (:126–134).
+    */
+  def config23_1(
+      binds: DataFrame,
+      cumulative: DataFrame,
+      members: DataFrame,
+      curYear: String = "2025",
+      prevYear: String = "2024"): DataFrame =
+    config23Core(binds, cumulative, members, curYear, prevYear,
+      parseMonths = true, order24_1 = false)
+
+  /** Config 24-1 (aggregate_by_store.py:320–419): the same KPIs as 23-1
+    * but with NO month normalization/filter (:342–346 — every row of the
+    * year slice counts, unparseable months included) and the
+    * 推薦人綁定率-first column order (:400–405).
+    */
+  def config24_1(
+      binds: DataFrame,
+      cumulative: DataFrame,
+      members: DataFrame,
+      curYear: String = "2025",
+      prevYear: String = "2024"): DataFrame =
+    config23Core(binds, cumulative, members, curYear, prevYear,
+      parseMonths = false, order24_1 = true)
+
+  /** The generic config-driven aggregation path (aggregate_by_store.py:
+    * 725–762) — the reference's declared extensibility contract, reachable
+    * for any config key without a dedicated block: bare numeric coercion +
+    * fill-0 on the target column (:736–739, plain `pd.to_numeric`, no
+    * thousands-separator cleanup), months-set membership on the RAW month
+    * strings (:742 — string equality, no parsing), then groupby-sum per
+    * store renamed `total` (:745–748).
+    */
+  def generic(
+      df: DataFrame,
+      storeCol: String,
+      monthCol: String,
+      targetCol: String,
+      months: Seq[String]): DataFrame =
+    df.filter(col(monthCol).isin(months: _*))
+      .groupBy(col(storeCol))
+      .agg(sum(N.zeroFill(N.bareNumber(col(targetCol)))).as("total"))
 
   /** Config 23-2 (aggregate_by_store.py:239–317): per-month pivot of two
     * years, months densified 1..12 per store, per-month YoY.

@@ -43,6 +43,18 @@ object Normalize {
     when(cleaned.rlike(numberRe), cleaned.cast("double"))
   }
 
+  /** Bare numeric coercion (aggregate_by_store.py:736–739): plain
+    * `pd.to_numeric(errors="coerce")` with NO thousands-separator/percent
+    * cleanup — the generic config path's weaker contract. Whitespace is
+    * trimmed (pandas' parser accepts padded numbers); 'nan'/'inf' stay
+    * null under the shape guard, which is indistinguishable from the
+    * reference after its fillna(0).
+    */
+  def bareNumber(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike(numberRe), t.cast("double"))
+  }
+
   /** Digits-only cleanup (aggregate_by_store.py:126–131, 440). */
   def digitsOnly(c: Column): Column = regexp_replace(trim(c), "[^0-9]", "")
 

@@ -55,6 +55,28 @@ object VerifyOps {
   def contentViolations(readBack: DataFrame, keyCol: String): DataFrame =
     readBack.filter(trim(col(keyCol)) =!= col("_dir_key"))
 
+  /** Bounded violation sample report (verify_fanout.py:96–97, 126–135):
+    * at most `k` violating rows per output file (= per `_dir_key`), each
+    * tagged with its rank and the file's total violation count — the
+    * report stays O(k·files) no matter how many rows violate, where the
+    * unbounded [[contentViolations]] set could be the whole corpus.
+    *
+    * Sampling is deterministic up to row content: rows are ranked by the
+    * trimmed key cell, so callers wanting hash-stable output should
+    * project the frame to (keyCol, _dir_key) first (tied rows are then
+    * identical and any k of them are the same sample).
+    *
+    * Both windows share one partitioning on `_dir_key` → one shuffle.
+    */
+  def violationSamples(readBack: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFile = Window.partitionBy(col("_dir_key"))
+    contentViolations(readBack, keyCol)
+      .withColumn("_rnk", row_number().over(byFile.orderBy(trim(col(keyCol)))).cast("int"))
+      .withColumn("_n_file_violations", count(lit(1)).over(byFile))
+      .filter(col("_rnk") <= k)
+  }
+
   /** One-row verification summary (the exit-code contract, as data):
     * (n_missing, n_extra, n_violations, n_keys).
     */

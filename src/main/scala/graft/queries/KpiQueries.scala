@@ -125,10 +125,13 @@ object KpiQueries {
   private def toNum0Sql(raw: String): String = OracleSql.toNum0Sql(raw)
 
   /** _fmt_pct of a null-on-zero-denominator ratio (:204–215); rounds to 2
-    * decimals before printf (see Normalize.fmtPct's tie note).
+    * decimals before printf (see Normalize.fmtPct's tie note). The
+    * `+ 0.0` normalizes IEEE negative zero: DuckDB's round keeps the sign
+    * of a tiny negative (printf → "-0.00%") while Spark's BigDecimal
+    * round yields +0.0 ("0.00%").
     */
   private def pctSql(num: String, den: String): String =
-    s"CASE WHEN ($den) IS NULL OR ($den) = 0 THEN '' ELSE printf('%.2f%%', round(($num) / ($den) * 100, 2)) END"
+    s"CASE WHEN ($den) IS NULL OR ($den) = 0 THEN '' ELSE printf('%.2f%%', round(($num) / ($den) * 100, 2) + 0.0) END"
 
   private val bindsSql =
     s"""SELECT ${messyStoreSql("o_custkey % 100", "o_orderkey")} AS s,
@@ -143,14 +146,19 @@ object KpiQueries {
         FROM ($bindsSql)
         WHERE ${parseMonthSql("mo_raw")} IS NOT NULL"""
 
-  // ---- q18: config 23-1 ----------------------------------------------
+  // ---- q18/q30: configs 23-1 / 24-1 ----------------------------------
 
-  private val q18 = Q(
-    "q18_kpi_23_1",
-    (s, d) => Kpi.config23_1(fabBinds(s, d), fabCumulative(s, d),
-      fabMembers(s, d), curYear = "2000", prevYear = "1999"),
-    Some(s"""
-      WITH nb AS ($normBindsSql),
+  /** 24-1's A2 normalization: no month parse/filter (:342–346). */
+  private val normBindsNoMonthSql =
+    s"""SELECT trim(s) AS s, trim(y) AS y, ${toNum0Sql("v_raw")} AS v
+        FROM ($bindsSql)"""
+
+  /** Shared 23-1/24-1 oracle body over a normalized-binds CTE — the only
+    * semantic difference between the configs is which `nb` feeds it
+    * (column order differs too, but the driver compare is order-blind).
+    */
+  private def kpi23Sql(nbSql: String): String = s"""
+      WITH nb AS ($nbSql),
       cur AS (SELECT s, sum(v) AS cur FROM nb WHERE y = '2000' GROUP BY 1),
       prev AS (SELECT s, sum(v) AS prev FROM nb WHERE y = '1999' GROUP BY 1),
       cum AS (
@@ -171,7 +179,19 @@ object KpiQueries {
       LEFT JOIN prev ON prev.s = cur.s
       LEFT JOIN cum ON cum.s = cur.s
       LEFT JOIN mem ON mem.s = cur.s
-    """))
+    """
+
+  private val q18 = Q(
+    "q18_kpi_23_1",
+    (s, d) => Kpi.config23_1(fabBinds(s, d), fabCumulative(s, d),
+      fabMembers(s, d), curYear = "2000", prevYear = "1999"),
+    Some(kpi23Sql(normBindsSql)))
+
+  private val q30 = Q(
+    "q30_kpi_24_1",
+    (s, d) => Kpi.config24_1(fabBinds(s, d), fabCumulative(s, d),
+      fabMembers(s, d), curYear = "2000", prevYear = "1999"),
+    Some(kpi23Sql(normBindsNoMonthSql)))
 
   // ---- q19: config 23-2 ----------------------------------------------
 
@@ -255,7 +275,7 @@ object KpiQueries {
             FROM r)
       SELECT s AS "商店序號", b AS "門市名稱", fp AS "門市首購人數",
              binds AS "推薦人綁定人數",
-             CASE WHEN ratio IS NULL THEN '' ELSE printf('%.2f%%', round(ratio * 100, 2)) END AS "佔比"
+             CASE WHEN ratio IS NULL THEN '' ELSE printf('%.2f%%', round(ratio * 100, 2) + 0.0) END AS "佔比"
       FROM k WHERE rnk <= 5
     """
   }
@@ -270,5 +290,39 @@ object KpiQueries {
     (s, d) => Kpi.config25_2(fabFirstByBranch(s, d), fabBranchBinds(s, d), year = "2000"),
     Some(kpi25Sql("ASC")))
 
-  def all: Seq[Q] = Seq(q18, q19, q20, q21, q22)
+  // ---- q32: generic config-driven aggregation (the extensibility path) -
+
+  /** Config-23-2-shaped declared-metadata input (aggregate_by_store.py:
+    * 44–54: store_id / yyyymm / visit_count English columns): raw yyyymm
+    * strings (the generic path matches them by string equality, no
+    * parsing), padded and null-token values for the bare coercion.
+    */
+  private def fabVisits(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate"))
+      .select(
+        pmod(col("o_custkey"), lit(100)).cast("string").as("store_id"),
+        date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("nan"))
+          .otherwise(concat(lit(" "), pmod(col("o_orderkey"), lit(50)), lit(" ")))
+          .as("visit_count"))
+
+  private val q32 = Q(
+    "q32_generic_config",
+    (s, d) => Kpi.generic(fabVisits(s, d), "store_id", "yyyymm", "visit_count",
+      months = (1 to 12).map(m => f"1996$m%02d")),
+    Some(s"""
+      WITH src AS (
+        SELECT CAST(o_custkey % 100 AS VARCHAR) AS store_id,
+               strftime(o_orderdate, '%Y%m') AS yyyymm,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'nan'
+                    ELSE ' ' || CAST(o_orderkey % 50 AS VARCHAR) || ' ' END AS visit_count
+        FROM orders)
+      SELECT store_id, sum(${OracleSql.bareNum0Sql("visit_count")}) AS total
+      FROM src
+      WHERE yyyymm IN (${(1 to 12).map(m => f"'1996$m%02d'").mkString(", ")})
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q18, q19, q20, q21, q22, q30, q32)
 }

@@ -29,6 +29,18 @@ object OracleSql {
   def toNum0Sql(raw: String): String =
     s"coalesce(${toNumberSql(raw)}, 0)"
 
+  /** `Normalize.bareNumber` (aggregate_by_store.py:736–739): plain
+    * numeric coercion, no thousands-separator/percent cleanup.
+    */
+  def bareNumberSql(raw: String): String =
+    s"""CASE WHEN regexp_full_match(trim($raw), '$numberShapeRe')
+                  THEN CAST(trim($raw) AS DOUBLE)
+             END"""
+
+  /** bareNumber + fillna(0) (the generic config path's coercion). */
+  def bareNum0Sql(raw: String): String =
+    s"coalesce(${bareNumberSql(raw)}, 0)"
+
   /** `Normalize.parseMonth` (aggregate_by_store.py:436–446) as a scalar
     * subquery over one raw value.
     */

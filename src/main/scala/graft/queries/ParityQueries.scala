@@ -108,7 +108,7 @@ object ParityQueries {
                         THEN (coalesce(cur.s, 0) - coalesce(prev.s, 0))
                              / coalesce(prev.s, 0) END, 6) AS yoy,
              CASE WHEN c.c_acctbal IS NULL OR c.c_acctbal = 0 THEN ''
-                  ELSE printf('%.2f%%', round(cur.s / c.c_acctbal * 100, 2)) END AS rate_pct
+                  ELSE printf('%.2f%%', round(cur.s / c.c_acctbal * 100, 2) + 0.0) END AS rate_pct
       FROM cur
       LEFT JOIN prev ON prev.o_custkey = cur.o_custkey
       LEFT JOIN customer c ON c.c_custkey = cur.o_custkey
@@ -420,7 +420,7 @@ object ParityQueries {
       SELECT g.yyyymm, g.event_type, g.n,
              round(g.v, 4) AS value_sum,
              CASE WHEN t.tv IS NULL OR t.tv = 0 THEN ''
-                  ELSE printf('%.2f%%', round(g.v / t.tv * 100, 2)) END AS share_pct
+                  ELSE printf('%.2f%%', round(g.v / t.tv * 100, 2) + 0.0) END AS share_pct
       FROM g LEFT JOIN t ON t.yyyymm = g.yyyymm
     """))
 

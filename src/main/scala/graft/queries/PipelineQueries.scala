@@ -138,5 +138,37 @@ object PipelineQueries {
       FROM events
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17)
+  // ---- q31: bounded violation samples (verify_fanout.py:96–97) --------
+
+  private val q31 = Q(
+    "q31_violation_samples",
+    (s, d) => {
+      val back = fanOutEvents(s, d)
+        .select(col("event_id"), col("event_type"), col("_dir_key"))
+      // overlay synthetic violations (~1/97 of rows get a corrupted key
+      // cell) so the bounded sampler has something to bound; the clean
+      // round-trip rows must all survive as non-violations
+      val corrupted = back.unionAll(
+        back.filter(pmod(col("event_id").cast("long"), lit(97)) === 0)
+          .withColumn("event_type",
+            concat(lit("bad_"), pmod(col("event_id").cast("long"), lit(1000)))))
+      VerifyOps.violationSamples(
+        corrupted.select(col("event_type"), col("_dir_key")), "event_type", 5)
+        .select(col("_dir_key").as("dir_key"), col("event_type").as("bad_key"),
+          col("_rnk").as("rnk"), col("_n_file_violations").as("n_file_violations"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT event_type AS dir_key,
+               'bad_' || CAST(event_id % 1000 AS VARCHAR) AS bad_key
+        FROM events WHERE event_id % 97 = 0),
+      r AS (
+        SELECT dir_key, bad_key,
+               CAST(row_number() OVER (PARTITION BY dir_key ORDER BY bad_key) AS INTEGER) AS rnk,
+               count(*) OVER (PARTITION BY dir_key) AS n_file_violations
+        FROM v)
+      SELECT dir_key, bad_key, rnk, n_file_violations FROM r WHERE rnk <= 5
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31)
 }

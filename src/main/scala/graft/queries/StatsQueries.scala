@@ -35,6 +35,28 @@ object StatsQueries {
       GROUP BY 1
     """))
 
+  /** The 100 TB default beside q26's exact percentile: `approx_percentile`
+    * (t-digest-style sketch, mergeable map-side partials, no per-group
+    * sort) — at scale the exact version's per-group sort is the avoidable
+    * cost. No DuckDB oracle (sketch algorithms differ across engines →
+    * not hash-comparable); the driver records the rows-only check, and
+    * StatsSpec asserts the approximation envelope against q26's exact
+    * values.
+    */
+  private val q33 = Q(
+    "q33_percentiles_approx",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"),
+        col("n")),
+    None)
+
   private val bucketWidth = 5000
 
   private val q27 = Q(
@@ -51,5 +73,5 @@ object StatsQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q26, q27)
+  def all: Seq[Q] = Seq(q26, q27, q33)
 }

@@ -87,6 +87,21 @@ class FanOutSpec extends SparkSpec {
     assert(presence(0).getBoolean(2) && !presence(1).getBoolean(2))
   }
 
+  test("VerifyOps.violationSamples: at most k per file, ranked, counted") {
+    // file s1: 8 violations (v1..v8), file s2: 2, file s3: clean
+    val rows =
+      (1 to 8).map(i => (f"v$i", "s1")) ++
+        Seq(("w1", "s2"), ("w2", "s2"), ("s3", "s3"))
+    val back = rows.toDF(S, "_dir_key")
+    val out = VerifyOps.violationSamples(back, S, k = 5)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getInt(2), r.getLong(3)))
+    assert(out.count(_._1 == "s1") == 5) // bounded at k
+    assert(out.filter(_._1 == "s1").map(_._2).sorted.toSeq ==
+      Seq("v1", "v2", "v3", "v4", "v5")) // first k by key order
+    assert(out.filter(_._1 == "s1").forall(_._4 == 8L)) // full count survives
+    assert(out.count(_._1 == "s2") == 2 && !out.exists(_._1 == "s3"))
+  }
+
   test("HeaderScan: meta rows, quoted cells, warn-skip, distributed read") {
     val dir = tmpDir("hscan")
     Files.writeString(dir.resolve("good.csv"),

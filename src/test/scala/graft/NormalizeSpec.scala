@@ -99,6 +99,38 @@ class NormalizeSpec extends SparkSpec {
     assert(r2.getString(3) == "") // members 0 → null → ""
   }
 
+  test("Kpi 24-1: no month filter (unparseable months count), rate-first order") {
+    val binds = Seq(
+      ("1", "2025", "01", "10"), ("1", "2024", "03", "10"),
+      // unparseable month: DROPPED by 23-1, COUNTED by 24-1
+      ("1", "2025", "n/a", "5"))
+      .toDF("商店序號", "年度", "月份", "總綁定")
+    val cum = Seq(("1", "50")).toDF("商店序號", "累計至今推薦人綁定人數")
+    val mem = Seq(("1", "200")).toDF("商店序號", "總會員數")
+    val out24 = Kpi.config24_1(binds, cum, mem).collect()(0)
+    assert(out24.schema.fieldNames.toSeq ==
+      Seq("商店序號", "推薦人綁定率", "區間推薦人綁定人數", "區間推薦人綁定人數 YoY"))
+    assert(out24.getDouble(2) == 15.0)       // 10 + 5 (n/a month included)
+    assert(out24.getString(3) == "50.00%")   // (15-10)/10
+    val out23 = Kpi.config23_1(binds, cum, mem).collect()(0)
+    assert(out23.getDouble(1) == 10.0)       // n/a month dropped
+  }
+
+  test("Kpi generic: raw month-string membership + bare coercion") {
+    val df = Seq(
+      ("1", "202501", " 10 "),   // padded number: coerced
+      ("1", "202501", "1,000"),  // comma: NOT cleaned by the bare path → 0
+      ("1", "202502", "nan"),    // null token → 0
+      ("1", "2025-01", "99"),    // raw string not in months set → filtered
+      ("2", "202512", "7"))
+      .toDF("store_id", "yyyymm", "visit_count")
+    val months = (1 to 12).map(m => f"2025$m%02d")
+    val out = Kpi.generic(df, "store_id", "yyyymm", "visit_count", months)
+      .orderBy("store_id").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("1", 10.0), ("2", 7.0)))
+  }
+
   test("Kpi 23-2: months densified 1..12 with fill-0") {
     val binds = Seq(
       ("1", "2025", "01", "10"), ("1", "2024", "01", "5"),
