@@ -169,11 +169,14 @@ object SimilarityQueries {
   // Coarse quantizer: nCells sampled centroids (the first nCells vectors
   // by id — deterministic, no training iterations; at 100 TB you'd
   // k-means a sample, broadcast the centroids, and keep exactly this
-  // plan shape). Every vector is assigned to its best cell via window
-  // argmax; a query probes its nProbe best cells and scores only those
-  // cells' members — the candidate set shrinks by ~nCells/nProbe vs
-  // brute force, and the probe join is an equi-join on cell id (shuffle
-  // by cell, no cross join).
+  // plan shape). Every vector is assigned to its best cell via a max_by
+  // AGGREGATION (map-side partial agg, no sort) — a window argmax here
+  // would force a full sort-shuffle of the vectors×nCells affinity rows,
+  // the avoidable dominant shuffle at scale. Only the query subset (1%)
+  // takes a window, to pick its nProbe best cells. A query then scores
+  // only its probed cells' members — the candidate set shrinks by
+  // ~nCells/nProbe vs brute force, and the probe join is an equi-join on
+  // cell id (shuffle by cell, no cross join).
 
   private val nCells = 16
   private val nProbe = 2
@@ -187,12 +190,17 @@ object SimilarityQueries {
       val affinity = emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("en"), col("cent_id"),
           Portable.dot(col("en"), col("cen")).as("cd"))
+      // (cd DESC, cent_id ASC) argmax as a lexicographic max_by — the
+      // deterministic tie-break the window's ORDER BY used to provide
+      val ord = struct(col("cd"), (-col("cent_id")).as("_nc"))
+      val members = affinity.groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cent_id"), col("en")), ord).as("b"))
+        .select(col("vec_id").as("cid"), col("b.en").as("ce"), col("b.cent_id").as("cent_id"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id").asc)
-      val ranked = affinity.withColumn("crnk", row_number().over(w))
-      val members = ranked.filter(col("crnk") === 1)
-        .select(col("vec_id").as("cid"), col("en").as("ce"), col("cent_id"))
-      val probes = ranked.filter(col("crnk") <= nProbe && col("vec_id") % 100 === 0)
+      val probes = affinity.filter(col("vec_id") % 100 === 0)
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= nProbe)
         .select(col("vec_id").as("qid"), col("en").as("qe"), col("cent_id"))
       val scored = probes.join(members, Seq("cent_id"))
         .filter(col("qid") =!= col("cid"))
@@ -206,13 +214,23 @@ object SimilarityQueries {
       affinity AS (
         SELECT e.vec_id, e.en, c.cent_id, list_dot_product(e.en, c.cen) AS cd
         FROM emb e CROSS JOIN cents c),
+      -- (cd DESC, cent_id ASC) argmax, aggregation-only: max cd per
+      -- vector, then min cent_id among the max rows (DuckDB's arg_max
+      -- can't take a composite order key) — exact same pick as the Spark
+      -- side's lexicographic max_by
+      mx AS (SELECT vec_id, max(cd) AS mcd FROM affinity GROUP BY vec_id),
+      members AS (
+        SELECT a.vec_id AS cid,
+               arg_min(a.en, a.cent_id) AS ce,
+               min(a.cent_id) AS cent_id
+        FROM affinity a JOIN mx ON mx.vec_id = a.vec_id AND a.cd = mx.mcd
+        GROUP BY a.vec_id),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cd DESC, cent_id ASC) AS crnk
-        FROM affinity),
-      members AS (SELECT vec_id AS cid, en AS ce, cent_id FROM ranked WHERE crnk = 1),
+        FROM affinity WHERE vec_id % 100 = 0),
       probes AS (SELECT vec_id AS qid, en AS qe, cent_id
-                 FROM ranked WHERE crnk <= $nProbe AND vec_id % 100 = 0),
+                 FROM ranked WHERE crnk <= $nProbe),
       scored AS (
         SELECT qid, cid, list_dot_product(qe, ce) AS cos
         FROM probes JOIN members USING (cent_id)

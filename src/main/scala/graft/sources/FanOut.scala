@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * per (task, key), iterator-based, constant memory (the reference's
   * explicit O(1)-rows constraint is free here, SURVEY.md §4). The exact
   * `{key}/{src}.csv` layout the reference promises is restored by a
-  * metadata-only finalize pass: per-partition file rename/concat on the
-  * FileSystem API (works on HDFS/object stores; per-key outputs are
-  * report-sized by construction, so the pass is cheap relative to the
-  * write).
+  * finalize pass whose DRIVER work is metadata-only: single-part keys
+  * with no prefix/BOM are `FileSystem.rename`d, and any byte-level
+  * concat (multi-part keys, prefix/BOM replay) runs distributed, one
+  * task per key — at 100 TB the finalize scales with the cluster.
   */
 object FanOut {
 
@@ -50,9 +50,35 @@ object FanOut {
     finalizeLayout(spark, staging, outDir, helper, srcName, prefixRows, bom)
   }
 
-  /** Move `staging/{key}={v}/part-*.csv` → `outDir/{v}/{srcName}.csv`,
-    * concatenating multiple part files and prepending BOM + prefix rows +
-    * (Spark-written) header. Pure FileSystem metadata/stream work.
+  /** Hadoop `Configuration` isn't `java.io.Serializable`; it IS a Hadoop
+    * `Writable`, so ship it to tasks via writeObject/readFields (the same
+    * trick Spark uses internally for its own config broadcasts).
+    */
+  private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One key's concat work item: (key, part-file paths). */
+  private type KeyParts = (String, Seq[String])
+
+  /** Move `staging/{key}={v}/part-*.csv` → `outDir/{v}/{srcName}.csv`.
+    *
+    * Scale contract: the driver touches METADATA only (listings, renames).
+    *   - single part file, no prefix/BOM → `FileSystem.rename` (a true
+    *     metadata op — the common case, since each key's rows land in few
+    *     tasks);
+    *   - multi-part or prefix/BOM → the byte concat runs DISTRIBUTED, one
+    *     task per key over a parallelized key list. At 100× data the
+    *     concat cost scales with the cluster, not with one driver thread.
     */
   private def finalizeLayout(
       spark: SparkSession,
@@ -65,43 +91,73 @@ object FanOut {
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = (if (bom) "﻿" else "") +
       (if (prefixRows.nonEmpty) prefixRows.mkString("", "\n", "\n") else "")
-    fs.listStatus(new Path(staging))
+    val plan: Array[KeyParts] = fs.listStatus(new Path(staging))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$keyCol="))
-      .foreach { partDir =>
+      .map { partDir =>
         // Spark's own partition-value unescaping — NOT URLDecoder, whose
         // '+'-means-space rule corrupts keys containing '+' (Spark's
         // escapePathName leaves '+' literal)
         val key = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .unescapePathName(partDir.getPath.getName.stripPrefix(s"$keyCol="))
         val parts = fs.listStatus(partDir.getPath)
-          .filter(_.getPath.getName.endsWith(".csv")).map(_.getPath).sortBy(_.getName)
-        val dest = new Path(s"$outDir/$key/$srcName.csv")
-        fs.mkdirs(dest.getParent)
-        val out = fs.create(dest, true)
-        try {
-          if (prefix.nonEmpty)
-            out.write(prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var wroteHeader = false
-          parts.foreach { p =>
-            val in = fs.open(p)
-            try {
-              val reader = new java.io.BufferedReader(
-                new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-              var line = reader.readLine() // header line of this part file
-              if (!wroteHeader && line != null) {
-                out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                wroteHeader = true
-              }
-              line = reader.readLine()
-              while (line != null) {
-                out.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                line = reader.readLine()
-              }
-            } finally in.close()
-          }
-        } finally out.close()
+          .filter(_.getPath.getName.endsWith(".csv"))
+          .map(_.getPath.toString).sorted.toSeq
+        (key, parts)
       }
+    val (renameable, needConcat) =
+      plan.partition { case (_, parts) => parts.length == 1 && prefix.isEmpty }
+    renameable.foreach { case (key, parts) =>
+      val dest = new Path(s"$outDir/$key/$srcName.csv")
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      fs.rename(new Path(parts.head), dest)
+    }
+    if (needConcat.nonEmpty) {
+      val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val (out, src, pfx) = (outDir, srcName, prefix)
+      val slices = math.min(needConcat.length, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(needConcat.toSeq, slices).foreach {
+        case (key, parts) => concatKey(serConf.value, out, src, pfx, key, parts)
+      }
+    }
     fs.delete(new Path(staging), true)
+  }
+
+  /** Task-side concat of one key's part files (header kept once, prefix
+    * replayed). Runs on executors — keep driver state out of here.
+    */
+  private def concatKey(
+      conf: org.apache.hadoop.conf.Configuration,
+      outDir: String,
+      srcName: String,
+      prefix: String,
+      key: String,
+      parts: Seq[String]): Unit = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val dest = new Path(s"$outDir/$key/$srcName.csv")
+    val fs = dest.getFileSystem(conf)
+    fs.mkdirs(dest.getParent)
+    val out = fs.create(dest, true)
+    try {
+      if (prefix.nonEmpty) out.write(prefix.getBytes(utf8))
+      var wroteHeader = false
+      parts.foreach { p =>
+        val in = fs.open(new Path(p))
+        try {
+          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, utf8))
+          var line = reader.readLine() // header line of this part file
+          if (!wroteHeader && line != null) {
+            out.write((line + "\n").getBytes(utf8))
+            wroteHeader = true
+          }
+          line = reader.readLine()
+          while (line != null) {
+            out.write((line + "\n").getBytes(utf8))
+            line = reader.readLine()
+          }
+        } finally in.close()
+      }
+    } finally out.close()
   }
 
   /** Read a fan-out layout back: `outDir/{key}/{srcName}.csv` for every

@@ -54,6 +54,35 @@ class FanOutSpec extends SparkSpec {
       sum.getLong(2) == 0 && sum.getLong(3) == 2)
   }
 
+  test("multi-part keys: distributed concat keeps one header and all rows") {
+    val out = tmpDir("fanout_mp").toString
+    // 8 input partitions × 3 keys → several part files per key in staging;
+    // these take the distributed-concat path (with prefix, even the
+    // single-part keys do)
+    val df = spark.range(600)
+      .select(concat(lit("k"), pmod(col("id"), lit(3))).as(S),
+        col("id").cast("string").as("v"))
+      .repartition(8)
+    FanOut.write(df, S, out, "srcM", prefixRows = Seq("Meta,1"), bom = true)
+    (0 to 2).foreach { k =>
+      val raw = Files.readString(new java.io.File(s"$out/k$k/srcM.csv").toPath)
+      assert(raw.startsWith("﻿Meta,1\n"))
+      val lines = raw.stripPrefix("﻿").split("\n").toSeq
+      assert(lines.count(_.startsWith(S)) == 1, "exactly one header after concat")
+      assert(lines.length == 2 + 200, s"k$k: meta + header + 200 rows")
+    }
+    val back = FanOut.read(spark, out, "srcM", S)
+    assert(back.count() == 600)
+    assert(VerifyOps.contentViolations(back, S).count() == 0)
+
+    // no-prefix single-part path (rename): still a correct layout
+    val out2 = tmpDir("fanout_rn").toString
+    FanOut.write(df.coalesce(1), S, out2, "srcR")
+    val back2 = FanOut.read(spark, out2, "srcR", S)
+    assert(back2.count() == 600 &&
+      VerifyOps.contentViolations(back2, S).count() == 0)
+  }
+
   test("special-character keys round-trip: space, percent, plus, hash") {
     val out = tmpDir("fanout_sp").toString
     val df = Seq(("a b", "1"), ("50%", "2"), ("x+y", "3"), ("s#1", "4"))
