@@ -50,10 +50,12 @@ object VerifyOps {
 
   /** Content-invariant violations: rows whose key cell ≠ directory key.
     * Input needs (keyCol, _dir_key) as produced by
-    * [[graft.sources.FanOut.read]].
+    * [[graft.sources.FanOut.read]]. A missing (null) key cell — e.g. a
+    * ragged row null-filled by the CSV parser — counts as "" and thus AS
+    * a violation (verify_fanout.py:90–93), not a silently dropped row.
     */
   def contentViolations(readBack: DataFrame, keyCol: String): DataFrame =
-    readBack.filter(trim(col(keyCol)) =!= col("_dir_key"))
+    readBack.filter(trim(coalesce(col(keyCol), lit(""))) =!= col("_dir_key"))
 
   /** Bounded violation sample report (verify_fanout.py:96–97, 126–135):
     * at most `k` violating rows per output file (= per `_dir_key`), each

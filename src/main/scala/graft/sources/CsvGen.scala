@@ -1,16 +1,17 @@
-package graft
+package graft.sources
 
 import java.nio.file.{Files, Path}
 
 import scala.util.Random
 
 /** Seedable synthetic-CSV generator mirroring the reference's csv_gen.py
-  * (SURVEY.md §2.1 S8): N files with inconsistent schemas — 3..10
-  * randomly named/typed columns of {string,int,float,date,bool} with only
-  * the store-id key guaranteed — deterministic per seed. Test scope: the
-  * fixture source for the fan-out/verify property test, exactly the role
-  * csv_gen.py plays for the reference (generate random inputs, check
-  * invariants; csv_gen.py:45–56, 74–86).
+  * (SURVEY.md §2.1 S8): N files with inconsistent schemas —
+  * minCols..maxCols randomly named/typed columns of
+  * {string,int,float,date,bool} with only the store-id key guaranteed —
+  * deterministic per seed. Dual role, same as csv_gen.py for the
+  * reference: the fixture source for the fan-out/verify property test
+  * (generate random inputs, check invariants; csv_gen.py:45–56) and the
+  * [[graft.cli.CsvGenMain]] CLI (csv_gen.py:74–86).
   */
 object CsvGen {
 
@@ -20,7 +21,9 @@ object CsvGen {
       maxRows: Int = 200,
       nStores: Int = 15,
       keyCol: String = "商店序號",
-      seed: Long = 42L)
+      seed: Long = 42L,
+      minCols: Int = 3,
+      maxCols: Int = 10)
 
   private val types = Vector("string", "int", "float", "date", "bool")
 
@@ -37,7 +40,7 @@ object CsvGen {
   def generate(dir: Path, cfg: Config = Config()): Seq[(String, Seq[String])] = {
     val r = new Random(cfg.seed)
     (0 until cfg.nFiles).map { f =>
-      val nCols = 3 + r.nextInt(8) // 3..10
+      val nCols = cfg.minCols + r.nextInt(cfg.maxCols - cfg.minCols + 1)
       val keyPos = r.nextInt(nCols)
       val cols = (0 until nCols).map { c =>
         if (c == keyPos) cfg.keyCol else s"col_${f}_$c"

@@ -111,6 +111,7 @@ object FanOut {
       fs.mkdirs(dest.getParent)
       if (fs.exists(dest)) fs.delete(dest, false)
       fs.rename(new Path(parts.head), dest)
+      dropCrcSidecar(fs, dest)
     }
     if (needConcat.nonEmpty) {
       val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
@@ -158,6 +159,17 @@ object FanOut {
         } finally in.close()
       }
     } finally out.close()
+    dropCrcSidecar(fs, dest)
+  }
+
+  /** Delete the local-FS checksum sidecar (`.{name}.crc`) so the layout
+    * is exactly the reference's plain `{key}/{src}.csv` files — a stale
+    * sidecar would also fail later Hadoop reads of an output a user
+    * edited in place. No-op on filesystems without sidecars (HDFS, S3).
+    */
+  private def dropCrcSidecar(fs: FileSystem, dest: Path): Unit = {
+    val crc = new Path(dest.getParent, s".${dest.getName}.crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
   }
 
   /** Read a fan-out layout back: `outDir/{key}/{srcName}.csv` for every

@@ -19,7 +19,8 @@ class FanOutPropertySpec extends SparkSpec {
   test("generated corpus: fan-out preserves row multisets and verify passes") {
     val in = Files.createTempDirectory("gen_in")
     val out = Files.createTempDirectory("gen_out").toString
-    val files = CsvGen.generate(in, CsvGen.Config(nFiles = 4, seed = 7))
+    val files = graft.sources.CsvGen.generate(in,
+      graft.sources.CsvGen.Config(nFiles = 4, seed = 7))
 
     val frames = HeaderScan.readDirFrames(spark, in.toString)
     assert(frames.length == 4) // every generated file carries the key col
