@@ -131,6 +131,25 @@ class FanOutSpec extends SparkSpec {
     assert(out.count(_._1 == "s2") == 2 && !out.exists(_._1 == "s3"))
   }
 
+  test("composed per-store KPI emission: config 23-1 → {store}/23-1.csv with BOM") {
+    // the reference's aggregate_by_store.py:225–233 end-to-end shape:
+    // KPI frame → one utf-8-sig CSV per store directory
+    val binds = Seq(("1", "2025", "01", "10"), ("1", "2024", "02", "5"),
+      ("2", "2025", "03", "8")).toDF(S, "年度", "月份", "總綁定")
+    val cum = Seq(("1", "50"), ("2", "20")).toDF(S, "累計至今推薦人綁定人數")
+    val mem = Seq(("1", "200"), ("2", "80")).toDF(S, "總會員數")
+    val out = tmpDir("kpi_emit").toString
+    val kpi = graft.etl.Kpi.config23_1(binds, cum, mem)
+    FanOut.write(kpi, S, out, "23-1", bom = true)
+    val f1 = Files.readString(new java.io.File(s"$out/1/23-1.csv").toPath)
+    assert(f1.startsWith("﻿"), "utf-8-sig BOM")
+    val lines = f1.stripPrefix("﻿").split("\n").toSeq
+    assert(lines.length == 2, "header + exactly one KPI row per store")
+    assert(lines.head.split(",").head == S)
+    assert(lines(1).startsWith("1,10.0,100.00%,25.00%"), lines(1))
+    assert(new java.io.File(s"$out/2/23-1.csv").isFile)
+  }
+
   test("HeaderScan: meta rows, quoted cells, warn-skip, distributed read") {
     val dir = tmpDir("hscan")
     Files.writeString(dir.resolve("good.csv"),

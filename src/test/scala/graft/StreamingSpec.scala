@@ -100,6 +100,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late event more than the gap BEFORE the open session splits off") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val input = MemoryStream[Ev]
+    // gap (5 min) < watermark delay (60 min): a late row can precede the
+    // open session's start by more than the gap — batch would emit it as
+    // its own session, so the stream must too (not merge it backward)
+    val sessions = StreamOps.sessionizeStream(spark, input.toDS(),
+      gapMinutes = 5, watermarkDelay = "60 minutes")
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_split")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(8, base + 40 * MIN, 1.0)) // opens session at +40
+      q.processAllAvailable()
+      // late but within watermark; 30 min before the open start ≫ gap
+      input.addData(Ev(8, base + 10 * MIN, 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(99, base + 1000 * MIN, 0.0)) // flush
+      q.processAllAvailable()
+      val s = spark.table("sess_split").as[Session].collect()
+        .filter(_.user_id == 8).sortBy(_.session_start_us)
+      assert(s.length == 2, s"expected a split, got ${s.toSeq}")
+      assert(s(0).session_start_us == base + 10 * MIN && s(0).n_events == 1)
+      assert(s(1).session_start_us == base + 40 * MIN && s(1).n_events == 1)
+      // identical to the batch twin on the same rows
+      val batch = StreamOps.sessionizeBatch(
+        Seq((8L, base + 40 * MIN, 1.0), (8L, base + 10 * MIN, 2.0))
+          .toDF("user_id", "ts_us", "value")
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value")),
+        gapMinutes = 5).as[Session].collect().sortBy(_.session_start_us)
+      assert(s.map(x => (x.session_start_us, x.session_end_us, x.n_events)).toSeq ==
+        batch.map(x => (x.session_start_us, x.session_end_us, x.n_events)).toSeq)
+    } finally q.stop()
+  }
+
   test("windowedTypeStats: streaming result equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000L * US
