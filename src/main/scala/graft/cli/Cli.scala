@@ -160,30 +160,35 @@ object AggregateMain {
   def main(args: Array[String]): Unit = {
     val a = Args.parse(args, Set("config", "input-dir", "output-dir",
       "input-file", "store-col", "month-col", "target-col", "months"))
-    val aggDir = s"${a.getOrElse("input-dir", "./input")}/aggregate"
+    val inDir = a.getOrElse("input-dir", "./input")
     val outDir = a.getOrElse("output-dir", "./output")
     val spark = Args.session("graft-aggregate")
-    def rd(f: String): DataFrame = Args.readAllString(spark, s"$aggDir/$f")
+    // the six dedicated configs read from {input-dir}/aggregate; the
+    // generic path reads its --input-file relative to {input-dir} root
+    // unless the config says otherwise (aggregate_by_store.py:733)
+    def rd(f: String): DataFrame = Args.readAllString(spark, s"$inDir/aggregate/$f")
 
-    val (cfgKey, result): (String, DataFrame) = a.get("input-file") match {
+    val (cfgKey, result, keyCol): (String, DataFrame, String) = a.get("input-file") match {
       case Some(f) =>
         val months = Args.required(a, "months").split(",").toSeq
-        val r = Kpi.generic(rd(f), Args.required(a, "store-col"),
+        val storeCol = Args.required(a, "store-col")
+        // keep the config's store column as the output header — the
+        // reference writes it verbatim (aggregate_by_store.py:745–762)
+        val r = Kpi.generic(Args.readAllString(spark, s"$inDir/$f"), storeCol,
           Args.required(a, "month-col"), Args.required(a, "target-col"), months)
-        (f.stripSuffix(".csv"),
-          r.withColumnRenamed(Args.required(a, "store-col"), Kpi.S))
+        (f.stripSuffix(".csv"), r, storeCol)
       case None => Args.required(a, "config") match {
-        case k @ "23-1" => (k, Kpi.config23_1(rd(bindsFile), rd(cumFile), rd(memFile)))
-        case k @ "23-2" => (k, Kpi.config23_2(rd(bindsFile)))
-        case k @ "24-1" => (k, Kpi.config24_1(rd(bindsFile), rd(cumFile), rd(memFile)))
-        case k @ "24-2" => (k, Kpi.config24_2(rd(fpMonthFile), rd(bindsFile)))
-        case k @ "25-1" => (k, Kpi.config25_1(rd(fpBranchFile), rd(branchBindsFile)))
-        case k @ "25-2" => (k, Kpi.config25_2(rd(fpBranchFile), rd(branchBindsFile)))
+        case k @ "23-1" => (k, Kpi.config23_1(rd(bindsFile), rd(cumFile), rd(memFile)), Kpi.S)
+        case k @ "23-2" => (k, Kpi.config23_2(rd(bindsFile)), Kpi.S)
+        case k @ "24-1" => (k, Kpi.config24_1(rd(bindsFile), rd(cumFile), rd(memFile)), Kpi.S)
+        case k @ "24-2" => (k, Kpi.config24_2(rd(fpMonthFile), rd(bindsFile)), Kpi.S)
+        case k @ "25-1" => (k, Kpi.config25_1(rd(fpBranchFile), rd(branchBindsFile)), Kpi.S)
+        case k @ "25-2" => (k, Kpi.config25_2(rd(fpBranchFile), rd(branchBindsFile)), Kpi.S)
         case k => throw new IllegalArgumentException(s"Config '$k' not found")
       }
     }
-    val nStores = result.select(Kpi.S).distinct().count()
-    FanOut.write(result, Kpi.S, outDir, cfgKey, bom = true)
+    val nStores = result.select(keyCol).distinct().count()
+    FanOut.write(result, keyCol, outDir, cfgKey, bom = true)
     println(s"[OK] config=$cfgKey, stores=$nStores")
     spark.stop()
   }

@@ -51,12 +51,15 @@ object Kpi {
 
   /** A2 normalization for config 24-1 (aggregate_by_store.py:342–346):
     * like [[normBinds]] but WITHOUT the month parse/filter — 24-1 sums
-    * every row of the year slice, including unparseable months.
+    * every row of the year slice, including unparseable months — and
+    * WITHOUT the year trim: the reference's 24-1 block compares RAW year
+    * strings (:347–348, no strip), so a padded " 2025" row is excluded
+    * here exactly as it is there. (23-1's [[normBinds]] keeps its
+    * documented trim leniency.)
     */
   def normBindsNoMonth(binds: DataFrame): DataFrame =
     store(Normalize.trimHeaders(binds))
       .withColumn("總綁定", N.zeroFill(N.toNumber(col("總綁定"))))
-      .withColumn("年度", trim(col("年度")))
 
   /** Shared 23-1 / 24-1 body.
     *

@@ -32,27 +32,41 @@ object Normalize {
 
   private val numberRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
+  /** pandas' parser accepts infinity tokens (`precise_xstrtod`:
+    * "inf"/"Infinity", optional sign, case-insensitive) — `to_numeric`
+    * yields float ±inf, which `fillna(0)` does NOT fill (inf is not NA),
+    * so an 'inf' cell sums to infinity in the reference. 'nan' is
+    * different: it parses to NaN, which fillna(0) DOES fill — identical
+    * to our null→0, so only inf needs the explicit branch.
+    */
+  private val infRe = "^(?i)[+-]?inf(inity)?$"
+
+  private def infValue(t: Column): Column =
+    when(t.startsWith("-"), lit(Double.NegativeInfinity))
+      .otherwise(lit(Double.PositiveInfinity))
+
   /** Human-formatted number string → double; unparseable → null.
     * `translate` deletes every ','/'%' in one non-regex pass (same
-    * semantics as pandas str.replace chains, one regex left: the
-    * numeric-shape guard that keeps 'nan'/'inf' null where a bare cast
-    * would accept them).
+    * semantics as pandas str.replace chains); the numeric-shape guard
+    * keeps 'nan' null (≡ NaN→fillna(0)) where a bare cast would accept
+    * it, and the inf branch reproduces pandas' float-infinity parse.
     */
   def toNumber(c: Column): Column = {
     val cleaned = translate(trim(c), ",%", "")
     when(cleaned.rlike(numberRe), cleaned.cast("double"))
+      .when(cleaned.rlike(infRe), infValue(cleaned))
   }
 
   /** Bare numeric coercion (aggregate_by_store.py:736–739): plain
     * `pd.to_numeric(errors="coerce")` with NO thousands-separator/percent
     * cleanup — the generic config path's weaker contract. Whitespace is
-    * trimmed (pandas' parser accepts padded numbers); 'nan'/'inf' stay
-    * null under the shape guard, which is indistinguishable from the
-    * reference after its fillna(0).
+    * trimmed (pandas' parser accepts padded numbers); 'nan' stays null
+    * (≡ NaN→fillna(0)); infinity tokens parse to ±inf as pandas does.
     */
   def bareNumber(c: Column): Column = {
     val t = trim(c)
     when(t.rlike(numberRe), t.cast("double"))
+      .when(t.rlike(infRe), infValue(t))
   }
 
   /** Digits-only cleanup (aggregate_by_store.py:126–131, 440). */

@@ -148,9 +148,11 @@ object KpiQueries {
 
   // ---- q18/q30: configs 23-1 / 24-1 ----------------------------------
 
-  /** 24-1's A2 normalization: no month parse/filter (:342–346). */
+  /** 24-1's A2 normalization: no month parse/filter (:342–346) and RAW
+    * (untrimmed) year strings (:347–348) — mirrors Kpi.normBindsNoMonth.
+    */
   private val normBindsNoMonthSql =
-    s"""SELECT trim(s) AS s, trim(y) AS y, ${toNum0Sql("v_raw")} AS v
+    s"""SELECT trim(s) AS s, y, ${toNum0Sql("v_raw")} AS v
         FROM ($bindsSql)"""
 
   /** Shared 23-1/24-1 oracle body over a normalized-binds CTE — the only

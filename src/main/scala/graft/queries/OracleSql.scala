@@ -12,9 +12,15 @@ import graft.etl.{TextAnalysis => TA}
 object OracleSql {
 
   /** The numeric-shape guard of `Normalize.toNumber` (DuckDB's TRY_CAST
-    * accepts 'nan'/'inf' as float literals; the guarded cast must not).
+    * accepts 'nan' as a float literal; the guarded cast must keep it
+    * null ≡ pandas NaN→fillna(0)).
     */
   val numberShapeRe = """[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?"""
+
+  /** Infinity tokens parse to ±inf (pandas precise_xstrtod; DuckDB's
+    * DOUBLE cast accepts the same spellings case-insensitively).
+    */
+  val infShapeRe = """(?i)[+-]?inf(inity)?"""
 
   def cleanNumSql(raw: String): String =
     s"replace(replace(trim($raw), ',', ''), '%', '')"
@@ -22,6 +28,7 @@ object OracleSql {
   /** `Normalize.toNumber`: human-format cleanup, coerce-to-null. */
   def toNumberSql(raw: String): String =
     s"""CASE WHEN regexp_full_match(${cleanNumSql(raw)}, '$numberShapeRe')
+               OR regexp_full_match(${cleanNumSql(raw)}, '$infShapeRe')
                   THEN CAST(${cleanNumSql(raw)} AS DOUBLE)
              END"""
 
@@ -34,6 +41,7 @@ object OracleSql {
     */
   def bareNumberSql(raw: String): String =
     s"""CASE WHEN regexp_full_match(trim($raw), '$numberShapeRe')
+               OR regexp_full_match(trim($raw), '$infShapeRe')
                   THEN CAST(trim($raw) AS DOUBLE)
              END"""
 

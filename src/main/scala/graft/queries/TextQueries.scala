@@ -252,17 +252,31 @@ object TextQueries {
     * is exactly the shape a 100 TB pipeline uses: checkpoint the verified
     * pairs, feed every downstream consumer from the checkpoint.
     */
+  /** Guards the check-then-write in [[sharedTokenLshPairs]]: t06 and t09
+    * run in one JVM, so a JVM lock is sufficient to keep a concurrent
+    * first use from double-materializing the same path.
+    */
+  private val lshCacheLock = new Object
+
   private def sharedTokenLshPairs(s: SparkSession, d: String): DataFrame = {
+    // key the cache on a collision-free digest of the dataset path (an
+    // Int hashCode can collide across paths within one process) + pid
+    // (cross-process isolation)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshpairs_" +
-      s"${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val base = doubledCorpus(s, d)
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"),
-          Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
-        .write.mode("overwrite").parquet(path)
+      s"${digest}_${ProcessHandle.current().pid()}"
+    lshCacheLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val base = doubledCorpus(s, d)
+          .withColumn("_toks", TA.tokens(col("text")))
+          .select(col("doc_id"),
+            Portable.tokenShingles(col("_toks"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
+          .write.mode("overwrite").parquet(path)
+      }
     }
     s.read.parquet(path)
   }

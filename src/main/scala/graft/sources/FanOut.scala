@@ -110,7 +110,9 @@ object FanOut {
       val dest = new Path(s"$outDir/$key/$srcName.csv")
       fs.mkdirs(dest.getParent)
       if (fs.exists(dest)) fs.delete(dest, false)
-      fs.rename(new Path(parts.head), dest)
+      if (!fs.rename(new Path(parts.head), dest))
+        throw new java.io.IOException(
+          s"fan-out finalize: rename ${parts.head} -> $dest failed")
       dropCrcSidecar(fs, dest)
     }
     if (needConcat.nonEmpty) {
@@ -126,6 +128,11 @@ object FanOut {
 
   /** Task-side concat of one key's part files (header kept once, prefix
     * replayed). Runs on executors — keep driver state out of here.
+    *
+    * Retry-safe: each attempt writes to an attempt-unique hidden temp
+    * file and renames into place, so a retried or speculatively
+    * duplicated task never interleaves bytes with another attempt on the
+    * same destination stream — the last rename wins whole-file.
     */
   private def concatKey(
       conf: org.apache.hadoop.conf.Configuration,
@@ -138,7 +145,11 @@ object FanOut {
     val dest = new Path(s"$outDir/$key/$srcName.csv")
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest.getParent)
-    val out = fs.create(dest, true)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId().toString)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val tmp = new Path(dest.getParent, s".${dest.getName}.$attempt.tmp")
+    val out = fs.create(tmp, true)
     try {
       if (prefix.nonEmpty) out.write(prefix.getBytes(utf8))
       var wroteHeader = false
@@ -159,7 +170,18 @@ object FanOut {
         } finally in.close()
       }
     } finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      // a concurrent attempt may have committed between delete and
+      // rename — that attempt wrote identical content, so losing the
+      // race is fine; anything else is a real failure
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(
+          s"fan-out concat: rename $tmp -> $dest failed")
+    }
     dropCrcSidecar(fs, dest)
+    dropCrcSidecar(fs, tmp)
   }
 
   /** Delete the local-FS checksum sidecar (`.{name}.crc`) so the layout
