@@ -2,7 +2,10 @@ package graft.sources
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapred.{FileSplit, TextInputFormat}
+import org.apache.spark.rdd.HadoopRDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -17,21 +20,30 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Scale split: the *scan* touches only the head of each file (bounded
   * driver-side metadata pass over ≤ maxScanLines lines per file — the same
-  * role as schema inference); the *data read* is fully distributed:
-  * `spark.read.text` → per-file line index (zipWithIndex preserves file
-  * offset order) → drop the prefix → `from_csv` with the discovered
-  * all-string schema. Everything downstream is ordinary Spark.
+  * role as schema inference) and records the BYTE OFFSET where data
+  * starts; the *data read* is fully distributed and shuffle-free:
+  * `TextInputFormat` keys every line with its byte offset, so dropping
+  * the prefix+header is a per-split `offset >= dataStart` filter — no
+  * zipWithIndex pass, no extra job, and files sharing a schema read as
+  * ONE multi-path scan ([[readDir]]), so the plan grows with the number
+  * of distinct schemas, not the number of files.
   */
 object HeaderScan {
 
   val defaultKeyCol = "商店序號"
 
-  /** Result of scanning one file's head. */
+  /** Result of scanning one file's head.
+    *
+    * @param dataStart byte offset of the first data line (prefix + header
+    *                  bytes, including BOM and CR/LF — measured raw, so
+    *                  the offset matches `TextInputFormat`'s line keys)
+    */
   final case class HeaderInfo(
       path: String,
       prefixRows: Seq[String], // verbatim meta lines above the header
       columns: Seq[String], // trimmed header cells
-      skipLines: Int) // prefix + header line count
+      skipLines: Int, // prefix + header line count
+      dataStart: Long)
 
   /** Minimal CSV line splitter for the header scan (quoted cells with
     * embedded commas supported; the distributed data path uses Spark's
@@ -61,9 +73,15 @@ object HeaderScan {
   }
 
   /** Driver-side head scan: locate the header row (first row containing
-    * `keyCol`), collecting the meta rows above it. Returns None (with a
+    * `keyCol`), collecting the meta rows above it and counting the exact
+    * bytes consumed through the header line. Returns None (with a
     * warning) when the key column never appears in the first
     * `maxScanLines` lines — mirroring the reference's warn-and-skip.
+    *
+    * Reads raw bytes (newline-delimited) and decodes per line, so the
+    * byte count is exact for any ASCII-newline-compatible charset
+    * (latin-1, GBK, Big5, UTF-8, ...) — the same constraint Hadoop's
+    * line reader has.
     */
   def scanHeader(
       spark: SparkSession,
@@ -73,22 +91,36 @@ object HeaderScan {
       encoding: String = "UTF-8"): Option[HeaderInfo] = {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    val in = new java.io.BufferedInputStream(fs.open(p))
     try {
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.Charset.forName(encoding)))
+      val cs = java.nio.charset.Charset.forName(encoding)
       val prefix = ArrayBuffer.empty[String]
-      var line = reader.readLine()
-      // strip a UTF-8 BOM if present (utf-8-sig exports)
-      if (line != null && line.nonEmpty && line.charAt(0) == '﻿')
-        line = line.substring(1)
       var found: Option[HeaderInfo] = None
+      var pos = 0L // bytes consumed so far (incl. BOM + line terminators)
       var n = 0
-      while (line != null && found.isEmpty && n < maxScanLines) {
-        val cells = splitCsvLine(line).map(_.trim)
-        if (cells.contains(keyCol))
-          found = Some(HeaderInfo(file, prefix.toSeq, cells, prefix.length + 1))
-        else { prefix += line; n += 1; line = reader.readLine() }
+      var firstLine = true
+      var eof = false
+      while (!eof && found.isEmpty && n < maxScanLines) {
+        val buf = new java.io.ByteArrayOutputStream()
+        var b = in.read()
+        var consumed = 0L
+        while (b != -1 && b != '\n') { buf.write(b); consumed += 1; b = in.read() }
+        if (b == '\n') consumed += 1
+        if (b == -1 && buf.size() == 0) eof = true
+        else {
+          var line = new String(buf.toByteArray, cs)
+          if (line.endsWith("\r")) line = line.dropRight(1)
+          // strip a UTF-8 BOM if present (utf-8-sig exports); its bytes
+          // stay in `consumed`, keeping dataStart aligned with the file
+          if (firstLine && line.nonEmpty && line.charAt(0) == '﻿')
+            line = line.substring(1)
+          firstLine = false
+          pos += consumed
+          val cells = splitCsvLine(line).map(_.trim)
+          if (cells.contains(keyCol))
+            found = Some(HeaderInfo(file, prefix.toSeq, cells, prefix.length + 1, pos))
+          else { prefix += line; n += 1 }
+        }
       }
       if (found.isEmpty)
         System.err.println(s"[headerscan] WARN: key column '$keyCol' not found in $file — skipping")
@@ -96,35 +128,68 @@ object HeaderScan {
     } finally in.close()
   }
 
+  /** ONE distributed scan over same-schema files: every line keyed by
+    * its byte offset (TextInputFormat), lines before the file's
+    * `dataStart` dropped per split — shuffle-free, job-free until an
+    * action, and one scan node regardless of file count. Adds `_src`
+    * (source file name, README.md:54–58).
+    *
+    * All `infos` must share `columns` (the head's schema is used).
+    * Paths must not contain commas (TextInputFormat's path-list
+    * separator — same limit the reference's flat-dir layout has).
+    */
+  private def readGroup(
+      spark: SparkSession,
+      infos: Seq[HeaderInfo],
+      encoding: String): DataFrame = {
+    require(infos.nonEmpty)
+    val schema = StructType(infos.head.columns.map(c => StructField(c, StringType)))
+    val starts = infos.map(i => new Path(i.path).toUri.getPath -> i.dataStart).toMap
+    val bStarts = spark.sparkContext.broadcast(starts)
+    val enc = encoding
+    val rdd = spark.sparkContext
+      .hadoopFile[LongWritable, Text, TextInputFormat](infos.map(_.path).mkString(","))
+      .asInstanceOf[HadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit({ (split, it) =>
+        val fp = split.asInstanceOf[FileSplit].getPath
+        val start = bStarts.value(fp.toUri.getPath)
+        val fname = fp.getName
+        val cs = java.nio.charset.Charset.forName(enc)
+        // Text/LongWritable objects are reused by the record reader —
+        // materialize before the iterator advances
+        it.filter(_._1.get() >= start)
+          .map { case (_, t) => (new String(t.getBytes, 0, t.getLength, cs), fname) }
+      }, preservesPartitioning = true)
+    import spark.implicits._
+    rdd.toDF("_line", "_src")
+      .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"), col("_src"))
+      .select(col("r.*"), col("_src"))
+  }
+
   /** Distributed read of one header-scanned file: all-string schema from
-    * the discovered header, prefix + header lines dropped by per-file
-    * line index.
+    * the discovered header, prefix + header dropped by byte offset.
     *
     * Non-UTF-8 encodings (the reference's `--encoding` flag,
     * fan_out_by_storeid.py:57) decode each line's raw bytes with the
-    * given charset — valid for any ASCII-newline-compatible charset
-    * (latin-1, GBK, Big5, UTF-8, ...), which is also the constraint of
-    * Hadoop's line reader itself.
+    * given charset — valid for any ASCII-newline-compatible charset.
     */
-  def readFile(spark: SparkSession, info: HeaderInfo, encoding: String = "UTF-8"): DataFrame = {
-    val schema = StructType(info.columns.map(c => StructField(c, StringType)))
-    // zipWithIndex: partitions of a text read are ordered by file offset,
-    // so the index is the 0-based line number.
-    val rdd =
-      if (java.nio.charset.Charset.forName(encoding) == java.nio.charset.StandardCharsets.UTF_8)
-        spark.sparkContext.textFile(info.path)
-      else {
-        val enc = encoding
-        spark.sparkContext
-          .hadoopFile[org.apache.hadoop.io.LongWritable, org.apache.hadoop.io.Text,
-            org.apache.hadoop.mapred.TextInputFormat](info.path)
-          .map { case (_, t) => new String(t.getBytes, 0, t.getLength, enc) }
-      }
-    val lines = rdd.zipWithIndex().filter(_._2 >= info.skipLines).map(_._1)
-    import spark.implicits._
-    lines.toDF("_line")
-      .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"))
-      .select(col("r.*"))
+  def readFile(spark: SparkSession, info: HeaderInfo, encoding: String = "UTF-8"): DataFrame =
+    readGroup(spark, Seq(info), encoding).drop("_src")
+
+  /** Scan every `*.csv` in a flat directory (bounded driver-side head
+    * reads), skipping files without the key column.
+    */
+  def scanDir(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String = defaultKeyCol,
+      encoding: String = "UTF-8"): Seq[HeaderInfo] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.toLowerCase.endsWith(".csv"))
+      .sortBy(_.getName).toSeq
+      .flatMap(f => scanHeader(spark, f.toString, keyCol, encoding = encoding))
   }
 
   /** Scan + read every `*.csv` in a directory, one DataFrame per readable
@@ -136,30 +201,27 @@ object HeaderScan {
       spark: SparkSession,
       dir: String,
       keyCol: String = defaultKeyCol,
-      encoding: String = "UTF-8"): Seq[(HeaderInfo, DataFrame)] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.toLowerCase.endsWith(".csv"))
-      .sortBy(_.getName)
-    files.toSeq.flatMap { f =>
-      scanHeader(spark, f.toString, keyCol, encoding = encoding).map { info =>
-        info -> readFile(spark, info, encoding).withColumn("_src", lit(f.getName))
-      }
-    }
-  }
+      encoding: String = "UTF-8"): Seq[(HeaderInfo, DataFrame)] =
+    scanDir(spark, dir, keyCol, encoding)
+      .map(info => info -> readGroup(spark, Seq(info), encoding))
 
-  /** Scan + read + union a directory (missing columns null-filled). For
-    * alias-divergent schemas, prefer [[readDirFrames]] + per-file
-    * resolution.
+  /** Scan + read + union a directory (missing columns null-filled).
+    *
+    * Files are GROUPED by their discovered header: each distinct column
+    * list becomes one multi-path scan, so at 10k+ files the plan holds a
+    * handful of scan nodes instead of 10k unioned single-file reads.
+    * For alias-divergent schemas that must be resolved per file before
+    * unioning, use [[readDirFrames]].
     */
   def readDir(
       spark: SparkSession,
       dir: String,
       keyCol: String = defaultKeyCol,
       encoding: String = "UTF-8"): DataFrame = {
-    val parts = readDirFrames(spark, dir, keyCol, encoding).map(_._2)
-    require(parts.nonEmpty, s"no readable CSVs with key column '$keyCol' in $dir")
-    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val infos = scanDir(spark, dir, keyCol, encoding)
+    require(infos.nonEmpty, s"no readable CSVs with key column '$keyCol' in $dir")
+    infos.groupBy(_.columns).values.toSeq
+      .map(g => readGroup(spark, g, encoding))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.HeaderScan
+
+/** Byte-offset header-scan ingestion: dataStart accuracy under BOM and
+  * CRLF line endings, and the grouped multi-path readDir (one scan per
+  * distinct schema — the 10k-file scale path).
+  */
+class HeaderScanSpec extends SparkSpec {
+
+  private def tmpDir(tag: String) = Files.createTempDirectory(s"hs_$tag")
+
+  test("dataStart is byte-exact under UTF-8 BOM and CRLF endings") {
+    val dir = tmpDir("offsets")
+    // BOM + CRLF everywhere + multi-byte meta content
+    val content = "﻿Report 報表,x\r\nstore,金額\r\ns1,10\r\ns2,20\r\n"
+    Files.write(dir.resolve("crlf.csv"),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val info = HeaderScan.scanHeader(spark, dir.resolve("crlf.csv").toString,
+      keyCol = "store").get
+    assert(info.prefixRows == Seq("Report 報表,x"))
+    assert(info.columns == Seq("store", "金額"))
+    // BOM(3) + "Report 報表,x"(9 + 3*2 ascii→ 報表 is 2 CJK chars × 3 bytes)
+    // — assert against the authoritative computation, not hand arithmetic
+    val headBytes = ("﻿Report 報表,x\r\nstore,金額\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    assert(info.dataStart == headBytes)
+    val rows = HeaderScan.readFile(spark, info).orderBy("store").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s1", "10"), ("s2", "20")))
+  }
+
+  test("readDir groups same-schema files into one scan, unions the rest") {
+    val dir = tmpDir("grouped")
+    // two files share schema (a) with DIFFERENT prefix depths; one file
+    // has schema (b); one decoy has no key column
+    Files.writeString(dir.resolve("a1.csv"), "meta\nstore,v\ns1,1\ns2,2\n")
+    Files.writeString(dir.resolve("a2.csv"), "m1\nm2,x\nstore,v\ns3,3\n")
+    Files.writeString(dir.resolve("b.csv"), "store,w\ns4,4\n")
+    Files.writeString(dir.resolve("decoy.csv"), "p,q\n1,2\n")
+
+    val infos = HeaderScan.scanDir(spark, dir.toString, keyCol = "store")
+    assert(infos.map(_.path.split('/').last) == Seq("a1.csv", "a2.csv", "b.csv"))
+    assert(infos.map(_.dataStart).forall(_ > 0))
+
+    val df = HeaderScan.readDir(spark, dir.toString, keyCol = "store")
+    // plan size ∝ distinct schemas: 2 groups → exactly 2 leaf scans
+    assert(df.queryExecution.optimizedPlan.collectLeaves().length == 2)
+    val rows = df.orderBy("store")
+      .select("store", "v", "w", "_src").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("s1", "1", null, "a1.csv"),
+      ("s2", "2", null, "a1.csv"),
+      ("s3", "3", null, "a2.csv"),
+      ("s4", null, "4", "b.csv")))
+  }
+
+  test("grouped read keeps per-file dataStart (different prefix depths)") {
+    val dir = tmpDir("depths")
+    Files.writeString(dir.resolve("p0.csv"), "store,v\nx1,1\n")
+    Files.writeString(dir.resolve("p3.csv"), "m\nm\nm\nstore,v\nx2,2\n")
+    val df = HeaderScan.readDir(spark, dir.toString, keyCol = "store")
+    val got = df.select("store", "v").orderBy("store").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("x1", "1"), ("x2", "2")))
+  }
+}

@@ -23,6 +23,13 @@ class NormalizeSpec extends SparkSpec {
     assert(one(Normalize.toNumber(lit("12%5"))) == 125.0)
     for (raw <- Seq("nan", "None", "", "abc", "1-2"))
       assert(one(Normalize.toNumber(lit(raw))) == null, raw)
+    // pandas' parser accepts infinity tokens (precise_xstrtod) and
+    // fillna(0) does NOT fill inf — must parse, not null out
+    for (raw <- Seq("inf", "Infinity", "+INF", " inf "))
+      assert(one(Normalize.toNumber(lit(raw))) == Double.PositiveInfinity, raw)
+    assert(one(Normalize.toNumber(lit("-inf"))) == Double.NegativeInfinity)
+    assert(one(Normalize.bareNumber(lit("-Infinity"))) == Double.NegativeInfinity)
+    assert(one(Normalize.bareNumber(lit("infinite"))) == null) // not a token
   }
 
   test("parseMonth: heterogeneous formats → 1..12 or null") {
@@ -114,6 +121,19 @@ class NormalizeSpec extends SparkSpec {
     assert(out24.getString(3) == "50.00%")   // (15-10)/10
     val out23 = Kpi.config23_1(binds, cum, mem).collect()(0)
     assert(out23.getDouble(1) == 10.0)       // n/a month dropped
+  }
+
+  test("Kpi 24-1 compares RAW year strings; 23-1 trims them") {
+    val binds = Seq(
+      ("1", "2025", "01", "10"),
+      ("1", " 2025", "02", "5"))  // padded year
+      .toDF("商店序號", "年度", "月份", "總綁定")
+    val cum = Seq(("1", "0")).toDF("商店序號", "累計至今推薦人綁定人數")
+    val mem = Seq(("1", "1")).toDF("商店序號", "總會員數")
+    // 24-1: raw compare (aggregate_by_store.py:347–348) → padded row excluded
+    assert(Kpi.config24_1(binds, cum, mem).collect()(0).getDouble(2) == 10.0)
+    // 23-1: trimmed compare (normBinds leniency) → padded row counted
+    assert(Kpi.config23_1(binds, cum, mem).collect()(0).getDouble(1) == 15.0)
   }
 
   test("Kpi generic: raw month-string membership + bare coercion") {
