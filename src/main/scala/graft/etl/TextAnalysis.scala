@@ -125,4 +125,43 @@ object TextAnalysis {
   /** Whole-document content fingerprint (md5 of normalized text). */
   def md5Fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  // ---- PII scrubbing (training-data curation) -------------------------
+  //
+  // Patterns are written in the Java ∩ RE2 regex dialect so the Spark
+  // expression and the DuckDB oracle compile the SAME automaton: no
+  // backreferences, no lookaround, ASCII word boundaries only.
+
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count PII occurrences of one pattern (pre-redaction signal). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redact emails → [EMAIL], IPv4s → [IP], dash phones → [PHONE].
+    * Replacement order is fixed (email, ip, phone) and the patterns are
+    * mutually non-overlapping (an IPv4 group can't span a phone's
+    * dashes), so the rewrite is confluent — same result in any engine.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
+
+  // ---- repetition scoring (Gopher-style quality gate) -----------------
+
+  /** Non-distinct token bigrams ("a_b") — the repetition signal needs
+    * multiplicity, unlike the LSH shingles (which dedup). Inputs with
+    * fewer than 2 tokens yield an empty array.
+    */
+  def tokenBigrams(toks: Column): Column = Portable.once(toks) { ts =>
+    when(size(ts) >= 2,
+      zip_with(slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+  }
 }

@@ -449,5 +449,86 @@ object TextQueries {
       FROM gated g JOIN keep USING (fp, doc_id)
       """))
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // ---- t11: PII redaction --------------------------------------------
+  //
+  // The corpus is synthetic word-salad, so PII is OVERLAID
+  // deterministically by doc_id (the same fixture pattern q31 uses for
+  // violations): ~1/5 of docs get an email, ~1/7 a phone, ~1/11 an IP.
+  // The operator under test is TextAnalysis.redactPii + piiCount — pure
+  // regexp column expressions, one corpus pass, no shuffle at all.
+
+  private val t11 = Q(
+    "t11_pii_redact",
+    (s, d) => {
+      val injected = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" contact alice.smith@example.com now")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(" call 555-123-4567")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit(" host 192.168.1.99 up")).otherwise(lit(""))).as("text"))
+      injected.select(col("doc_id"),
+        TA.piiCount(col("text"), TA.emailRe).as("n_emails"),
+        TA.piiCount(col("text"), TA.phoneRe).as("n_phones"),
+        TA.piiCount(col("text"), TA.ipv4Re).as("n_ips"),
+        TA.redactPii(col("text")).as("redacted"))
+    },
+    Some(s"""
+      WITH injected AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 5 = 0 THEN ' contact alice.smith@example.com now' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' host 192.168.1.99 up' ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '${TA.emailRe}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '${TA.phoneRe}')) AS BIGINT) AS n_phones,
+             CAST(len(regexp_extract_all(text, '${TA.ipv4Re}')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '${TA.emailRe}', '[EMAIL]', 'g'),
+               '${TA.ipv4Re}', '[IP]', 'g'),
+               '${TA.phoneRe}', '[PHONE]', 'g') AS redacted
+      FROM injected
+    """))
+
+  // ---- t12: repetition scoring (Gopher-style quality gate) -----------
+  //
+  // max-bigram-frequency / total-bigrams per doc — the signal that
+  // catches boilerplate/looping text. Multiplicity matters, so this
+  // explodes NON-distinct bigrams: one (doc_id, gram) count shuffle +
+  // one doc_id agg, both with map-side partial aggregation — the shape
+  // that survives 100 TB.
+
+  private val t12 = Q(
+    "t12_repetition_score",
+    (s, d) => {
+      val bg = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .filter(size(col("_toks")) >= 2)
+        .select(col("doc_id"), explode(TA.tokenBigrams(col("_toks"))).as("g"))
+      bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(max(col("n")).cast("double") / sum(col("n")), 6).as("rep_ratio"),
+          sum(col("n")).as("n_bigrams"),
+          max(col("n")).as("max_bigram"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || '_' || toks[i+1])) AS g
+             FROM t WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2)
+      SELECT doc_id,
+             round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS rep_ratio,
+             CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(max(n) AS BIGINT) AS max_bigram
+      FROM c GROUP BY 1
+    """))
+
+  def all: Seq[Q] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }
