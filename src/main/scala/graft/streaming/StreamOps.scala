@@ -82,6 +82,26 @@ object StreamOps {
       .drop("_sess")
   }
 
+  /** Exact-dedup on a content fingerprint, batch form: keep the first
+    * (lowest doc_id) row per fingerprint — one shuffle with map-side
+    * partial min.
+    */
+  def dedupExactBatch(docs: DataFrame): DataFrame =
+    docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** Exact-dedup on a content fingerprint, streaming form: emit the
+    * first arrival of each fingerprint, drop later duplicates.
+    * `dropDuplicatesWithinWatermark` bounds the fingerprint state by the
+    * event-time watermark — O(distinct fps within the watermark window),
+    * not O(stream) — which is the only dedup state contract that
+    * survives an unbounded 100 TB/day stream; duplicates farther apart
+    * than the delay belong to the batch LSH/exact pipeline, not the
+    * stream.
+    */
+  def dedupExactStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming sessionization via flatMapGroupsWithState with event-time
     * timeout: one open session per user in the state store; a session is
     * emitted when a later event arrives past the gap or when the

@@ -138,6 +138,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupExactStream keeps the first arrival per fingerprint (≡ batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    // (doc_id, fp, ts): fp A duplicated across batches within the
+    // watermark, fp B duplicated inside one batch, fp C unique
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDS().toDF("doc_id", "fp", "us")
+      .select(col("doc_id"), col("fp"), timestamp_micros(col("us")).as("ts"))
+    val ckpt = Files.createTempDirectory("ckpt5").toString
+    val q = StreamOps.dedupExactStream(docs, watermarkDelay = "10 minutes")
+      .writeStream
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "A", base), (2L, "B", base + MIN), (3L, "B", base + 2 * MIN))
+      q.processAllAvailable()
+      input.addData((4L, "A", base + 3 * MIN), (5L, "C", base + 4 * MIN))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+      // first arrival per fp = lowest doc_id here (fed in id order) —
+      // exactly the batch twin's min(doc_id) per fp
+      val batch = StreamOps.dedupExactBatch(
+        Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "A"), (5L, "C"))
+          .toDF("doc_id", "fp"))
+        .select("doc_id", "fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+      assert(streamed.toSeq == Seq((1L, "A"), (2L, "B"), (5L, "C")))
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("windowedTypeStats: streaming result equals the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000L * US
