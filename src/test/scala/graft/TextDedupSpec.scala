@@ -132,6 +132,26 @@ class TextDedupSpec extends SparkSpec {
     assert(bot2.map(_.getString(1)).toSeq == Seq("d", "a", "x"))
   }
 
+  test("redactPii scrubs emails, dash phones, IPv4s; counts pre-redaction") {
+    val s = "mail a.b_c%x@ex-1.co.uk or 555-123-4567 at 10.0.0.1 end"
+    assert(one(T.redactPii(lit(s))) ==
+      "mail [EMAIL] or [PHONE] at [IP] end")
+    assert(one(T.piiCount(lit(s), T.emailRe)) == 1L)
+    assert(one(T.piiCount(lit(s), T.phoneRe)) == 1L)
+    assert(one(T.piiCount(lit(s), T.ipv4Re)) == 1L)
+    // non-matches stay put: spaced phone, 5-group dotted number's tail
+    assert(one(T.redactPii(lit("call 555 123 4567"))) == "call 555 123 4567")
+    // word boundaries: digits glued to letters aren't an IP
+    assert(one(T.piiCount(lit("v1.2.3.4x"), T.ipv4Re)) == 0L)
+  }
+
+  test("tokenBigrams keeps multiplicity and order") {
+    assert(one(T.tokenBigrams(T.tokens(lit("a b a b")))) ==
+      Seq("a_b", "b_a", "a_b"))
+    assert(one(T.tokenBigrams(T.tokens(lit("solo")))) == Seq())
+    assert(one(T.tokenBigrams(T.tokens(lit("")))) == Seq())
+  }
+
   test("MediaDecode: stub decode is deterministic byte stats") {
     val bytes = Array.tabulate(64)(i => i.toByte)
     val f = MediaDecode.decodeStub(bytes)
