@@ -38,6 +38,14 @@ object KpiQueries {
     when(k % 3 === 0, concat(lit(" "), id.cast("string"), lit(" ")))
       .otherwise(id.cast("string"))
 
+  /** ~1/13 of year strings get a leading space: invisible to the
+    * trimmed-year configs (23-x, 24-2), EXCLUDED by 24-1's raw string
+    * compare — so the oracle actually exercises that contract.
+    */
+  private def messyYear(y: Column, k: Column): Column =
+    when(k % 13 === 0, concat(lit(" "), y.cast("string")))
+      .otherwise(y.cast("string"))
+
   /** A2 區間綁定推薦人人數 from orders. */
   private def fabBinds(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.orders(s, d)
@@ -45,7 +53,7 @@ object KpiQueries {
       .withColumn("_mv", pmod(col("o_orderkey"), lit(5000)))
       .select(
         messyStore(pmod(col("o_custkey"), lit(100)), col("o_orderkey")).as("商店序號"),
-        year(col("o_orderdate")).cast("string").as("年度"),
+        messyYear(year(col("o_orderdate")), col("o_orderkey")).as("年度"),
         messyMonth(col("o_orderdate"), col("o_orderkey")).as("月份"),
         messyNum(col("_mv"), col("o_orderkey")).as("總綁定"))
 
@@ -133,9 +141,12 @@ object KpiQueries {
   private def pctSql(num: String, den: String): String =
     s"CASE WHEN ($den) IS NULL OR ($den) = 0 THEN '' ELSE printf('%.2f%%', round(($num) / ($den) * 100, 2) + 0.0) END"
 
+  private def messyYearSql(y: String, k: String): String =
+    s"CASE ($k) % 13 WHEN 0 THEN ' ' || CAST($y AS VARCHAR) ELSE CAST($y AS VARCHAR) END"
+
   private val bindsSql =
     s"""SELECT ${messyStoreSql("o_custkey % 100", "o_orderkey")} AS s,
-               CAST(year(o_orderdate) AS VARCHAR) AS y,
+               ${messyYearSql("year(o_orderdate)", "o_orderkey")} AS y,
                ${messyMonthSql("o_orderdate", "o_orderkey")} AS mo_raw,
                ${messyNumSql("o_orderkey % 5000", "o_orderkey")} AS v_raw
         FROM orders"""

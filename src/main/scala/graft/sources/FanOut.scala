@@ -170,6 +170,14 @@ object FanOut {
         } finally in.close()
       }
     } finally out.close()
+    // sweep orphaned temp files from earlier crashed attempts (a retry
+    // gets a new attempt id, so a dead attempt's tmp would otherwise
+    // linger in the final layout forever); a live speculative twin whose
+    // tmp we delete simply loses the rename race below, which the race
+    // handling already tolerates
+    fs.globStatus(new Path(dest.getParent, s".${dest.getName}.*.tmp"))
+      .filter(_.getPath.getName != tmp.getName) // names are attempt-unique
+      .foreach(s => fs.delete(s.getPath, false))
     if (fs.exists(dest)) fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       // a concurrent attempt may have committed between delete and

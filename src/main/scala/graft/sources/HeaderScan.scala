@@ -104,12 +104,17 @@ object HeaderScan {
         val buf = new java.io.ByteArrayOutputStream()
         var b = in.read()
         var consumed = 0L
-        while (b != -1 && b != '\n') { buf.write(b); consumed += 1; b = in.read() }
-        if (b == '\n') consumed += 1
+        // line terminators exactly as Hadoop's LineRecordReader (and the
+        // old BufferedReader.readLine) see them: \n, \r\n, or lone \r
+        while (b != -1 && b != '\n' && b != '\r') { buf.write(b); consumed += 1; b = in.read() }
+        if (b == '\r') {
+          consumed += 1
+          in.mark(1)
+          if (in.read() == '\n') consumed += 1 else in.reset()
+        } else if (b == '\n') consumed += 1
         if (b == -1 && buf.size() == 0) eof = true
         else {
           var line = new String(buf.toByteArray, cs)
-          if (line.endsWith("\r")) line = line.dropRight(1)
           // strip a UTF-8 BOM if present (utf-8-sig exports); its bytes
           // stay in `consumed`, keeping dataStart aligned with the file
           if (firstLine && line.nonEmpty && line.charAt(0) == '﻿')
@@ -144,7 +149,13 @@ object HeaderScan {
       encoding: String): DataFrame = {
     require(infos.nonEmpty)
     val schema = StructType(infos.head.columns.map(c => StructField(c, StringType)))
-    val starts = infos.map(i => new Path(i.path).toUri.getPath -> i.dataStart).toMap
+    // qualify before keying: a relative caller path must land on the same
+    // key as the fully-qualified FileSplit path the executors see
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val starts = infos.map { i =>
+      val p = new Path(i.path)
+      p.getFileSystem(hconf).makeQualified(p).toUri.getPath -> i.dataStart
+    }.toMap
     val bStarts = spark.sparkContext.broadcast(starts)
     val enc = encoding
     val rdd = spark.sparkContext
@@ -220,7 +231,9 @@ object HeaderScan {
       encoding: String = "UTF-8"): DataFrame = {
     val infos = scanDir(spark, dir, keyCol, encoding)
     require(infos.nonEmpty, s"no readable CSVs with key column '$keyCol' in $dir")
-    infos.groupBy(_.columns).values.toSeq
+    // deterministic union order: groups sorted by their first file, so
+    // the output column order doesn't depend on hash-map iteration
+    infos.groupBy(_.columns).values.toSeq.sortBy(_.head.path)
       .map(g => readGroup(spark, g, encoding))
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }

@@ -34,6 +34,29 @@ class HeaderScanSpec extends SparkSpec {
       Seq(("s1", "10"), ("s2", "20")))
   }
 
+  test("CR-only line endings terminate lines like Hadoop's reader does") {
+    val dir = tmpDir("cr")
+    Files.write(dir.resolve("mac.csv"),
+      "meta,x\rstore,v\rs1,1\rs2,2\r"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val info = HeaderScan.scanHeader(spark, dir.resolve("mac.csv").toString,
+      keyCol = "store").get
+    assert(info.prefixRows == Seq("meta,x") && info.columns == Seq("store", "v"))
+    assert(info.dataStart == "meta,x\rstore,v\r".getBytes.length)
+    val rows = HeaderScan.readFile(spark, info).orderBy("store").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s1", "1"), ("s2", "2")))
+  }
+
+  test("relative input path reads correctly (qualified offset keys)") {
+    val dir = tmpDir("rel")
+    Files.writeString(dir.resolve("r.csv"), "store,v\na,1\n")
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val rel = cwd.relativize(dir.resolve("r.csv")).toString
+    val info = HeaderScan.scanHeader(spark, rel, keyCol = "store").get
+    assert(HeaderScan.readFile(spark, info).count() == 1)
+  }
+
   test("readDir groups same-schema files into one scan, unions the rest") {
     val dir = tmpDir("grouped")
     // two files share schema (a) with DIFFERENT prefix depths; one file
