@@ -529,6 +529,78 @@ object TextQueries {
       FROM c GROUP BY 1
     """))
 
+  // ---- t13: benchmark decontamination --------------------------------
+  //
+  // The overlap check every training corpus runs before a model sees it:
+  // flag corpus docs sharing ≥1 token 4-gram with a held-out benchmark
+  // set (here: every doc_id ≡ 0 mod 50 plays the benchmark). Scale
+  // shape: the benchmark side is SMALL by definition, so its distinct
+  // shingles broadcast and the corpus-side probe is a map-local
+  // broadcast join — the 100 TB corpus is never shuffled; only the
+  // matched (doc, gram) pairs reach the final doc_id agg. (A bloom
+  // filter over benchmark grams is the same plan with a lossy broadcast;
+  // the exact broadcast is strictly better at benchmark sizes.)
+
+  private val t13 = Q(
+    "t13_decontaminate",
+    (s, d) => {
+      val grams = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .filter(size(col("_toks")) >= 4)
+        .select(col("doc_id"),
+          explode(Portable.tokenShingles(col("_toks"), 4)).as("g"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_grams"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> toks[i]||'_'||toks[i+1]||'_'||toks[i+2]||'_'||toks[i+3]))) AS g
+            FROM t WHERE len(toks) >= 4),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+      SELECT doc_id, count(DISTINCT g.g) AS n_shared_grams
+      FROM g JOIN bench ON bench.g = g.g
+      WHERE doc_id % 50 <> 0
+      GROUP BY 1
+    """))
+
+  // ---- t14: quality-weighted corpus sampling -------------------------
+  //
+  // Deterministic accept/reject sampling with p(keep) = quality score:
+  // the data-mixing primitive (upsample clean text, downsample junk)
+  // phrased so every engine draws the SAME sample — the "random" draw is
+  // the portable md5-derived hash60 of doc_id, scaled to [0,1). No
+  // shuffle at all: scan → project → filter.
+
+  private val t14 = Q(
+    "t14_weighted_sample",
+    (s, d) => {
+      // no rounding on u: every op (md5-derived int, IEEE cast, division
+      // by a power of two) is bit-identical across engines, and rounding
+      // would only ADD a tie-rule dependency
+      val u = Portable.hash60(col("doc_id").cast("string"), 11)
+        .cast("double") / lit((1L << 60).toDouble)
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("u", u)
+        .filter(col("u") < col("quality"))
+        .select(col("doc_id"), col("quality"), col("u"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, ${OracleSql.qualityColsSql} FROM t),
+      q AS (SELECT doc_id, ${OracleSql.qualityExprSql} AS quality,
+                   CAST(${hSql("CAST(doc_id AS VARCHAR)", 11)} AS DOUBLE)
+                     / ${(1L << 60).toDouble} AS u
+            FROM m)
+      SELECT doc_id, quality, u FROM q WHERE u < quality
+    """))
+
   def all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
