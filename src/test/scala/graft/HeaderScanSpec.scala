@@ -83,6 +83,32 @@ class HeaderScanSpec extends SparkSpec {
       ("s4", null, "4", "b.csv")))
   }
 
+  test("property: random endings × BOM × prefix depth round-trip exactly") {
+    val rng = new scala.util.Random(42)
+    val dir = tmpDir("prop")
+    val expected = scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+    (0 until 8).foreach { i =>
+      val ending = Seq("\n", "\r\n", "\r")(rng.nextInt(3))
+      val bom = if (rng.nextBoolean()) "﻿" else ""
+      val nPrefix = rng.nextInt(4)
+      val rows = (0 until 1 + rng.nextInt(5))
+        .map(r => (s"k${i}_$r", rng.nextInt(1000).toString))
+      val content = bom +
+        ((0 until nPrefix).map(p => s"meta$p,junk 標題") ++
+          Seq("store,v") ++ rows.map { case (k, v) => s"$k,$v" })
+          .mkString("", ending, ending)
+      val name = s"f$i.csv"
+      java.nio.file.Files.write(dir.resolve(name),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      expected(name) = rows
+    }
+    val df = HeaderScan.readDir(spark, dir.toString, keyCol = "store")
+    val got = df.select("store", "v", "_src").collect()
+      .map(r => (r.getString(2), (r.getString(0), r.getString(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    assert(got == expected.view.mapValues(_.sortBy(_._1)).toMap)
+  }
+
   test("grouped read keeps per-file dataStart (different prefix depths)") {
     val dir = tmpDir("depths")
     Files.writeString(dir.resolve("p0.csv"), "store,v\nx1,1\n")
