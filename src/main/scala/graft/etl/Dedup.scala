@@ -107,6 +107,14 @@ object Dedup {
       labels = stepped.drop("_chg")
       i += 1
     }
+    // a silent partial fixpoint would return non-minimal reps that LOOK
+    // valid (and diverge from any exact transitive-closure oracle) —
+    // refuse instead; chains longer than maxIter hops need a bigger
+    // budget, and each round is cheap (one join over the edge set)
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIter rounds — " +
+          "a near-dup chain exceeds the iteration budget; raise maxIter")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 

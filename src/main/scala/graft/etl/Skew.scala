@@ -20,9 +20,14 @@ object Skew {
     * "left" join types (each big row meets exactly one replica of each
     * matching small row).
     *
-    * The salt is `xxhash64` of the big side's full row, so same-key rows
-    * spread deterministically (no `rand()` — keeps retries/speculative
-    * tasks consistent).
+    * The salt mixes `xxhash64` of the big side's full row with the
+    * source partition id: the row hash alone spreads distinct rows
+    * deterministically, and the partition id spreads BYTE-IDENTICAL
+    * duplicate rows (a classic hot-key shape — duplicated log/export
+    * lines would otherwise all hash to one salt and re-concentrate).
+    * Both inputs are deterministic for a given task's input split, so
+    * retries/speculative attempts stay consistent (no `rand()`), and the
+    * salt only routes rows — the join RESULT is partition-agnostic.
     */
   def saltedJoin(
       big: DataFrame,
@@ -36,7 +41,8 @@ object Skew {
     val spark = big.sparkSession
     import spark.implicits._
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.map(col) :+ spark_partition_id(): _*),
+        lit(salts)).cast("int"))
     val replicated = small.crossJoin(
       broadcast((0 until salts).toDF("_salt")))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

@@ -23,11 +23,16 @@ object PipelineQueries {
   /** Temp layout path scoped by dataset AND process: a stale `{key}`
     * dir from a previous run over a different dataset would otherwise
     * survive into the read glob, and concurrent Bench/Verify processes
-    * would clobber each other's staging dirs.
+    * would clobber each other's staging dirs. MD5 of the dataset path
+    * (not Int hashCode — collidable) keys the dataset dimension.
     */
-  private def tmp(name: String, sfDir: String): String =
+  private def tmp(name: String, sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
-      s"${math.abs(sfDir.hashCode)}_${ProcessHandle.current().pid()}"
+      s"${digest}_${ProcessHandle.current().pid()}"
+  }
 
   private def deleteRecursively(path: String): Unit = {
     val f = new java.io.File(path)
@@ -41,12 +46,30 @@ object PipelineQueries {
 
   // ---- q15: fan-out write → exact {key}/{src}.csv layout → read back --
 
+  /** Guards the check-then-write below — q15/q17/q31 may race on first
+    * materialization within one JVM.
+    */
+  private val fanOutLock = new Object
+
+  /** The events fan-out layout, materialized ONCE per (dataset, process)
+    * and read back by q15 (round-trip), q17 (verify summary) and q31
+    * (violation samples) — the write+finalize pipeline is the most
+    * expensive filesystem work in the suite and its output is identical
+    * for all three consumers (same checkpoint-the-expensive-intermediate
+    * shape as the shared LSH pair table).
+    */
   private def fanOutEvents(s: SparkSession, d: String): DataFrame = {
     val out = tmp("fanout_events", d)
-    deleteRecursively(out)
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-    FanOut.write(ev, "event_type", out, "events")
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    fanOutLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        FanOut.write(ev, "event_type", out, "events")
+        marker.createNewFile()
+      }
+    }
     FanOut.read(s, out, "events", "event_type")
   }
 

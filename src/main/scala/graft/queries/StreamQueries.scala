@@ -138,16 +138,22 @@ object StreamQueries {
     "q29_rolling_window",
     (s, d) => {
       val hourUs = 3600L * 1000000L
-      val byUser = org.apache.spark.sql.expressions.Window
+      val byUserRange = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts_us"))
-      val trailing = byUser.rangeBetween(-hourUs, 0)
+      val trailing = byUserRange.rangeBetween(-hourUs, 0)
+      // lag needs a TOTAL order: same-microsecond events would pair
+      // (event → gap) nondeterministically (and differently per engine)
+      // without the event_id tie-break; the RANGE window is tie-safe
+      // (peers are included) so only the lag window pins it
+      val byUserTotal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(trailing).as("n_1h"),
           round(sum(col("value")).over(trailing), 4).as("sum_1h"),
-          (col("ts_us") - lag(col("ts_us"), 1).over(byUser)).as("gap_us"))
+          (col("ts_us") - lag(col("ts_us"), 1).over(byUserTotal)).as("gap_us"))
     },
     Some("""
       SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -158,7 +164,7 @@ object StreamQueries {
       WINDOW
         w_range AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
-        w_order AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        w_order AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     """))
 
   def all: Seq[Q] = Seq(q23, q24, q25, q28, q29)

@@ -30,7 +30,10 @@ object CsvGen {
   private def cell(r: Random, tpe: String): String = tpe match {
     case "string" => r.alphanumeric.take(3 + r.nextInt(8)).mkString
     case "int" => (r.nextInt(100000) - 50000).toString
-    case "float" => f"${r.nextDouble() * 1000 - 500}%.3f"
+    case "float" => // Locale.ROOT: a comma-decimal default locale would
+      // break the CSV's column structure with an unquoted ','
+      String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(r.nextDouble() * 1000 - 500))
     case "date" => // 2018-01-01 .. 2024-12-31 like csv_gen.py:24–28
       java.time.LocalDate.of(2018, 1, 1).plusDays(r.nextInt(2556).toLong).toString
     case "bool" => if (r.nextBoolean()) "true" else "false"

@@ -243,6 +243,9 @@ object FanOut {
         // (never raw in a URI) by pre-escaping it
         url_decode(regexp_replace(col("_dir_key"), "\\+", "%2B")).as("_dir_key"))
       .select(col("r.*") +: Seq(col("_dir_key")): _*)
-      .filter(col(keyCol) =!= keyCol) // drop each file's header line
+      // null-SAFE header drop: a ragged data row null-fills the key cell,
+      // and `null =!= header` is null (row silently dropped) — but that
+      // row is exactly a content violation the verifier must see
+      .filter(coalesce(col(keyCol), lit("")) =!= keyCol)
   }
 }

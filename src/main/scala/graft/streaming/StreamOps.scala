@@ -102,11 +102,24 @@ object StreamOps {
     docs.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** All of one user's not-yet-watermark-closed sessions (public: Spark's
+    * codegen instantiates encoder projections for it).
+    */
+  final case class SessionBuf(items: List[OpenSession])
+
   /** Streaming sessionization via flatMapGroupsWithState with event-time
-    * timeout: one open session per user in the state store; a session is
-    * emitted when a later event arrives past the gap or when the
-    * watermark passes session_end + gap. Same rows as
-    * [[sessionizeBatch]] for every session the watermark has closed.
+    * timeout. Row-identical to [[sessionizeBatch]] for every session the
+    * watermark has closed — which requires emitting ONLY on the
+    * watermark, never on a later-event gap: a session gap-closed by a
+    * later event in the same batch may still be extended or split by a
+    * late-but-within-watermark event in a LATER batch (when the gap is
+    * shorter than the watermark delay), so gap-closed sessions stay in
+    * state until `end + gap` falls behind the watermark. Emission rule ⇒
+    * parity: an emitted session has `end + gap < watermark ≤ any future
+    * event's ts`, so no admissible event can ever merge into it.
+    *
+    * State is O(sessions inside the watermark window) per user — bounded
+    * by `watermarkDelay / gap` sessions, each O(1).
     */
   def sessionizeStream(
       spark: SparkSession,
@@ -126,52 +139,36 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .as[EvT]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, rows, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(close(uid, _)).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            // micro-batch rows are unordered, and a late-but-within-
-            // watermark row may precede the open session's start — gap-
-            // merge the open-session atom together with the sorted batch
-            // rows, exactly as the batch twin's global sort would: a late
-            // row within the gap extends the session backward; one more
-            // than the gap earlier becomes its own (emitted) session
-            // rather than being wrongly merged
-            val items =
-              (state.getOption.toSeq ++
-                rows.map(r => OpenSession(r.ts_us, r.ts_us, 1, r.value)).toSeq)
-                .sortBy(s => (s.start, s.end))
-            var open: Option[OpenSession] = None
-            val closed = Seq.newBuilder[Session]
-            items.foreach { it =>
-              open match {
-                case Some(s) if it.start - s.end > gapUs =>
-                  closed += close(uid, s)
-                  open = Some(it)
-                case Some(s) =>
-                  open = Some(OpenSession(s.start,
-                    math.max(s.end, it.end), s.n + it.n, s.sum + it.sum))
-                case None =>
-                  open = Some(it)
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // a late-but-within-watermark event can put end+gap behind
-              // the current watermark (when gap < watermark delay);
-              // setTimeoutTimestamp rejects past timestamps, so clamp —
-              // the session then times out on the next trigger, which is
-              // exactly when it should
-              state.setTimeoutTimestamp(
-                math.max((s.end + gapUs) / 1000L + 1,
-                  state.getCurrentWatermarkMs() + 1))
-            }
-            closed.result().iterator
-          }
+        case (uid, rows, state: GroupState[SessionBuf]) =>
+          // one code path for data and timeout triggers: gap-merge the
+          // held sessions with any new rows (micro-batch rows are
+          // unordered and may precede held sessions — the sort makes the
+          // merge identical to the batch twin's global order), then emit
+          // exactly the sessions the watermark has closed
+          val held = state.getOption.map(_.items).getOrElse(Nil)
+          val atoms = (held ++
+            rows.map(r => OpenSession(r.ts_us, r.ts_us, 1, r.value)))
+            .sortBy(s => (s.start, s.end))
+          val merged = atoms.foldLeft(List.empty[OpenSession]) {
+            case (h :: t, it) if it.start - h.end <= gapUs =>
+              OpenSession(h.start, math.max(h.end, it.end),
+                h.n + it.n, h.sum + it.sum) :: t
+            case (acc, it) => it :: acc
+          }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = merged.partition(s => s.end + gapUs < wmUs)
+          if (open.nonEmpty) {
+            state.update(SessionBuf(open))
+            // setTimeoutTimestamp rejects past timestamps, so clamp to
+            // just above the watermark; the group then times out on the
+            // next watermark advance, which is exactly when it should
+            state.setTimeoutTimestamp(
+              math.max(open.map(s => (s.end + gapUs) / 1000L).min + 1,
+                state.getCurrentWatermarkMs() + 1))
+          } else state.remove()
+          ripe.map(close(uid, _)).iterator
       }
   }
 }

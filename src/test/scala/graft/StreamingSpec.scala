@@ -138,6 +138,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late event merges into a session another event had already gap-closed") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val input = MemoryStream[Ev]
+    // gap (5 min) ≪ watermark delay (60 min): batch 1's +10 event
+    // gap-closes [+0]; the late +4 event must STILL merge into it —
+    // emitting on the gap instead of the watermark would split it
+    val sessions = StreamOps.sessionizeStream(spark, input.toDS(),
+      gapMinutes = 5, watermarkDelay = "60 minutes")
+    val ckpt = Files.createTempDirectory("ckpt6").toString
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_lateMerge")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(9, base, 1.0), Ev(9, base + 10 * MIN, 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(9, base + 4 * MIN, 4.0)) // late, within watermark
+      q.processAllAvailable()
+      input.addData(Ev(99, base + 1000 * MIN, 0.0)) // flush
+      q.processAllAvailable()
+      val s = spark.table("sess_lateMerge").as[Session].collect()
+        .filter(_.user_id == 9).sortBy(_.session_start_us)
+      val batch = StreamOps.sessionizeBatch(
+        Seq((9L, base, 1.0), (9L, base + 10 * MIN, 2.0), (9L, base + 4 * MIN, 4.0))
+          .toDF("user_id", "ts_us", "value")
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value")),
+        gapMinutes = 5).as[Session].collect().sortBy(_.session_start_us)
+      assert(batch.map(b => (b.session_start_us, b.session_end_us, b.n_events)).toSeq ==
+        Seq((base, base + 4 * MIN, 2L), (base + 10 * MIN, base + 10 * MIN, 1L)))
+      assert(s.map(x => (x.session_start_us, x.session_end_us, x.n_events, x.value_sum)).toSeq ==
+        batch.map(x => (x.session_start_us, x.session_end_us, x.n_events, x.value_sum)).toSeq)
+    } finally q.stop()
+  }
+
   test("dedupExactStream keeps the first arrival per fingerprint (≡ batch)") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000L * US
