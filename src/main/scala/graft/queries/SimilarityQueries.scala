@@ -202,7 +202,11 @@ object SimilarityQueries {
         .withColumn("crnk", row_number().over(w))
         .filter(col("crnk") <= nProbe)
         .select(col("vec_id").as("qid"), col("en").as("qe"), col("cent_id"))
-      val scored = probes.join(members, Seq("cent_id"))
+      // broadcast the probe side: |Q|×nProbe rows vs the full corpus
+      // assignment table — without the hint this is a sort-merge join
+      // that shuffles every corpus vector on cent_id (the avoidable
+      // dominant shuffle at 100 TB; the corpus side stays in place now)
+      val scored = broadcast(probes).join(members, Seq("cent_id"))
         .filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
       graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)

@@ -152,6 +152,19 @@ class TextDedupSpec extends SparkSpec {
     assert(one(T.tokenBigrams(T.tokens(lit("")))) == Seq())
   }
 
+  test("resolveClusters: converges on chains, throws past the budget") {
+    import spark.implicits._
+    val chain = (1L to 6L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val resolved = graft.etl.Dedup.resolveClusters(chain.toDF("a", "b"))
+      .orderBy("doc_id").collect()
+    assert(resolved.forall(_.getLong(1) == 1L)) // one cluster, min rep
+    // diameter 5 needs ~5 propagation rounds — budget 2 must refuse
+    // loudly rather than return non-minimal reps
+    assertThrows[IllegalStateException] {
+      graft.etl.Dedup.resolveClusters(chain.toDF("a", "b"), maxIter = 2).collect()
+    }
+  }
+
   test("MediaDecode: stub decode is deterministic byte stats") {
     val bytes = Array.tabulate(64)(i => i.toByte)
     val f = MediaDecode.decodeStub(bytes)
