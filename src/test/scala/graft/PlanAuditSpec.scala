@@ -1,0 +1,36 @@
+package graft
+
+import graft.queries.Registry
+
+/** Whole-registry physical-plan invariants — the 100 TB design rules
+  * that must never regress silently:
+  *
+  *   - no `CartesianProduct` anywhere (cross joins in the suite are all
+  *     broadcast-nested-loop against broadcast-sized dimensions — month
+  *     spines, centroid tables; an un-broadcast cartesian would be a
+  *     data-explosion bug);
+  *   - no Python or Scala UDFs (every operator is built-in expressions or
+  *     native Catalyst expressions with codegen; typed `mapPartitions`
+  *     for the media stubs shows as object serde, not UDF).
+  *
+  * Planning only — fixtures fabricate at sf0.001, nothing large runs.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no query plans a CartesianProduct or a UDF") {
+    val offenders = Registry.all.flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      Seq(
+        "CartesianProduct" -> "cartesian product",
+        "BatchEvalPython" -> "python UDF",
+        "PythonUDF" -> "python UDF",
+        "Invoke.*\\bUDF\\b" -> "scala UDF")
+        .collect { case (pat, label) if pat.r.findFirstIn(plan).isDefined =>
+          s"${q.name}: $label"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
