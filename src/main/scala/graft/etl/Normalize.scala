@@ -123,5 +123,5 @@ object Normalize {
     * (aggregate_by_store.py:468, 477, 554, 563, 650, 667).
     */
   def trimHeaders(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim): _*)
 }

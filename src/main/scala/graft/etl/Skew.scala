@@ -41,7 +41,7 @@ object Skew {
     val spark = big.sparkSession
     import spark.implicits._
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col) :+ spark_partition_id(): _*),
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col) :+ spark_partition_id(): _*),
         lit(salts)).cast("int"))
     val replicated = small.crossJoin(
       broadcast((0 until salts).toDF("_salt")))
