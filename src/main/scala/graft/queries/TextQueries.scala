@@ -601,6 +601,82 @@ object TextQueries {
       SELECT doc_id, quality, u FROM q WHERE u < quality
     """))
 
+  // ---- t15: deterministic train/val/test split -----------------------
+  //
+  // Hash-bucket split assignment — the reproducible alternative to
+  // rand()-sampling a training corpus: bucket = hash60(doc_id) % 100,
+  // <90 train, <95 val, else test. Pure scan → project (no shuffle, no
+  // state), so re-running on a grown corpus never reassigns an existing
+  // doc — the property that makes hash splits the production standard.
+  // The per-(source, split) counts are the stratification audit: each
+  // source stratum splits ≈90/5/5 independently.
+
+  private val t15 = Q(
+    "t15_split_assign",
+    (s, d) => {
+      val bucket = pmod(Portable.hash60(col("doc_id").cast("string"), 13),
+        lit(100L))
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("val"))
+            .otherwise(lit("test")))
+    },
+    Some(s"""
+      SELECT doc_id, source, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, source,
+                   ${hSql("CAST(doc_id AS VARCHAR)", 13)} % 100 AS bucket
+            FROM documents)
+    """))
+
+  // ---- t16: sliding context-window chunking --------------------------
+  //
+  // Split each document into fixed-width character windows with overlap
+  // (width 400, stride 300) — the pre-tokenization chunking step of a
+  // training pipeline. The plan is explode(sequence) over a per-row
+  // count + a substring per index: partition-local, zero shuffle, and
+  // output size is bounded at len/stride chunks per doc. The index is
+  // exploded BEFORE the substring so the hot path is plain column
+  // expressions (codegen), not an interpreted array lambda.
+
+  private val chunkW = 400
+  private val chunkS = 300
+
+  private val t16 = Q(
+    "t16_chunk_windows",
+    (s, d) => {
+      Tables.spread(Tables.documents(s, d))
+        .filter(length(col("text")) > 0)
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L),
+            floor((length(col("text")) - 1).cast("long") / chunkS))))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("text").substr(
+            (col("chunk_idx") * chunkS + 1).cast("int"), lit(chunkW))
+            .as("chunk"))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(floor((length(text) - 1) / $chunkS) AS BIGINT) + 1 AS n
+        FROM documents WHERE length(text) > 0),
+      e AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, n),
+                 i -> {'i': i,
+                       'c': substr(text, CAST(i * $chunkS + 1 AS BIGINT), $chunkW)})) AS u
+        FROM t)
+      SELECT doc_id, u.i AS chunk_idx, u.c AS chunk,
+             CAST(length(u.c) AS BIGINT) AS chunk_len
+      FROM e
+    """))
+
   def all: Seq[Q] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14, t15, t16)
 }
