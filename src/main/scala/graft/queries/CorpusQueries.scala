@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Tables, TextAnalysis => TA}
+
+/** Corpus-construction operators over the `documents` table — the steps
+  * between a curated corpus and a token stream a trainer can consume:
+  * global sequence packing (t17), per-doc keyword extraction (t18), and
+  * corpus-level n-gram statistics (t19).
+  *
+  * Like the rest of the text family these are pure column-expression
+  * plans (no UDFs → WholeStageCodegen) with bit-exact DuckDB oracles;
+  * all ranking orders are total so LIMIT/top-k output is deterministic.
+  */
+object CorpusQueries {
+
+  /** DuckDB equivalent of TextAnalysis.tokens(text). */
+  private val toksSql = OracleSql.toksSql
+
+  // ---- t17: global sequence packing (distributed prefix sum) ---------
+  //
+  // Assign every document its global token offset in doc_id order, then
+  // derive which fixed-length training sequence it starts in — the
+  // "concat and chunk every 2048 tokens" step of corpus construction.
+  //
+  // A naive `sum() OVER (ORDER BY doc_id)` is a SINGLE-partition window
+  // — the classic scale killer. This is the two-level distributed
+  // prefix sum instead:
+  //   1. bucket = doc_id / bucketW (fixed-width ranges, deterministic —
+  //      no sampled range partitioner);
+  //   2. within-bucket exclusive cumsum: window PARTITIONED by bucket
+  //      (parallel across buckets, each bucket is bounded);
+  //   3. bucket totals (one tiny groupBy) get their own exclusive
+  //      cumsum — |buckets| = N/bucketW rows, 500× smaller; at 100 TB
+  //      you add a third level (bucket-of-buckets) the same way;
+  //   4. broadcast-join the bucket offsets back: offset = boff + pre.
+  // Net: one bounded window + one broadcast join instead of a global
+  // sort through one task.
+
+  private val bucketW = 500L
+  private val seqLen = 2048L
+
+  private val t17 = Q(
+    "t17_sequence_pack",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("bucket", floor(col("doc_id") / bucketW).cast("long"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBucket =
+        docs.withColumn("pre", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketOffsets = docs.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("btot"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(wB), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      inBucket.join(broadcast(bucketOffsets), Seq("bucket"))
+        .withColumn("start_off", col("boff") + col("pre"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          floor(col("start_off") / seqLen).cast("long").as("seq_id"),
+          pmod(col("start_off"), lit(seqLen)).as("seq_pos"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_off
+        FROM t)
+      SELECT doc_id, n_tokens, start_off,
+             start_off // $seqLen AS seq_id,
+             start_off % $seqLen AS seq_pos
+      FROM o
+    """))
+
+  // ---- t18: TF-IDF keyword extraction --------------------------------
+  //
+  // Top-5 keywords per document scored by tf/df. The corpus-size factor
+  // N of classic tf·log(N/df) is constant per corpus, so it cannot
+  // change any per-doc ranking — dropping it (and the log, which is
+  // monotone) keeps the ordering identical while making the score exact
+  // integer-ratio math, bit-reproducible across engines (no libm log).
+  //
+  // Scale shape: (doc, tok) term counts and the doc-frequency table are
+  // both groupBys with map-side partial aggregation; the tf⋈df join is
+  // a plain equi-join on the token (vocab-sized right side, ~uniform
+  // key distribution); top-5 is a window on doc_id that only a doc's
+  // own terms pass through. No corpus-sized sort anywhere.
+
+  private val kKeywords = 5
+
+  private val t18 = Q(
+    "t18_tfidf_keywords",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, Seq("tok"))
+        .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
+      graft.etl.TopK
+        .perGroup(scored, Seq(col("doc_id")),
+          Seq(col("score").desc, col("tok").asc), kKeywords)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, tok, tf, df,
+               round(CAST(tf AS DOUBLE) / df, 6) AS score
+        FROM tf JOIN dfreq USING (tok)),
+      r AS (
+        SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, tok ASC)
+               AS INTEGER) AS rnk
+        FROM scored)
+      SELECT doc_id, tok, tf, df, score, rnk FROM r WHERE rnk <= $kKeywords
+    """))
+
+  // ---- t19: corpus-level n-gram top-k --------------------------------
+  //
+  // The global vocabulary statistic (most frequent bigrams corpus-wide)
+  // — one (gram) count groupBy with map-side combine, then a global
+  // top-20 via ORDER BY + LIMIT, which Spark executes as
+  // TakeOrderedAndProject: each partition keeps its local 20, the
+  // driver merges 20×P rows — never a full sort of the gram table.
+  // (n DESC, g ASC) is a total order, so LIMIT output is deterministic.
+
+  private val kGrams = 20
+
+  private val t19 = Q(
+    "t19_ngram_topk",
+    (s, d) => {
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .filter(size(col("_toks")) >= 2)
+        .select(explode(TA.tokenBigrams(col("_toks"))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(kGrams)
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || '_' || toks[i+1])) AS g
+             FROM t WHERE len(toks) >= 2)
+      SELECT g, count(*) AS n FROM bg GROUP BY g
+      ORDER BY n DESC, g ASC LIMIT $kGrams
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19)
+}
