@@ -34,13 +34,18 @@ object Kpi {
   private def store(df: DataFrame): DataFrame =
     df.withColumn(S, trim(col(S)))
 
-  /** A2 normalization: trimmed store, parsed month 1..12, numeric bind. */
+  /** A2 normalization: trimmed store, parsed month 1..12, numeric bind.
+    * The year column stays RAW — the reference never strips it in any
+    * config (aggregate_by_store.py:138,143,265,346–347,483,568 all
+    * compare unstripped strings; only store/branch columns get
+    * `.str.strip()`), so a padded `" 2025"` row never matches a year
+    * filter here either.
+    */
   def normBinds(binds: DataFrame): DataFrame =
     store(Normalize.trimHeaders(binds))
       .withColumn("月份", N.parseMonth(col("月份")))
       .filter(col("月份").isNotNull)
       .withColumn("總綁定", N.zeroFill(N.toNumber(col("總綁定"))))
-      .withColumn("年度", trim(col("年度")))
 
   /** Year-slice sum of binds per store (aggregate_by_store.py:147–162). */
   def bindSumByStore(binds: DataFrame, year: String): DataFrame =
@@ -51,11 +56,8 @@ object Kpi {
 
   /** A2 normalization for config 24-1 (aggregate_by_store.py:342–346):
     * like [[normBinds]] but WITHOUT the month parse/filter — 24-1 sums
-    * every row of the year slice, including unparseable months — and
-    * WITHOUT the year trim: the reference's 24-1 block compares RAW year
-    * strings (:347–348, no strip), so a padded " 2025" row is excluded
-    * here exactly as it is there. (23-1's [[normBinds]] keeps its
-    * documented trim leniency.)
+    * every row of the year slice, including unparseable months. Year
+    * strings stay raw in both (see [[normBinds]]).
     */
   def normBindsNoMonth(binds: DataFrame): DataFrame =
     store(Normalize.trimHeaders(binds))
@@ -212,7 +214,7 @@ object Kpi {
     val bb = store(SchemaResolver.ensureStoreNameCol(Normalize.trimHeaders(branchBinds)))
       .withColumn(B, N.nullifyTokens(col(B)))
       .filter(col(B).isNotNull)
-      .filter(trim(col("年度")) === year)
+      .filter(col("年度") === year) // raw compare (aggregate_by_store.py:568,680)
       .withColumn("b", N.zeroFill(N.toNumber(col("總綁定數"))))
       .groupBy(col(S), col(B)).agg(sum(col("b")).as("binds"))
     val ratio = fp.join(bb, Seq(S, B), "left")

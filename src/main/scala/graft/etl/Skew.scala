@@ -28,6 +28,15 @@ object Skew {
     * Both inputs are deterministic for a given task's input split, so
     * retries/speculative attempts stay consistent (no `rand()`), and the
     * salt only routes rows — the join RESULT is partition-agnostic.
+    *
+    * Tradeoff: `spark_partition_id()` is flagged nondeterministic in
+    * Catalyst, so the salted projection is an OPTIMIZER BARRIER — filters
+    * and column pruning don't push through it to the scan. Apply all
+    * predicates/projections to `big` BEFORE calling this (salting is the
+    * last step before the join), and the barrier costs nothing. If a
+    * pushdown-transparent salt ever matters more than duplicate-row
+    * spreading, a `row_number` over a keyed window is deterministic but
+    * adds a shuffle+sort — usually a worse trade than the barrier.
     */
   def saltedJoin(
       big: DataFrame,

@@ -38,9 +38,10 @@ object KpiQueries {
     when(k % 3 === 0, concat(lit(" "), id.cast("string"), lit(" ")))
       .otherwise(id.cast("string"))
 
-  /** ~1/13 of year strings get a leading space: invisible to the
-    * trimmed-year configs (23-x, 24-2), EXCLUDED by 24-1's raw string
-    * compare — so the oracle actually exercises that contract.
+  /** ~1/13 of year strings get a leading space: EXCLUDED by every
+    * config's year filter — the reference compares raw (unstripped)
+    * year strings everywhere (aggregate_by_store.py:138,143,265,
+    * 346–347,483,568) — so the oracle actually exercises that contract.
     */
   private def messyYear(y: Column, k: Column): Column =
     when(k % 13 === 0, concat(lit(" "), y.cast("string")))
@@ -152,7 +153,7 @@ object KpiQueries {
         FROM orders"""
 
   private val normBindsSql =
-    s"""SELECT trim(s) AS s, trim(y) AS y, ${parseMonthSql("mo_raw")} AS mo,
+    s"""SELECT trim(s) AS s, y, ${parseMonthSql("mo_raw")} AS mo,
                ${toNum0Sql("v_raw")} AS v
         FROM ($bindsSql)
         WHERE ${parseMonthSql("mo_raw")} IS NOT NULL"""
@@ -277,7 +278,7 @@ object KpiQueries {
       bb AS (SELECT trim(s) AS s,
                     CASE WHEN trim(b_raw) IN ($nullTokens) THEN NULL ELSE trim(b_raw) END AS b,
                     ${toNum0Sql("v_raw")} AS v
-             FROM bbRaw WHERE trim(y) = '2000'),
+             FROM bbRaw WHERE y = '2000'),
       bba AS (SELECT s, b, sum(v) AS binds FROM bb WHERE b IS NOT NULL GROUP BY 1, 2),
       r AS (
         SELECT fpa.s, fpa.b, fpa.fp, coalesce(bba.binds, 0) AS binds,

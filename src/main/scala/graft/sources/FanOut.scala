@@ -122,6 +122,22 @@ object FanOut {
       spark.sparkContext.parallelize(needConcat.toSeq, slices).foreach {
         case (key, parts) => concatKey(serConf.value, out, src, pfx, key, parts)
       }
+      // Sweep orphaned attempt temps (crashed or speculation-killed
+      // attempts that never renamed). Done HERE, after the job has
+      // returned and every key holds a committed dest — a task-side
+      // sweep could delete a live twin's tmp mid-write and leave the
+      // key fileless. Driver cost is metadata-only (one listing per
+      // concat key; no glob, so keys with glob metachars stay safe).
+      needConcat.foreach { case (key, _) =>
+        val dir = new Path(s"$outDir/$key")
+        fs.listStatus(dir)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.contains(s"$srcName.csv.") &&
+              (n.endsWith(".tmp") || n.endsWith(".tmp.crc"))
+          }
+          .foreach(st => fs.delete(st.getPath, false))
+      }
     }
     fs.delete(new Path(staging), true)
   }
@@ -170,23 +186,24 @@ object FanOut {
         } finally in.close()
       }
     } finally out.close()
-    // sweep orphaned temp files from earlier crashed attempts (a retry
-    // gets a new attempt id, so a dead attempt's tmp would otherwise
-    // linger in the final layout forever); a live speculative twin whose
-    // tmp we delete simply loses the rename race below, which the race
-    // handling already tolerates
-    fs.globStatus(new Path(dest.getParent, s".${dest.getName}.*.tmp"))
-      .filter(_.getPath.getName != tmp.getName) // names are attempt-unique
-      .foreach(s => fs.delete(s.getPath, false))
-    if (fs.exists(dest)) fs.delete(dest, false)
+    // Commit by rename FIRST; only delete a pre-existing dest when the
+    // rename refuses to clobber. A committed destination is therefore
+    // never removed before its replacement exists, so two live
+    // speculative/retried attempts can't strand the key fileless (each
+    // attempt's tmp stays private to it — orphans from crashed attempts
+    // are swept by the driver in finalizeLayout AFTER the job, never by
+    // a peer task that might race a still-writing twin).
     if (!fs.rename(tmp, dest)) {
-      // a concurrent attempt may have committed between delete and
-      // rename — that attempt wrote identical content, so losing the
-      // race is fine; anything else is a real failure
-      fs.delete(tmp, false)
-      if (!fs.exists(dest))
-        throw new java.io.IOException(
-          s"fan-out concat: rename $tmp -> $dest failed")
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) {
+        // lost the delete→rename window to a concurrent attempt that
+        // committed identical content — fine as long as dest exists;
+        // anything else is a real failure
+        fs.delete(tmp, false)
+        if (!fs.exists(dest))
+          throw new java.io.IOException(
+            s"fan-out concat: rename $tmp -> $dest failed")
+      }
     }
     dropCrcSidecar(fs, dest)
     dropCrcSidecar(fs, tmp)

@@ -82,12 +82,23 @@ object StreamOps {
       .drop("_sess")
   }
 
-  /** Exact-dedup on a content fingerprint, batch form: keep the first
-    * (lowest doc_id) row per fingerprint — one shuffle with map-side
-    * partial min.
+  /** Exact-dedup on a content fingerprint, batch form: keep the whole
+    * lowest-doc_id row per fingerprint — one shuffle with map-side
+    * partial min (`min(struct(doc_id, rest*))` compares doc_id first, so
+    * the struct-min IS the min-doc_id row).
+    *
+    * Schema-compatible with [[dedupExactStream]] (same columns out as
+    * in); the two are row-identical when arrival order in the stream
+    * matches doc_id order — the batch form pins "first" to min(doc_id)
+    * because a batch has no arrival order.
     */
-  def dedupExactBatch(docs: DataFrame): DataFrame =
-    docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+  def dedupExactBatch(docs: DataFrame): DataFrame = {
+    val rest = docs.columns.filter(_ != "doc_id").filter(_ != "fp")
+    val packed = struct((col("doc_id") +: rest.map(col)): _*)
+    docs.groupBy(col("fp")).agg(min(packed).as("_first"))
+      .select(col("_first.doc_id") +: rest.map(c => col(s"_first.$c")) :+ col("fp"): _*)
+      .select(docs.columns.map(col): _*) // original column order
+  }
 
   /** Exact-dedup on a content fingerprint, streaming form: emit the
     * first arrival of each fingerprint, drop later duplicates.

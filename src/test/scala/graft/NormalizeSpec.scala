@@ -123,17 +123,17 @@ class NormalizeSpec extends SparkSpec {
     assert(out23.getDouble(1) == 10.0)       // n/a month dropped
   }
 
-  test("Kpi 24-1 compares RAW year strings; 23-1 trims them") {
+  test("Kpi compares RAW year strings in every config") {
     val binds = Seq(
       ("1", "2025", "01", "10"),
       ("1", " 2025", "02", "5"))  // padded year
       .toDF("商店序號", "年度", "月份", "總綁定")
     val cum = Seq(("1", "0")).toDF("商店序號", "累計至今推薦人綁定人數")
     val mem = Seq(("1", "1")).toDF("商店序號", "總會員數")
-    // 24-1: raw compare (aggregate_by_store.py:347–348) → padded row excluded
+    // the reference never strips the year column (aggregate_by_store.py:
+    // 138,143,265,346–347,483,568) → padded row excluded everywhere
     assert(Kpi.config24_1(binds, cum, mem).collect()(0).getDouble(2) == 10.0)
-    // 23-1: trimmed compare (normBinds leniency) → padded row counted
-    assert(Kpi.config23_1(binds, cum, mem).collect()(0).getDouble(1) == 15.0)
+    assert(Kpi.config23_1(binds, cum, mem).collect()(0).getDouble(1) == 10.0)
   }
 
   test("Kpi generic: raw month-string membership + bare coercion") {

@@ -17,7 +17,7 @@ import graft.queries.Registry
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val sfDir = sf0001
 
   test("no query plans a CartesianProduct or a UDF") {
     val offenders = Registry.all.flatMap { q =>

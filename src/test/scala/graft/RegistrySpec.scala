@@ -8,7 +8,7 @@ import graft.queries.Registry
   */
 class RegistrySpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val sfDir = sf0001
 
   test("names are unique, well-formed, and oracles reference real queries") {
     val names = Registry.all.map(_.name)

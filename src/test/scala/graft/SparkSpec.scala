@@ -8,6 +8,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sqlc = spark.sqlContext
+
+  /** Smallest driver-generated fixture dir; overridable via env/prop so
+    * the suite isn't pinned to this machine's layout.
+    */
+  protected lazy val sf0001: String =
+    sys.env.get("SPARK_GRAFT_TESTDATA")
+      .orElse(sys.props.get("graft.testdata"))
+      .getOrElse("/root/testdata") + "/sf0.001"
 }
 
 object SparkSpec {

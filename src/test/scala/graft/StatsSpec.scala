@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 class StatsSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val sfDir = sf0001
 
   test("approx_percentile within envelope of exact percentile") {
     val exact = SparkEntry.queries("q26_value_percentiles")(spark, sfDir)

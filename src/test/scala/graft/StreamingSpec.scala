@@ -196,10 +196,19 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id", "fp").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
       // first arrival per fp = lowest doc_id here (fed in id order) —
-      // exactly the batch twin's min(doc_id) per fp
-      val batch = StreamOps.dedupExactBatch(
-        Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "A"), (5L, "C"))
-          .toDF("doc_id", "fp"))
+      // exactly the batch twin's min-doc_id row per fp
+      val batchIn = Seq(
+        (1L, "A", "k1"), (2L, "B", "k2"), (3L, "B", "k3"),
+        (4L, "A", "k4"), (5L, "C", "k5"))
+        .toDF("doc_id", "fp", "payload")
+      val batchFull = StreamOps.dedupExactBatch(batchIn)
+      // schema parity with the stream form: same columns out as in
+      assert(batchFull.columns.toSeq == batchIn.columns.toSeq)
+      // the WHOLE winning row survives, not just (fp, doc_id)
+      assert(batchFull.orderBy("fp").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+        Seq((1L, "A", "k1"), (2L, "B", "k2"), (5L, "C", "k5")))
+      val batch = batchFull
         .select("doc_id", "fp").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
       assert(streamed.toSeq == Seq((1L, "A"), (2L, "B"), (5L, "C")))
