@@ -18,8 +18,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     ParityQueries.all ++ PipelineQueries.all ++ KpiQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      StreamQueries.all ++ StatsQueries.all
+      TextQueries.all ++ CorpusQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all ++ StreamQueries.all ++ StatsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
