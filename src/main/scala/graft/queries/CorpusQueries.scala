@@ -162,5 +162,91 @@ object CorpusQueries {
       ORDER BY n DESC, g ASC LIMIT $kGrams
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19)
+  // ---- t20: cross-document repeated-chunk removal --------------------
+  //
+  // The CCNet/C4 boilerplate filter: drop every text chunk that appears
+  // (verbatim) in ≥ hotDf distinct documents, keep the rest of each doc
+  // in order. This corpus has no newlines, so the "line" granularity is
+  // consecutive 3-token chunks — same operator shape, different splitter.
+  //
+  // Scale shape: chunk doc-frequency is one groupBy with map-side
+  // partial agg; the hot set is tiny by construction (a chunk must
+  // repeat across ≥ hotDf docs to enter it), so the removal join is a
+  // broadcast LEFT ANTI — the corpus is never shuffled by chunk. The
+  // reassembly groupBy(doc_id) shuffles only surviving chunks, and
+  // array_sort on the (idx, chunk) struct makes the rebuilt text
+  // deterministic under any aggregation order.
+
+  private val chunkTok = 3
+  private val hotDf = 3
+
+  private val t20 = Q(
+    "t20_chunk_dedup",
+    (s, d) => {
+      val base = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("n_toks", size(col("_toks")).cast("long"))
+      val chunks = base.filter(col("n_toks") > 0)
+        .select(col("doc_id"), col("_toks"),
+          explode(sequence(lit(0L),
+            ((col("n_toks") - 1) / chunkTok).cast("long"))).as("idx"))
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", slice(col("_toks"),
+            (col("idx") * chunkTok + 1).cast("int"), lit(chunkTok))).as("chunk"))
+      val hot = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= hotDf)
+        .select(col("chunk"))
+      val kept = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
+      val reasm = kept.groupBy(col("doc_id"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      base
+        .select(col("doc_id"),
+          when(col("n_toks") > 0, ((col("n_toks") - 1) / chunkTok).cast("long") + 1)
+            .otherwise(lit(0L)).as("n_chunks"))
+        .join(reasm, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          col("n_chunks"),
+          (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+      ch AS (
+        SELECT doc_id, unnest(range(0, ((n - 1) // $chunkTok) + 1)) AS idx, toks
+        FROM b WHERE n > 0),
+      ck AS (
+        SELECT doc_id, idx,
+               array_to_string(list_slice(toks,
+                 idx * $chunkTok + 1, idx * $chunkTok + $chunkTok), ' ') AS chunk
+        FROM ch),
+      hot AS (
+        SELECT chunk FROM (
+          SELECT chunk, count(DISTINCT doc_id) AS df FROM ck GROUP BY 1)
+        WHERE df >= $hotDf),
+      kept AS (
+        SELECT doc_id, idx, chunk FROM ck
+        WHERE chunk NOT IN (SELECT chunk FROM hot)),
+      reasm AS (
+        SELECT doc_id,
+               array_to_string(list(chunk ORDER BY idx), ' ') AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY 1),
+      nc AS (
+        SELECT doc_id,
+               CASE WHEN n > 0 THEN ((n - 1) // $chunkTok) + 1 ELSE 0 END AS n_chunks
+        FROM b)
+      SELECT nc.doc_id,
+             coalesce(reasm.clean_text, '') AS clean_text,
+             CAST(nc.n_chunks AS BIGINT) AS n_chunks,
+             CAST(nc.n_chunks - coalesce(reasm.n_kept, 0) AS BIGINT) AS n_removed
+      FROM nc LEFT JOIN reasm ON reasm.doc_id = nc.doc_id
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20)
 }

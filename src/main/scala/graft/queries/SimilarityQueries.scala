@@ -242,5 +242,147 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04)
+  // ---- e05: per-vector int8 quantization ------------------------------
+  //
+  // The storage/bandwidth step of a 100 TB embedding pipeline: affine
+  // scalar quantization per vector (min/max → scale, 0..255 codes) with
+  // a reconstruction-error audit. Pure per-row map work — no shuffle at
+  // all; the checksum columns (qsum, qweighted) make the code array
+  // hash-comparable without dumping 64 ints per row. max_err uses
+  // array_max (order-independent) rather than a float sum, so the audit
+  // is bit-stable under any evaluation order.
+
+  private val e05 = Q(
+    "e05_embed_quantize",
+    (s, d) => {
+      val emb = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mn", array_min(col("e")))
+        .withColumn("mx", array_max(col("e")))
+        .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+        .withColumn("qv",
+          when(col("mx") > col("mn"),
+            transform(col("e"), x =>
+              least(lit(255.0), greatest(lit(0.0),
+                round((x - col("mn")) / col("sc")))).cast("long")))
+            .otherwise(transform(col("e"), _ => lit(0L))))
+      emb.select(col("vec_id"),
+        round(col("mn"), 6).as("qmin"),
+        round(col("sc"), 6).as("qscale"),
+        aggregate(col("qv"), lit(0L), (a, v) => a + v).as("qsum"),
+        aggregate(
+          zip_with(col("qv"), sequence(lit(1L), lit(dim.toLong)), (q, i) => q * i),
+          lit(0L), (a, v) => a + v).as("qweighted"),
+        round(array_max(zip_with(col("qv"), col("e"),
+          (q, x) => abs(x - (col("mn") + q * col("sc"))))), 6).as("max_err"))
+    },
+    Some(s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      st AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM raw),
+      q AS (SELECT vec_id, e, mn, (mx - mn) / 255.0 AS sc,
+                   CASE WHEN mx > mn
+                     THEN list_transform(e, x -> CAST(least(255.0, greatest(0.0,
+                            round((x - mn) / ((mx - mn) / 255.0)))) AS BIGINT))
+                     ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM st)
+      SELECT vec_id,
+             round(mn, 6) AS qmin,
+             round(sc, 6) AS qscale,
+             CAST(list_sum(qv) AS BIGINT) AS qsum,
+             CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * i)) AS BIGINT) AS qweighted,
+             round(list_max(list_transform(range(1, ${dim + 1}),
+               i -> abs(e[i] - (mn + qv[i] * sc)))), 6) AS max_err
+      FROM q
+    """))
+
+  // ---- e06: k-means (2 Lloyd iterations) over fixed-point vectors -----
+  //
+  // The clustering primitive behind SemDeDup-style semantic dedup and
+  // IVF coarse-quantizer training. Cross-engine float k-means is
+  // hash-unstable (centroid sums depend on aggregation order), so the
+  // vectors are fixed-point quantized first (round(x·1000) — exact
+  // integer-valued doubles) and centroids use floor-of-mean: every
+  // distance and update is then exact integer math in BOTH engines and
+  // the fixpoint is bit-reproducible.
+  //
+  // Scale shape: centroids are k rows — broadcast to every assignment
+  // (the corpus is never shuffled for assignment, and the
+  // |x|²+|c|²−2x·c expansion reuses the codegen'd DotProduct); the
+  // update is posexplode → (cluster, dim) groupBy with map-side partial
+  // sums, k×dim rows out. Iterations add plan depth linearly; a
+  // production loop checkpoints per round (see Dedup.resolveClusters).
+
+  private val kClusters = 8
+  private val fxScale = 1000.0
+
+  private def fxVectors(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * fxScale)).as("q"))
+
+  /** Assign each vector to its nearest centroid: (dist ASC, cent_id ASC)
+    * lexicographic argmin via min_by — aggregation-only, no window sort.
+    */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val aff = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cent_id"),
+        (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
+          - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
+    aff.groupBy(col("vec_id"))
+      .agg(
+        min_by(struct(col("cent_id"), col("q")),
+          struct(col("dist"), col("cent_id"))).as("b"),
+        min(col("dist")).as("dist"))
+  }
+
+  private val e06 = Q(
+    "e06_kmeans_fixpoint",
+    (s, d) => {
+      val fx = fxVectors(s, d)
+      val cents0 = fx.filter(col("vec_id") < kClusters)
+        .select(col("vec_id").as("cent_id"), col("q").as("c"))
+      val asg1 = assignCells(fx, cents0)
+      val cents1 = asg1
+        .select(col("b.cent_id").as("cluster"),
+          posexplode(col("b.q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", floor(col("sv") / col("n")).cast("double"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .select(col("cluster").as("cent_id"), col("c"))
+      assignCells(fx, cents1)
+        .select(col("vec_id"), col("b.cent_id").as("cluster"), col("dist"))
+    },
+    Some(s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      fx AS (SELECT vec_id, list_transform(e, x -> round(x * $fxScale)) AS q FROM raw),
+      c0 AS (SELECT vec_id AS cent_id, q AS c FROM fx WHERE vec_id < $kClusters),
+      a1 AS (SELECT f.vec_id, f.q, c.cent_id,
+                    CAST(list_dot_product(f.q, f.q) + list_dot_product(c.c, c.c)
+                         - 2 * list_dot_product(f.q, c.c) AS BIGINT) AS dist
+             FROM fx f CROSS JOIN c0 c),
+      m1 AS (SELECT vec_id, min(dist) AS md FROM a1 GROUP BY 1),
+      g1 AS (SELECT a.vec_id, a.q, min(a.cent_id) AS cluster
+             FROM a1 a JOIN m1 ON m1.vec_id = a.vec_id AND a.dist = m1.md
+             GROUP BY 1, 2),
+      ex AS (SELECT cluster, unnest(range(1, ${dim + 1})) AS pos, q FROM g1),
+      dimsum AS (SELECT cluster, pos, CAST(sum(q[pos]) AS BIGINT) AS sv, count(*) AS n
+                 FROM ex GROUP BY 1, 2),
+      c1 AS (SELECT cluster AS cent_id,
+                    list(CAST(floor(CAST(sv AS DOUBLE) / n) AS DOUBLE) ORDER BY pos) AS c
+             FROM dimsum GROUP BY 1),
+      a2 AS (SELECT f.vec_id, c.cent_id,
+                    CAST(list_dot_product(f.q, f.q) + list_dot_product(c.c, c.c)
+                         - 2 * list_dot_product(f.q, c.c) AS BIGINT) AS dist
+             FROM fx f CROSS JOIN c1 c),
+      m2 AS (SELECT vec_id, min(dist) AS md FROM a2 GROUP BY 1)
+      SELECT a.vec_id, min(a.cent_id) AS cluster, min(a.dist) AS dist
+      FROM a2 a JOIN m2 ON m2.vec_id = a.vec_id AND a.dist = m2.md
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Invariant tests for the corpus-construction and embedding-compression
+  * operators (t17/t20/e05/e06) — unit-level complements to the
+  * DuckDB-oracle gate, run on the sf0.001 fixture via the registry.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001).collect()
+
+  test("t17: packing offsets are a gapless prefix sum in doc_id order") {
+    val rows = run("t17_sequence_pack")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_pos")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var expect = 0L
+    rows.foreach { case (id, n, off, seqId, seqPos) =>
+      assert(off == expect, s"doc $id: start_off $off != cumsum $expect")
+      assert(seqId == off / 2048 && seqPos == off % 2048)
+      expect += n
+    }
+  }
+
+  test("t20: hot chunks are removed everywhere, cold docs pass through") {
+    val rows = run("t20_chunk_dedup")
+    assert(rows.length > 0)
+    // conservation: kept + removed = total, and clean_text word count
+    // equals the chunk-token total minus what the removed chunks held
+    rows.foreach { r =>
+      val nChunks = r.getAs[Long]("n_chunks")
+      val nRemoved = r.getAs[Long]("n_removed")
+      assert(nRemoved >= 0 && nRemoved <= nChunks)
+      val clean = r.getAs[String]("clean_text")
+      if (nRemoved == 0 && nChunks > 0) assert(clean.nonEmpty)
+    }
+    // at least one doc survives untouched at this scale
+    assert(rows.exists(r => r.getAs[Long]("n_removed") == 0))
+  }
+
+  test("e05: quantization reconstruction error is bounded by half a step") {
+    val rows = run("e05_embed_quantize")
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("qscale")
+      val err = r.getAs[Double]("max_err")
+      val qsum = r.getAs[Long]("qsum")
+      // codes are 0..255 over 64 dims
+      assert(qsum >= 0 && qsum <= 255L * 64)
+      // rounding to the nearest code can miss by at most scale/2 (plus
+      // the 1e-6 the output rounding may add)
+      assert(err <= sc / 2 + 1e-6, s"vec ${r.getAs[Long]("vec_id")}: err $err > ${sc / 2}")
+    }
+  }
+
+  test("e06: assignment is a partition into at most k clusters with sane distances") {
+    val rows = run("e06_kmeans_fixpoint")
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("dist")))
+    assert(rows.length > 0)
+    assert(rows.map(_._1).distinct.length == rows.length, "a vector assigned twice")
+    val clusters = rows.map(_._2).distinct
+    assert(clusters.length <= 8 && clusters.forall(c => c >= 0 && c < 8))
+    assert(rows.forall(_._3 >= 0), "negative squared distance")
+    // the update step can only tighten (or keep) each vector's own-cluster
+    // distance vs its iteration-1 assignment cost in aggregate: the mean
+    // assignment cost after the Lloyd step must not exceed the initial
+    // centroids' mean cost (standard k-means monotonicity, exact here
+    // because all math is integer)
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val fx = graft.etl.Tables.spread(graft.etl.Tables.embeddings(spark, sf0001))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => round(x * 1000.0)).as("q"))
+    // iteration-1 cost: nearest initial centroid per vector
+    val aff = fx.crossJoin(broadcast(fx.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("c"))))
+      .select(col("vec_id"),
+        (graft.functions.Portable.dot(col("q"), col("q"))
+          + graft.functions.Portable.dot(col("c"), col("c"))
+          - lit(2.0) * graft.functions.Portable.dot(col("q"), col("c")))
+          .cast("long").as("dist"))
+    val iter1Cost = aff.groupBy(col("vec_id")).agg(min(col("dist")).as("d"))
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+    val iter2Cost = rows.map(_._3).sum
+    assert(iter2Cost <= iter1Cost,
+      s"Lloyd step increased total cost: $iter2Cost > $iter1Cost")
+  }
+}
