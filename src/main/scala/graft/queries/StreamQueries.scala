@@ -167,5 +167,30 @@ object StreamQueries {
         w_order AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29)
+  // ---- q34: stream-static enrichment join ----------------------------
+  //
+  // Dimension enrichment of an event stream (events ⋈ customer ⋈ nation)
+  // aggregated per (nation, event_type). StreamOps.enrichEvents is the
+  // shared definition: the batch form here pins semantics to the oracle;
+  // StreamingSpec runs the SAME join under Structured Streaming against
+  // a MemoryStream and proves row parity. The event side is never
+  // shuffled — both dimensions broadcast.
+
+  private val q34 = Q(
+    "q34_stream_enrich",
+    (s, d) => StreamOps.enrichEvents(Tables.events(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum")),
+    Some("""
+      SELECT n_name, event_type, count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34)
 }

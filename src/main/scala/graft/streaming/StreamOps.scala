@@ -39,6 +39,25 @@ object StreamOps {
         col("n_events"), col("value_sum"))
   }
 
+  /** Stream-static enrichment join: attach each event's customer nation.
+    * The dimension sides are broadcast — the event side (batch or
+    * unbounded stream) is never shuffled, which is the only join shape
+    * that survives a 100 TB/day stream (a stream-stream join here would
+    * hold unbounded state for no reason: the dimensions are bounded).
+    * Works identically on a batch or streaming `events` frame;
+    * stream-static broadcast joins need no watermark or state store.
+    */
+  def enrichEvents(
+      events: DataFrame,
+      customers: DataFrame,
+      nations: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .drop("c_custkey", "c_nationkey", "n_nationkey")
+
   /** One event for sessionization (micros epoch keeps arithmetic exact). */
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
 

@@ -253,4 +253,37 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty && streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("enrichEvents: stream-static join matches batch row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Seq((1L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("c_custkey", "c_nationkey")
+    val nations = Seq((10L, "ALPHA"), (20L, "BETA")).toDF("n_nationkey", "n_name")
+
+    val input = MemoryStream[Ev]
+    val enriched = StreamOps.enrichEvents(input.toDF(), customers, nations)
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val evs = events
+      // two micro-batches, arbitrary order — a stateless stream-static
+      // join must be arrival-order-insensitive
+      input.addData(evs(4), evs(0), evs(6))
+      q.processAllAvailable()
+      input.addData(evs(1), evs(5), evs(2), evs(3))
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("user_id"), col("ts_us"), col("value"), col("n_name"))
+          .as[(Long, Long, Double, String)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("enrich_out"))
+      val batch = canon(StreamOps.enrichEvents(events.toDF(), customers, nations))
+      assert(batch.length == events.length, "a dimension row went missing")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
