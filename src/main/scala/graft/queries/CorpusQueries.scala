@@ -19,6 +19,9 @@ object CorpusQueries {
   /** DuckDB equivalent of TextAnalysis.tokens(text). */
   private val toksSql = OracleSql.toksSql
 
+  /** DuckDB equivalent of Portable.hash60. */
+  private def hSql(x: String, seed: Int): String = OracleSql.hSql(x, seed)
+
   // ---- t17: global sequence packing (distributed prefix sum) ---------
   //
   // Assign every document its global token offset in doc_id order, then
@@ -248,5 +251,92 @@ object CorpusQueries {
       FROM nc LEFT JOIN reasm ON reasm.doc_id = nc.doc_id
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20)
+  // ---- t21: temperature-scaled source mixing -------------------------
+  //
+  // Data-mixing across sources: keep each doc with probability
+  // p(source) = sqrt(n_source / N) — the τ=2 temperature rebalance
+  // (rare sources keep a larger FRACTION of their docs than big ones,
+  // flattening the mixture). The draw is the portable hash60 of doc_id,
+  // so every engine keeps the same sample; sqrt is IEEE
+  // correctly-rounded, so the threshold is bit-identical too (pow(x, α)
+  // for general α is libm-dependent — α = 1/2 is the deliberate choice
+  // that keeps the oracle exact).
+  //
+  // Scale shape: source rates are one tiny groupBy (|sources| rows)
+  // broadcast back; the corpus pass itself is scan → project → filter,
+  // no corpus shuffle.
+
+  private val t21 = Q(
+    "t21_source_mix",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val srcN = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val rates = srcN.crossJoin(broadcast(total))
+        .select(col("source"),
+          sqrt(col("n_src").cast("double") / col("n_total")).as("p_keep"))
+      val u = graft.functions.Portable.hash60(col("doc_id").cast("string"), 17)
+        .cast("double") / lit((1L << 60).toDouble)
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("u", u)
+        .filter(col("u") < col("p_keep"))
+        .select(col("doc_id"), col("source"),
+          round(col("p_keep"), 6).as("p_keep"), col("u"))
+    },
+    Some(s"""
+      WITH rates AS (
+        SELECT source,
+               sqrt(CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM documents)) AS p_keep
+        FROM documents GROUP BY 1),
+      drawn AS (
+        SELECT d.doc_id, d.source, r.p_keep,
+               CAST(${hSql("CAST(doc_id AS VARCHAR)", 17)} AS DOUBLE)
+                 / ${(1L << 60).toDouble} AS u
+        FROM documents d JOIN rates r USING (source))
+      SELECT doc_id, source, round(p_keep, 6) AS p_keep, u
+      FROM drawn WHERE u < p_keep
+    """))
+
+  // ---- t22: deterministic corpus shuffle order -----------------------
+  //
+  // Reproducible global shuffle for training order: rank every doc by a
+  // seeded hash — same sample order on every engine and every rerun,
+  // unlike rand(). The rank is the t17 two-level distributed prefix sum
+  // over COUNTS (bucket = top 10 hash bits, so bucket index is ordered
+  // by hash prefix): within-bucket row_number partitioned by bucket,
+  // plus an exclusive cumsum of bucket sizes over the ~1k bucket totals
+  // — no single-partition window over the corpus.
+
+  private val shuffleBuckets = 10 // top bits → 1024 ordered buckets
+
+  private val t22 = Q(
+    "t22_shuffle_order",
+    (s, d) => {
+      val h = graft.functions.Portable.hash60(col("doc_id").cast("string"), 19)
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("bucket", shiftright(col("h"), 60 - shuffleBuckets))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      val inBucket = docs.withColumn("pre",
+        row_number().over(wIn).cast("long") - 1)
+      val wB = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("boff", coalesce(sum(col("n")).over(wB), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      inBucket.join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), col("h"),
+          (col("boff") + col("pre")).as("shuffle_pos"))
+    },
+    Some(s"""
+      SELECT doc_id, h,
+             CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+               AS shuffle_pos
+      FROM (SELECT doc_id, ${hSql("CAST(doc_id AS VARCHAR)", 19)} AS h
+            FROM documents)
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22)
 }

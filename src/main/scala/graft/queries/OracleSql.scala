@@ -58,6 +58,10 @@ object OracleSql {
                                ELSE dg END AS INTEGER) AS mo
           FROM (SELECT regexp_replace(trim($raw), '[^0-9]', '', 'g') AS dg)))"""
 
+  /** DuckDB equivalent of `Portable.hash60(x, seed)`. */
+  def hSql(x: String, seed: Int): String =
+    s"CAST(('0x'||substr(md5($x||'#$seed'),1,15)) AS BIGINT)"
+
   /** `TextAnalysis.tokens(text)`. */
   val toksSql =
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"

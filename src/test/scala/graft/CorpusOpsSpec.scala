@@ -42,6 +42,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("n_removed") == 0))
   }
 
+  test("t21: mix rates are sqrt-scaled probabilities and the draw is honest") {
+    val rows = run("t21_source_mix")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_keep")
+      val u = r.getAs[Double]("u")
+      assert(p > 0.0 && p <= 1.0)
+      assert(u >= 0.0 && u < p, "a row with u >= p_keep survived the filter")
+    }
+  }
+
+  test("t22: shuffle_pos is a permutation of 0..N-1") {
+    val pos = run("t22_shuffle_order").map(_.getAs[Long]("shuffle_pos")).sorted
+    assert(pos.nonEmpty)
+    assert(pos.toSeq == (0L until pos.length).toSeq,
+      "shuffle positions are not a gapless permutation")
+  }
+
   test("e05: quantization reconstruction error is bounded by half a step") {
     val rows = run("e05_embed_quantize")
     assert(rows.length > 0)
