@@ -192,5 +192,32 @@ object StreamQueries {
       GROUP BY 1, 2
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34)
+  // ---- q35: sliding event-time window stats --------------------------
+  //
+  // Overlapping windows (6h window, 3h slide) — every event lands in
+  // exactly window/slide = 2 windows. Same watermarked hash-agg shape as
+  // q24; the oracle enumerates the 2 covering windows per event with an
+  // epoch-aligned unnest (Spark's window() aligns slides to the epoch).
+
+  private val q35 = Q(
+    "q35_sliding_window",
+    (s, d) => StreamOps.windowedTypeStats(Tables.events(s, d), "6 hours",
+        slide = Some("3 hours"))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("event_type"), col("n_events"), col("value_sum")),
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) // 1000000 AS ts_s, event_type, value FROM events),
+      w AS (
+        SELECT ((ts_s // 10800) - j) * 10800 AS w_start_s, event_type, value
+        FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS j))
+      SELECT strftime(make_timestamp(w_start_s * 1000000),
+                      '%Y-%m-%d %H:%M') AS w_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM w
+      GROUP BY 1, 2
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35)
 }

@@ -676,7 +676,48 @@ object TextQueries {
       FROM e
     """))
 
+  // ---- t23: incremental ingest dedup (new batch vs corpus) -----------
+  //
+  // The daily-ingest shape: dedup a small new batch (docs with
+  // doc_id ≡ 0 mod 10 play the batch) against the already-ingested
+  // corpus WITHOUT ever shuffling the corpus. Within-batch dedup is a
+  // fingerprint groupBy of the batch only; corpus overlap is found by
+  // broadcasting the BATCH fingerprints and probing the corpus
+  // map-locally (only matched fps — bounded by the batch size — come
+  // back), then a broadcast anti join removes them. A plain
+  // batch-anti-join-corpus would instead shuffle the 100 TB corpus on
+  // fp; this plan's corpus pass is scan → broadcast-probe → tiny output.
+
+  private val t23 = Q(
+    "t23_incremental_dedup",
+    (s, d) => {
+      val all = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.md5Fingerprint(col("text")).as("fp"))
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = all.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val batchKeep = batch.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      val dupFps = corpus.join(broadcast(batchKeep.select(col("fp"))), Seq("fp"))
+        .select(col("fp")).distinct()
+      batchKeep.join(broadcast(dupFps), Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"), col("n_in_batch"))
+    },
+    Some(s"""
+      WITH fps AS (
+        SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+        FROM documents),
+      batch AS (
+        SELECT fp, min(doc_id) AS doc_id, count(*) AS n_in_batch
+        FROM fps WHERE doc_id % 10 = 0 GROUP BY fp),
+      dup AS (
+        SELECT DISTINCT c.fp
+        FROM fps c JOIN batch b USING (fp)
+        WHERE c.doc_id % 10 <> 0)
+      SELECT doc_id, fp, n_in_batch
+      FROM batch WHERE fp NOT IN (SELECT fp FROM dup)
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16)
+      t14, t15, t16, t23)
 }

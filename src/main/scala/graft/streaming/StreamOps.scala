@@ -27,13 +27,21 @@ object StreamOps {
     * and streaming frames alike; streaming frames get a watermark (late
     * rows beyond `watermark` are dropped, state is bounded).
     */
+  /** `windowedTypeStats` with `slide == windowDur` (tumbling); pass a
+    * smaller `slide` for overlapping (sliding) windows — each event then
+    * lands in `windowDur / slide` windows. State and shuffle grow by the
+    * same factor; the plan shape (watermarked (window, key) hash agg
+    * with partial aggregation) is identical.
+    */
   def windowedTypeStats(
       events: DataFrame,
       windowDur: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      slide: Option[String] = None): DataFrame = {
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src
-      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .groupBy(window(col("ts"), windowDur, slide.getOrElse(windowDur)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("value_sum"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("value_sum"))

@@ -254,6 +254,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTypeStats with slide: sliding windows match batch, 2 per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val rows = Seq(
+      (0L, "a", 1.0), (30L, "a", 2.0), (70L, "b", 3.0), (100L, "a", 4.0))
+      .map { case (sec, t, v) => (base + sec * US, t, v) }
+    def asDf(s: Seq[(Long, String, Double)]) =
+      s.toDF("us", "event_type", "value")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+
+    val input = MemoryStream[(Long, String, Double)]
+    val streamDf = StreamOps.windowedTypeStats(
+      input.toDS().toDF("us", "event_type", "value")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value")),
+      "2 minutes", watermark = "1 minute", slide = Some("1 minute"))
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val q = streamDf.writeStream
+      .format("memory").queryName("slide_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((base + 1000 * MIN, "z", 0.0))
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("event_type") =!= "z")
+        .orderBy("w_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val streamed = canon(spark.table("slide_out"))
+      val batch = canon(StreamOps.windowedTypeStats(asDf(rows), "2 minutes",
+        slide = Some("1 minute")))
+      assert(streamed.toSeq == batch.toSeq)
+      // every event is counted in exactly window/slide = 2 windows
+      assert(batch.map(_._3).sum == 2L * rows.length)
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static join matches batch row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Seq((1L, 10L), (2L, 20L), (3L, 10L))
