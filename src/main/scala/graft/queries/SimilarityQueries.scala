@@ -384,5 +384,76 @@ object SimilarityQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06)
+  // ---- e07: SemDeDup composition (embedding recall ⊳ lexical verify) --
+  //
+  // The two-stage semantic-dedup pipeline production corpora run:
+  // stage 1 (recall) proposes candidate pairs cheaply from embedding
+  // space (hyperplane bucket equi-join + cosine ≥ 0.95 — e03's shape);
+  // stage 2 (precision) verifies each surviving pair lexically (token-set
+  // Jaccard over the documents table, vec_id ≡ doc_id in the testdata).
+  // Only stage-1 survivors are ever joined to text — at 100 TB the text
+  // join touches |pairs| rows, not the corpus, and both stages are
+  // equi-joins (no all-pairs anywhere). Doubled corpus (the e03/t05
+  // fixture convention) guarantees deterministic output.
+
+  private val e07 = Q(
+    "e07_semantic_neardup",
+    (s, d) => {
+      val raw = normalizedEmb(s, d)
+      val emb = raw.unionAll(
+        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
+        .withColumn("bkt", bucket(col("e")))
+      val a = emb.select(col("vec_id").as("vec_a"), col("en").as("qe"), col("bkt"))
+      val cands = a.join(
+          emb.select(col("vec_id").as("vec_b"), col("en").as("ce"), col("bkt")),
+          Seq("bkt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Portable.dot(col("qe"), col("ce")).as("cos"))
+        .filter(col("cos") >= 0.95)
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val toks = docs.unionAll(
+          docs.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
+        .select(col("doc_id"),
+          array_distinct(graft.etl.TextAnalysis.tokens(col("text"))).as("ts"))
+      cands
+        .join(toks.select(col("doc_id").as("vec_a"), col("ts").as("ts_a")), Seq("vec_a"))
+        .join(toks.select(col("doc_id").as("vec_b"), col("ts").as("ts_b")), Seq("vec_b"))
+        // threshold on the RAW jaccard (rounding only for display — a
+        // value rounding up onto .5 must not flip is_dup vs the oracle)
+        .withColumn("_jac", Portable.jaccard(col("ts_a"), col("ts_b")))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"),
+          round(col("_jac"), 6).as("jaccard"),
+          (col("_jac") >= 0.5).cast("int").as("is_dup"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
+      bk AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM dbl),
+      cands AS (
+        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+               list_dot_product(x.en, y.en) AS cos
+        FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      surv AS (SELECT * FROM cands WHERE cos >= 0.95),
+      toks AS (
+        SELECT doc_id, list_distinct(${OracleSql.toksSql}) AS ts
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + $dupShift, text FROM documents)
+             AS documents(doc_id, text)),
+      j AS (
+        SELECT vec_a, vec_b, cos,
+               CASE WHEN len(list_distinct(a.ts || b.ts)) > 0
+                    THEN CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                         / len(list_distinct(a.ts || b.ts)) END AS jac
+        FROM surv JOIN toks a ON a.doc_id = surv.vec_a
+                  JOIN toks b ON b.doc_id = surv.vec_b)
+      SELECT vec_a, vec_b, round(cos, 6) AS sim, round(jac, 6) AS jaccard,
+             CAST(jac >= 0.5 AS INTEGER) AS is_dup
+      FROM j
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

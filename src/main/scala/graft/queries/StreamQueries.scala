@@ -219,5 +219,39 @@ object StreamQueries {
       GROUP BY 1, 2
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35)
+  // ---- q36: rollup reporting aggregates ------------------------------
+  //
+  // Hierarchical totals in one pass: (nation, event_type) → (nation) →
+  // grand total via ROLLUP — Spark computes all three grouping sets in
+  // a single shuffle with partial aggregation (vs three separate
+  // aggregations + union). grouping() flags distinguish "NULL because
+  // rolled up" from a genuine null key, and give the oracle an exact
+  // column to match on.
+
+  private val q36 = Q(
+    "q36_rollup_report",
+    (s, d) => StreamOps.enrichEvents(Tables.events(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))
+      .rollup(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        grouping(col("event_type")).cast("int").as("g_type"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n_events"), col("value_sum"), col("g_nation"), col("g_type")),
+    Some("""
+      SELECT coalesce(n_name, 'ALL') AS n_name,
+             coalesce(event_type, 'ALL') AS event_type,
+             count(*) AS n_events,
+             round(sum(value), 4) AS value_sum,
+             CAST(grouping(n_name) AS INTEGER) AS g_nation,
+             CAST(grouping(event_type) AS INTEGER) AS g_type
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY ROLLUP (n_name, event_type)
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36)
 }
