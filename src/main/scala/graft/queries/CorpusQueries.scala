@@ -338,5 +338,48 @@ object CorpusQueries {
             FROM documents)
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22)
+  // ---- t24: corpus snapshot diff -------------------------------------
+  //
+  // "What changed between crawls": full-outer join two corpus versions
+  // on doc_id and classify added / removed / changed / unchanged by
+  // content fingerprint. The versions are deterministic overlays of the
+  // documents table (the t11 fixture pattern): v1 drops doc_id ≡ 0 mod
+  // 7, v2 drops ≡ 0 mod 5 and edits ≡ 0 mod 3. Scale shape: both sides
+  // hash-partition on doc_id for the join (co-partitioned equi-join);
+  // fingerprints reduce the compare to 32 bytes per doc, so the shuffle
+  // never carries document bodies.
+
+  private val t24 = Q(
+    "t24_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp1"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") === col("fp2"), "unchanged")
+            .otherwise("changed").as("status"))
+    },
+    Some("""
+      WITH v1 AS (
+        SELECT doc_id, md5(text) AS fp1 FROM documents WHERE doc_id % 7 <> 0),
+      v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END) AS fp2
+        FROM documents WHERE doc_id % 5 <> 0)
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN fp1 IS NULL THEN 'added'
+                  WHEN fp2 IS NULL THEN 'removed'
+                  WHEN fp1 = fp2 THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24)
 }
