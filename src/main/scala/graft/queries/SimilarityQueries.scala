@@ -455,5 +455,75 @@ object SimilarityQueries {
       FROM j
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  // ---- e08: product quantization (PQ) encoding ------------------------
+  //
+  // The ANN-index compression step: split each 64-dim vector into m = 8
+  // subspaces of 8 dims, encode each subspace as the id of its nearest
+  // of 16 codebook centroids → a 64-dim float vector becomes one 32-bit
+  // code (8 × 4 bits), 32× smaller than float32. Codebooks here are the
+  // first 16 vectors' subvectors (deterministic; at 100 TB you'd k-means
+  // a sample per subspace — e06 is exactly that trainer). Fixed-point
+  // math keeps every distance exact integer in both engines (the e06
+  // argument); the packed code is Σ kⱼ·2^(4j) — exact double arithmetic
+  // below 2^53, bit-identical cross-engine.
+  //
+  // Scale shape: subspace explode is partition-local (8× rows, 1/8 the
+  // vector each); the codebook (m × 16 rows) broadcasts; per-(vector,
+  // subspace) argmin and the final per-vector pack are groupBys with
+  // partial aggregation. The corpus is never shuffled to be encoded.
+
+  private val pqSubspaces = 8
+  private val pqSubDim = dim / pqSubspaces
+  private val pqK = 16
+
+  private val e08 = Q(
+    "e08_pq_encode",
+    (s, d) => {
+      val fx = fxVectors(s, d)
+      val subs = fx
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("q"))
+        .select(col("vec_id"), col("j"),
+          slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+      val cents = subs.filter(col("vec_id") < pqK)
+        .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
+      val aff = subs.join(broadcast(cents), Seq("j"))
+        .select(col("vec_id"), col("j"), col("k"),
+          (Portable.dot(col("sub"), col("sub"))
+            + Portable.dot(col("csub"), col("csub"))
+            - lit(2.0) * Portable.dot(col("sub"), col("csub")))
+            .cast("long").as("dist"))
+      val codes = aff.groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"),
+          min(col("dist")).as("dist"))
+      codes.groupBy(col("vec_id"))
+        .agg(
+          sum(col("k") * pow(lit(2.0), col("j") * 4)).cast("long").as("pq_code"),
+          sum(col("dist")).as("pq_err"))
+    },
+    Some(s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      fx AS (SELECT vec_id, list_transform(e, x -> round(x * $fxScale)) AS q FROM raw),
+      subs AS (
+        SELECT vec_id, j, list_slice(q, j*$pqSubDim+1, j*$pqSubDim+$pqSubDim) AS sub
+        FROM fx CROSS JOIN (SELECT unnest(range(0, $pqSubspaces)) AS j)),
+      cents AS (
+        SELECT j, vec_id AS k, sub AS csub FROM subs WHERE vec_id < $pqK),
+      aff AS (
+        SELECT s.vec_id, s.j, c.k,
+               CAST(list_dot_product(s.sub, s.sub) + list_dot_product(c.csub, c.csub)
+                    - 2 * list_dot_product(s.sub, c.csub) AS BIGINT) AS dist
+        FROM subs s JOIN cents c ON c.j = s.j),
+      mn AS (SELECT vec_id, j, min(dist) AS md FROM aff GROUP BY 1, 2),
+      code AS (
+        SELECT a.vec_id, a.j, min(a.k) AS k, min(a.dist) AS dist
+        FROM aff a JOIN mn ON mn.vec_id = a.vec_id AND mn.j = a.j AND a.dist = mn.md
+        GROUP BY 1, 2)
+      SELECT vec_id,
+             CAST(sum(k * (2 ** (4 * j))) AS BIGINT) AS pq_code,
+             CAST(sum(dist) AS BIGINT) AS pq_err
+      FROM code GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }

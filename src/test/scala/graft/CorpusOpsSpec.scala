@@ -74,6 +74,21 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("e08: PQ codes fit 32 bits and codebook vectors encode losslessly") {
+    val rows = run("e08_pq_encode")
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pq_code"),
+        r.getAs[Long]("pq_err")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, code, err) =>
+      assert(code >= 0 && code < (1L << 32), s"vec $id: code $code outside 32 bits")
+      assert(err >= 0)
+    }
+    // a codebook vector's own subvectors are in the codebook → exact
+    rows.filter(_._1 < 16).foreach { case (id, _, err) =>
+      assert(err == 0, s"codebook vec $id reconstructs with error $err")
+    }
+  }
+
   test("e06: assignment is a partition into at most k clusters with sane distances") {
     val rows = run("e06_kmeans_fixpoint")
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
