@@ -253,5 +253,68 @@ object StreamQueries {
       GROUP BY ROLLUP (n_name, event_type)
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36)
+  // ---- q37: interval (range) join via bucket-grid equi-join ----------
+  //
+  // Events joined to overlapping time intervals ("campaigns": 20
+  // deterministic intervals of width 2w starting every w across the
+  // event span). Spark executes a raw `ts BETWEEN s AND e` join as a
+  // broadcast-nested-loop — O(|events|·|intervals|) compares. The
+  // scalable formulation grids time into width-w cells: an interval of
+  // width 2w covers exactly cells {c, c+1} (+ the span-remainder tail
+  // cell for the last one), so exploding each interval to its covered
+  // cells turns the join into an EQUI-join on cell id + an exact
+  // residual filter — hash join, partial-agg-friendly, no quadratic
+  // compare. The oracle is DuckDB's native inequality join: two
+  // different algorithms, hash-matched (the q28 as-of pattern).
+  //
+  // All grid math is integer micros derived from min/max(ts) — exact in
+  // both engines.
+
+  private val nCampaigns = 20
+
+  private val q37 = Q(
+    "q37_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val stats = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .select(col("mn"), floor((col("mx") - col("mn")) / nCampaigns)
+          .cast("long").as("w"))
+      val campaigns = s.range(nCampaigns).toDF("campaign_id")
+        .crossJoin(broadcast(stats))
+        .select(col("campaign_id"),
+          (col("mn") + col("campaign_id") * col("w")).as("c_start"),
+          (col("mn") + (col("campaign_id") + 2) * col("w")).as("c_end"))
+      // each interval [c·w, (c+2)·w) covers grid cells c and c+1; the
+      // last interval also covers the span-remainder tail cell 20
+      val cells = campaigns
+        .withColumn("j", explode(sequence(lit(0L),
+          when(col("campaign_id") === nCampaigns - 1, 2L).otherwise(1L))))
+        .select(col("campaign_id"), col("c_start"), col("c_end"),
+          (col("campaign_id") + col("j")).as("cell"))
+      val evCells = ev.crossJoin(broadcast(stats))
+        .select(col("event_id"), col("ts_us"), col("value"),
+          floor((col("ts_us") - col("mn")) / col("w")).cast("long").as("cell"))
+      evCells.join(broadcast(cells), Seq("cell"))
+        .filter(col("ts_us") >= col("c_start") && col("ts_us") < col("c_end"))
+        .groupBy(col("campaign_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("value_sum"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+      st AS (SELECT min(ts_us) AS mn,
+                    (max(ts_us) - min(ts_us)) // $nCampaigns AS w
+             FROM ev),
+      campaigns AS (
+        SELECT c AS campaign_id, mn + c * w AS c_start, mn + (c + 2) * w AS c_end
+        FROM st CROSS JOIN (SELECT unnest(range(0, $nCampaigns)) AS c))
+      SELECT campaign_id, count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM ev JOIN campaigns
+        ON ev.ts_us >= c_start AND ev.ts_us < c_end
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37)
 }
