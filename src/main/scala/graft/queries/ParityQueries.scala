@@ -424,6 +424,33 @@ object ParityQueries {
       FROM g LEFT JOIN t ON t.yyyymm = g.yyyymm
     """))
 
+  // Skew-salted fact⋈dim join, oracle-checked: Skew.saltedJoin must be
+  // row-identical to the plain join (the salt only routes rows across
+  // shuffle partitions), so the oracle is the PLAIN SQL join — the
+  // correctness contract that makes salting safe to deploy on a hot key.
+  // Projections are applied before the salt (the salted projection is an
+  // optimizer barrier — see Skew's scaladoc), mirroring production use.
+  private val q38 = Q(
+    "q38_salted_join",
+    (s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.etl.Skew.saltedJoin(fact, dim, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("rev")), 2).as("revenue"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q38)
 }
