@@ -381,5 +381,42 @@ object CorpusQueries {
       FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24)
+  // ---- t25: per-source quota capping ---------------------------------
+  //
+  // Cap every source at K docs (the "don't let one crawl dump dominate"
+  // mixing guard, the hard-cap complement to t21's smooth temperature
+  // rebalance). Selection within a source is by seeded-hash order, so
+  // the kept subset is a uniform draw AND stable across engines/reruns.
+  // One window shuffle on source; only rank ≤ K rows survive. A hot
+  // source is one big window partition — at 100 TB pre-filter with an
+  // approximate per-source count and a hash threshold (keep if
+  // hash < K/n_src quantile) to avoid ranking the whole dump; the
+  // window form here is the exact contract that path approximates.
+
+  private val quotaK = 20
+
+  private val t25 = Q(
+    "t25_source_quota",
+    (s, d) => {
+      val h = graft.functions.Portable.hash60(col("doc_id").cast("string"), 23)
+      val ranked = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("int"))
+      ranked.filter(col("rnk") <= quotaK)
+        .select(col("doc_id"), col("source"), col("rnk"))
+    },
+    Some(s"""
+      SELECT doc_id, source, rnk FROM (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY ${hSql("CAST(doc_id AS VARCHAR)", 23)}, doc_id)
+               AS INTEGER) AS rnk
+        FROM documents)
+      WHERE rnk <= $quotaK
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25)
 }

@@ -166,5 +166,40 @@ object MultimodalQueries {
       FROM r
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04)
+  // ---- m05: payload block chunking ------------------------------------
+  // Split each binary payload into fixed 16-byte blocks with a per-block
+  // checksum — the content-addressed chunking an object store / dedup
+  // layer runs on blobs. Partition-local explode (no shuffle); block
+  // count is bounded by payload size / block size.
+
+  private val blockBytes = 16
+
+  private val m05 = Q(
+    "m05_block_split",
+    (s, d) => {
+      val nBlocks = mediaBytes / blockBytes
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(nBlocks - 1))).as("block_idx"),
+          col("h"))
+        .select(col("doc_id"), col("block_idx"),
+          col("h").substr(col("block_idx") * lit(2 * blockBytes) + 1,
+            lit(2 * blockBytes)).as("block_hex"))
+        .select(col("doc_id"), col("block_idx"),
+          lit(blockBytes).cast("int").as("n_bytes"),
+          md5(col("block_hex")).as("block_md5"))
+    },
+    Some(s"""
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents),
+      b AS (SELECT doc_id, unnest(range(0, ${mediaBytes / blockBytes})) AS block_idx, h
+            FROM m)
+      SELECT doc_id, block_idx,
+             CAST($blockBytes AS INTEGER) AS n_bytes,
+             md5(substr(h, CAST(block_idx * ${2 * blockBytes} + 1 AS BIGINT),
+                 ${2 * blockBytes})) AS block_md5
+      FROM b
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }
