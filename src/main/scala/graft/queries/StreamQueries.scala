@@ -316,5 +316,56 @@ object StreamQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37)
+  // ---- q39: sequential funnel (view → click → purchase) ---------------
+  //
+  // The event-analytics conversion funnel: per user, the earliest view,
+  // the earliest click strictly AFTER that view, and the earliest
+  // purchase strictly after that click. Each stage is one equi-join on
+  // user_id plus a residual time predicate feeding a min-aggregate with
+  // map-side partials — three user_id shuffles, each carrying only one
+  // event type's rows (the type filter pushes to the scan). No windows
+  // over the full event table, no per-user driver loops.
+
+  private val q39 = Q(
+    "q39_funnel_steps",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      def firstAfter(etype: String, prev: org.apache.spark.sql.DataFrame,
+                     prevCol: String, outCol: String) =
+        ev.filter(col("event_type") === etype)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts_us") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_ts_us"))
+      val c = firstAfter("click", v, "view_ts_us", "click_ts_us")
+      val p = firstAfter("purchase", c, "click_ts_us", "purchase_ts_us")
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts_us"), col("click_ts_us"),
+          col("purchase_ts_us"),
+          (lit(1) + when(col("click_ts_us").isNotNull, 1).otherwise(0)
+            + when(col("purchase_ts_us").isNotNull, 1).otherwise(0))
+            .cast("int").as("depth"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      v AS (SELECT user_id, min(ts_us) AS view_ts_us
+            FROM ev WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT ev.user_id, min(ts_us) AS click_ts_us
+            FROM ev JOIN v USING (user_id)
+            WHERE event_type = 'click' AND ts_us > view_ts_us GROUP BY 1),
+      p AS (SELECT ev.user_id, min(ts_us) AS purchase_ts_us
+            FROM ev JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND ts_us > click_ts_us GROUP BY 1)
+      SELECT v.user_id, view_ts_us, click_ts_us, purchase_ts_us,
+             CAST(1 + CASE WHEN click_ts_us IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN purchase_ts_us IS NOT NULL THEN 1 ELSE 0 END
+                  AS INTEGER) AS depth
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """))
+
+  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39)
 }
