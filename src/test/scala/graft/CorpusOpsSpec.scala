@@ -59,6 +59,51 @@ class CorpusOpsSpec extends SparkSpec {
       "shuffle positions are not a gapless permutation")
   }
 
+  test("t25: no source exceeds its quota and ranks are gapless from 1") {
+    val rows = run("t25_source_quota")
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ranks = rs.map(_._2).sorted
+      assert(ranks.last <= 20, s"$src exceeded quota")
+      assert(ranks.toSeq == (1 to ranks.length).toSeq, s"$src ranks not gapless")
+    }
+  }
+
+  test("q39: funnel stage times are strictly increasing where present") {
+    val rows = run("q39_funnel_steps")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("view_ts_us")
+      val c = Option(r.getAs[Any]("click_ts_us")).map(_.asInstanceOf[Long])
+      val p = Option(r.getAs[Any]("purchase_ts_us")).map(_.asInstanceOf[Long])
+      val depth = r.getAs[Int]("depth")
+      c.foreach(cv => assert(cv > v, "click not after first view"))
+      p.foreach { pv =>
+        assert(c.isDefined, "purchase stage without click stage")
+        assert(pv > c.get, "purchase not after first qualifying click")
+      }
+      assert(depth == 1 + c.size + p.size)
+    }
+  }
+
+  test("t24: diff statuses are consistent with the version overlays") {
+    val rows = run("t24_snapshot_diff")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, status) =>
+      val inV1 = id % 7 != 0
+      val inV2 = id % 5 != 0
+      val edited = id % 3 == 0
+      val expect =
+        if (!inV1 && inV2) "added"
+        else if (inV1 && !inV2) "removed"
+        else if (edited) "changed"
+        else "unchanged"
+      assert(status == expect, s"doc $id: $status != $expect")
+    }
+  }
+
   test("e05: quantization reconstruction error is bounded by half a step") {
     val rows = run("e05_embed_quantize")
     assert(rows.length > 0)
