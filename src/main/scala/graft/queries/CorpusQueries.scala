@@ -418,5 +418,53 @@ object CorpusQueries {
       WHERE rnk <= $quotaK
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25)
+  // ---- t26: changelog apply (CDC upsert/delete merge) ----------------
+  //
+  // Apply a change stream to a snapshot: latest version wins per key,
+  // deletes drop the key — the MERGE/compaction step of any
+  // incrementally-maintained corpus. The changelog is a deterministic
+  // overlay: every doc has a v1 upsert; doc_id ≡ 0 mod 3 gets a v2 edit,
+  // doc_id ≡ 0 mod 4 a v2 delete (id ≡ 0 mod 12 → the delete wins by
+  // the op tie-break at equal version, mirroring a same-commit
+  // delete-after-write). Plan: one window shuffle on doc_id keyed by
+  // (version DESC, op DESC) — rank 1 is the surviving change; at 100 TB
+  // this is the standard log-compaction shape (shuffle carries one row
+  // per CHANGE, not per key × version history, after partial pushdown).
+
+  private val t26 = Q(
+    "t26_changelog_apply",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val base = docs.select(col("doc_id"), lit(1L).as("version"),
+        lit("upsert").as("op"), col("text"))
+      val edits = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val deletes = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      val log = base.unionAll(edits).unionAll(deletes)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("version").desc, col("op").asc) // 'delete' < 'upsert'
+      log.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1 && col("op") === "upsert")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT doc_id, 1 AS version, 'upsert' AS op, text FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', text || ' v2' FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'delete', NULL FROM documents WHERE doc_id % 4 = 0),
+      r AS (
+        SELECT doc_id, version, op, text,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY version DESC, op ASC) AS rnk
+        FROM log)
+      SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS fp
+      FROM r WHERE rnk = 1 AND op = 'upsert'
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26)
 }
