@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Bloom-prefiltered semi-join: the scale pattern for "filter a huge fact
+  * table by a key set that is too large to broadcast as rows but fits as
+  * a sketch".
+  *
+  * Build is distributed (Catalyst's `BloomFilterAggregate` — map-side
+  * partial sketches, merged tree-wise; only the final ~MB bitmap reaches
+  * the driver, exactly like any broadcast variable). The probe is
+  * `BloomFilterMightContain` over `xxhash64(key)` — a codegen'd scalar
+  * predicate that is pushed into the fact scan pipeline, so false rows
+  * die BEFORE the shuffle. The final left-semi join removes bloom false
+  * positives, making the result exactly equal to the plain semi-join —
+  * which is the correctness contract the oracle checks (same shape as
+  * Spark's own `InjectRuntimeFilter`, here applied explicitly so the
+  * pruning is guaranteed rather than cost-based).
+  *
+  * At 100 TB: shuffle volume for the semi-join drops from |fact| rows to
+  * |fact ∩ bloom| rows (true matches + fpp·|fact|); the bloom itself is
+  * O(expectedItems) bits independent of fact size.
+  */
+object BloomJoin {
+
+  /** Distributed bloom build over `key`; returns the serialized sketch
+    * (null-free input assumed; returns None when `keys` is empty).
+    */
+  def build(keys: DataFrame, key: Column, expectedItems: Long): Option[Array[Byte]] = {
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(key)), expectedItems)
+      .toAggregateExpression()
+    val row = keys.select(ColumnBridge.column(agg).as("bf")).head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  /** Codegen'd membership probe against a serialized bloom sketch. */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloom)),
+      ColumnBridge.expression(xxhash64(key))))
+
+  /** Exact semi-join of `big` against `keys` on `bigKey == keyCol`,
+    * bloom-prefiltered: result is row-identical to
+    * `big.join(keys, big(bigKey) === keys(keyCol), "left_semi")`.
+    */
+  def semiJoin(
+      big: DataFrame,
+      bigKey: String,
+      keys: DataFrame,
+      keyCol: String,
+      expectedItems: Long): DataFrame =
+    build(keys, col(keyCol), expectedItems) match {
+      case None => big.where(lit(false))
+      case Some(bloom) =>
+        big.filter(mightContain(bloom, col(bigKey)))
+          .join(keys.select(col(keyCol).as(bigKey)).distinct(),
+            Seq(bigKey), "left_semi")
+    }
+}

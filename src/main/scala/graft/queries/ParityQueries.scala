@@ -450,7 +450,35 @@ object ParityQueries {
       GROUP BY 1
     """))
 
+  // Bloom-prefiltered semi-join, oracle-checked: BloomJoin.semiJoin must
+  // be row-identical to the plain IN-subquery (the bloom only prunes
+  // before the shuffle; the final semi-join removes false positives), so
+  // the oracle is the PLAIN SQL semi-join — the contract that makes the
+  // sketch safe to deploy as a shuffle-volume reducer on a 100 TB fact.
+  private val q40 = Q(
+    "q40_bloom_semi_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.etl.BloomJoin
+        .semiJoin(Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+    Some("""
+      SELECT l_linestatus, count(*) AS n_items,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38)
+      q38, q40)
 }
