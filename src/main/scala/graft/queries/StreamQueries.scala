@@ -367,5 +367,40 @@ object StreamQueries {
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
     """))
 
-  def all: Seq[Q] = Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39)
+  // ---- q41: stream-stream interval join (batch twin) -------------------
+  //
+  // View→purchase attribution via StreamOps.attributePurchases — the
+  // same definition StreamingSpec runs as a watermarked stream-stream
+  // join. Per attributed purchase: how many qualifying views preceded it
+  // and the earliest one. Batch plan: one user_id equi-join with a
+  // residual time-range predicate, then a purchase_id hash agg.
+
+  private val q41 = Q(
+    "q41_stream_stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pairs = StreamOps.attributePurchases(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(col("view_id")).as("first_view_id"),
+          round(min(col("value")), 4).as("value"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+            FROM events WHERE event_type = 'purchase')
+      SELECT purchase_id, count(*) AS n_views,
+             min(view_id) AS first_view_id,
+             round(min(value), 4) AS value
+      FROM v JOIN p ON v.user_id = p.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts < v.view_ts + INTERVAL 6 HOUR
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] =
+    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41)
 }

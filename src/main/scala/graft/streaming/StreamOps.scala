@@ -66,6 +66,37 @@ object StreamOps {
         col("c_nationkey") === col("n_nationkey"))
       .drop("c_custkey", "c_nationkey", "n_nationkey")
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's preceding views within `horizon` (view ≤ purchase < view +
+    * horizon). ONE definition serves batch and streaming frames: batch
+    * sides join directly; streaming sides get watermarks, and the
+    * event-time range condition is what lets Spark bound the join state
+    * — each side's buffered rows expire `watermark + horizon` behind the
+    * clock, so state is O(rate × horizon), independent of stream length.
+    * This is the join shape (equi-key + time bound) that survives an
+    * unbounded stream; an unconstrained stream-stream join would buffer
+    * forever.
+    */
+  def attributePurchases(
+      views: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "6 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val v0 = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts"))
+    val p0 = purchases.select(col("user_id").as("p_uid"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    val v = if (v0.isStreaming) v0.withWatermark("view_ts", watermark) else v0
+    val p = if (p0.isStreaming) p0.withWatermark("purchase_ts", watermark) else p0
+    v.join(p,
+      col("user_id") === col("p_uid") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
+
   /** One event for sessionization (micros epoch keeps arithmetic exact). */
   final case class Ev(user_id: Long, ts_us: Long, value: Double)
 

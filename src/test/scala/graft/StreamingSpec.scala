@@ -292,6 +292,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributePurchases: stream-stream interval join matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    // (event_id, user_id, minutes-offset, value); horizon is 6h = 360 min
+    val views = Seq(
+      (100L, 1L, 0L, 0.0), (101L, 1L, 60L, 0.0), // both attribute p200
+      (102L, 2L, 10L, 0.0),                      // p201 at +500 > horizon
+      (103L, 3L, 0L, 0.0))                       // attributes p202
+    val purchases = Seq(
+      (200L, 1L, 90L, 5.5), (201L, 2L, 500L, 9.99), (202L, 3L, 30L, 1.0))
+    def mk(s: Seq[(Long, Long, Long, Double)]) =
+      s.toDF("event_id", "user_id", "m", "value")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(lit(base) + col("m") * MIN).as("ts"), col("value"))
+
+    val vIn = MemoryStream[(Long, Long, Long, Double)]
+    val pIn = MemoryStream[(Long, Long, Long, Double)]
+    def asStream(in: MemoryStream[(Long, Long, Long, Double)]) =
+      mk0(in.toDS().toDF("event_id", "user_id", "m", "value"))
+    def mk0(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"),
+        timestamp_micros(lit(base) + col("m") * MIN).as("ts"), col("value"))
+
+    val joined = StreamOps.attributePurchases(asStream(vIn), asStream(pIn))
+    val ckpt = Files.createTempDirectory("ckpt5").toString
+    val q = joined.writeStream
+      .format("memory").queryName("attr_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // out-of-order across micro-batches, inside the 1h watermark slack:
+      // view 101 (+60min) arrives AFTER purchase 200 (+90min) was already
+      // processed — the join must buffer the purchase and match the
+      // late-but-admissible view. (A view older than the watermark would
+      // be dropped: that's the state bound, tested by construction here
+      // since batch 1's view max is +0 ⇒ watermark stays behind +60.)
+      vIn.addData(views(0), views(3))
+      pIn.addData(purchases(0))
+      q.processAllAvailable()
+      vIn.addData(views(1), views(2))
+      pIn.addData(purchases(1), purchases(2))
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("purchase_id"), col("view_id"), col("value"))
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("attr_out"))
+      val batch = canon(StreamOps.attributePurchases(mk(views), mk(purchases)))
+      assert(batch == Seq((200L, 100L, 5.5), (200L, 101L, 5.5), (202L, 103L, 1.0)))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("enrichEvents: stream-static join matches batch row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Seq((1L, 10L), (2L, 20L), (3L, 10L))
