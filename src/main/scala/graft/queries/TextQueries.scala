@@ -717,7 +717,117 @@ object TextQueries {
       FROM batch WHERE fp NOT IN (SELECT fp FROM dup)
     """))
 
+  // ---- t27: DSIR-shaped importance weights ----------------------------
+  //
+  // Data-selection-by-importance-resampling shape (Xie et al. 2023,
+  // arXiv:2302.03169): hash tokens into B buckets, estimate a target
+  // (here: lang='en' docs) and a source (full corpus) unigram bucket
+  // distribution with add-1 smoothing, and weight each document by its
+  // tokens' summed log-likelihood ratio. Engine-portable determinism:
+  // each per-bucket log-likelihood is rounded ONCE to integer micro-log
+  // units (round(ln(p)·1e6) as BIGINT) and documents sum integers —
+  // no float accumulation, so Spark and DuckDB hash-match despite ln()
+  // not being correctly-rounded (a 1-ulp ln difference would have to
+  // straddle a 0.5e-6 rounding boundary to surface; float sums would
+  // differ by summation order instead).
+  //
+  // Scale: token explode → one shuffle on bucket id (B=1024 rows out),
+  // totals + bucket table broadcast back, one doc_id shuffle for the
+  // per-doc sum. Fact volume flows through exactly two map-side-combined
+  // hash aggs; nothing driver-side.
+
+  private val dsirBuckets = 1024
+
+  private val t27 = Q(
+    "t27_importance_weights",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(TA.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          pmod(Portable.hash60(col("tok"), 9), lit(dsirBuckets)).as("b"))
+      val totals = toks.agg(
+        count(lit(1)).as("ns"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      val perBucket = toks.groupBy(col("b")).agg(
+        count(lit(1)).as("cs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val bucketW = perBucket.crossJoin(broadcast(totals)).select(
+        col("b"),
+        (round(log((col("ct") + 1.0) / (col("nt") + lit(dsirBuckets.toDouble))) * 1e6)
+          - round(log((col("cs") + 1.0) / (col("ns") + lit(dsirBuckets.toDouble))) * 1e6))
+          .cast("long").as("w_micro"))
+      toks.join(broadcast(bucketW), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_micro")).as("llr_micro"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, ${hSql("t.tok", 9)} % $dsirBuckets AS b
+        FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents) t),
+      totals AS (
+        SELECT count(*) AS ns,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        FROM toks),
+      per_bucket AS (
+        SELECT b, count(*) AS cs,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY 1),
+      bucket_w AS (
+        SELECT b,
+               CAST(round(ln((ct + 1.0) / (nt + $dsirBuckets.0)) * 1e6)
+                    - round(ln((cs + 1.0) / (ns + $dsirBuckets.0)) * 1e6)
+                 AS BIGINT) AS w_micro
+        FROM per_bucket CROSS JOIN totals)
+      SELECT doc_id, count(*) AS n_toks,
+             CAST(sum(w_micro) AS BIGINT) AS llr_micro
+      FROM toks JOIN bucket_w USING (b)
+      GROUP BY 1
+    """))
+
+  // ---- t28: unigram-LM negative log-likelihood (perplexity filter) ----
+  //
+  // The classic perplexity-style quality gate, self-trained: corpus
+  // unigram counts → per-token surprise -ln(c/N), rounded once to
+  // integer micro-nats; each document reports its token count and summed
+  // surprise (avg = nll_micro / n_toks, derivable exactly). Same
+  // integer-micro portability contract as t27.
+  //
+  // Scale: the token-count table is corpus-vocabulary-sized, so the
+  // doc-token → token-count join shuffles on the token hash (NOT
+  // broadcast — vocab grows with corpus); per-doc sum reuses the doc_id
+  // shuffle. Three hash aggs + one equi-join, all map-side combined.
+
+  private val t28 = Q(
+    "t28_unigram_nll",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(TA.tokens(col("text"))).as("tok"))
+      val totals = toks.agg(count(lit(1)).as("n"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(totals))
+        .select(col("tok"),
+          round(-log(col("c") / col("n")) * 1e6).cast("long").as("nll_micro"))
+      toks.join(counts, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("nll_micro")).as("nll_micro"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      totals AS (SELECT count(*) AS n FROM toks),
+      counts AS (
+        SELECT tok, CAST(round(-ln(CAST(count(*) AS DOUBLE) / n) * 1e6) AS BIGINT)
+                 AS nll_micro
+        FROM toks CROSS JOIN totals GROUP BY tok, n)
+      SELECT doc_id, count(*) AS n_toks,
+             CAST(sum(nll_micro) AS BIGINT) AS nll_micro
+      FROM toks JOIN counts USING (tok)
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23)
+      t14, t15, t16, t23, t27, t28)
 }
