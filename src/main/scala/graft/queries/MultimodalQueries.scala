@@ -201,5 +201,91 @@ object MultimodalQueries {
       FROM b
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  // ---- m06: perceptual-hash hamming near-dup --------------------------
+  //
+  // Image/media near-dup by 64-bit perceptual hash: 4×15-bit band hashes
+  // over payload quarters (a real pHash/aHash slots into the same 64-bit
+  // contract), banded LSH candidate join (pairs sharing ≥1 exact band —
+  // never all-pairs), then a hamming verify via bit_count(xor) ≤ 16.
+  // Near-duplicate payloads are fabricated for every doc_id % 5 == 0:
+  // the twin (id + 2_000_000) shares payload quarters 0–2 and differs in
+  // quarter 3, so 3 of 4 bands match and the true hamming distance is
+  // the band-3 bit diff (60-bit phash: 4×15-bit bands — packing stays
+  // below 2^63 so the shift is overflow-safe in ANSI Spark AND DuckDB). Unrelated chance band collisions are killed by
+  // the hamming verify.
+  //
+  // Scale: one explode (4 rows/payload), one (band_idx, band) shuffle
+  // for the equi-join, distinct on pairs — same banded-join shape as the
+  // minhash LSH (etl/Dedup.scala), state never quadratic.
+
+  private val phashHamMax = 16
+  private val phashTwinShift = 2000000L
+
+  /** 16-bit band hash of payload-hex quarter `i` (hash60-derived). */
+  private def bandCol(h: Column, i: Int): Column =
+    pmod(graft.functions.Portable.hash60(
+      h.substr(lit(32 * i + 1), lit(32)), 20 + i), lit(32768))
+
+  private def bandSql(h: String, i: Int): String =
+    s"CAST(('0x'||substr(md5(substr($h, ${32 * i + 1}, 32)||'#${20 + i}'),1,15)) AS BIGINT) % 32768"
+
+  private val m06 = Q(
+    "m06_phash_neardup",
+    (s, d) => {
+      val base = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + phashTwinShift).as("doc_id"),
+          concat(col("h").substr(1, 96),
+            substring(md5(concat(col("h"), lit("x"))), 1, 32)).as("h"))
+      val corpus = base.unionByName(twins)
+      val hashed = corpus.select(col("doc_id"),
+        (shiftleft(bandCol(col("h"), 0), 45)
+          bitwiseOR shiftleft(bandCol(col("h"), 1), 30)
+          bitwiseOR shiftleft(bandCol(col("h"), 2), 15)
+          bitwiseOR bandCol(col("h"), 3)).as("phash"),
+        array((0 to 3).map(i => bandCol(col("h"), i)): _*).as("bands"))
+      val exploded = hashed.select(col("doc_id"), col("phash"),
+        posexplode(col("bands")).as(Seq("band_idx", "band")))
+      val a = exploded.select(col("band_idx"), col("band"),
+        col("doc_id").as("a_id"), col("phash").as("a_ph"))
+      val b = exploded.select(col("band_idx"), col("band"),
+        col("doc_id").as("b_id"), col("phash").as("b_ph"))
+      a.join(b, Seq("band_idx", "band"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_ph"), col("b_ph")).distinct()
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_ph") bitwiseXOR col("b_ph")).as("hamming"))
+        .filter(col("hamming") <= phashHamMax)
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, $hexmSql AS h FROM documents),
+      twins AS (
+        SELECT doc_id + $phashTwinShift AS doc_id,
+               substr(h, 1, 96) || substr(md5(h||'x'), 1, 32) AS h
+        FROM base WHERE doc_id % 5 = 0),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      hashed AS (
+        SELECT doc_id,
+               (${bandSql("h", 0)} << 45) | (${bandSql("h", 1)} << 30)
+                 | (${bandSql("h", 2)} << 15) | ${bandSql("h", 3)} AS phash,
+               [${(0 to 3).map(i => bandSql("h", i)).mkString(", ")}] AS bands
+        FROM corpus),
+      exploded AS (
+        SELECT doc_id, phash, generate_subscripts(bands, 1) - 1 AS band_idx,
+               unnest(bands) AS band
+        FROM hashed),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.phash AS a_ph, b.phash AS b_ph
+        FROM exploded a JOIN exploded b
+          ON a.band_idx = b.band_idx AND a.band = b.band
+         AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+             CAST(bit_count(xor(a_ph, b_ph)) AS INTEGER) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(a_ph, b_ph)) <= $phashHamMax
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }
