@@ -827,7 +827,76 @@ object TextQueries {
       GROUP BY 1
     """))
 
+  // ---- t29: hard rule-filter report (Gopher-style gates) ---------------
+  //
+  // The rule-based document filter every corpus build runs before the
+  // model-based ones (Rae et al. 2021 "Gopher" §A1.1 shape): hard gates
+  // on token count, mean word length, repetition (distinct-token ratio)
+  // and an English-stopword hit, with a one-row REPORT of per-rule
+  // rejection counts + the kept count — the operator's output is the
+  // audit trail, not just the surviving rows (those are `kept = every
+  // rule false`). Pure column math over one tokenization, one hash agg;
+  // ratio comparisons are exact (same integer÷integer double in both
+  // engines), so the report is deterministic.
+
+  private val t29 = Q(
+    "t29_rule_filter",
+    (s, d) => {
+      val enStops = TA.langStopwords.head._2
+      val docs = Tables.spread(Tables.documents(s, d))
+        .withColumn("toks", TA.tokens(col("text")))
+        .withColumn("ntok", size(col("toks")))
+        .withColumn("mean_wl",
+          aggregate(transform(col("toks"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / col("ntok"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("ntok"))
+        .withColumn("r_short", col("ntok") < 20)
+        .withColumn("r_long", col("ntok") > 80)
+        .withColumn("r_wordlen", col("mean_wl") < 3.5 || col("mean_wl") > 5.5)
+        .withColumn("r_repeat", col("distinct_ratio") < 0.35)
+        .withColumn("r_nostop", TA.stopwordHits(col("toks"), enStops) === 0)
+      def n(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        n("r_short"), n("r_long"), n("r_wordlen"), n("r_repeat"), n("r_nostop"),
+        sum(when(!col("r_short") && !col("r_long") && !col("r_wordlen")
+          && !col("r_repeat") && !col("r_nostop"), 1L).otherwise(0L))
+          .as("n_kept"))
+    },
+    Some {
+      val enStopsLst = TA.langStopwords.head._2
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      f AS (SELECT
+              len(toks) AS ntok,
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / len(toks) AS mean_wl,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                AS distinct_ratio,
+              len(list_filter(toks, x -> list_contains($enStopsLst, x)))
+                AS stops
+            FROM t),
+      r AS (SELECT ntok < 20 AS r_short, ntok > 80 AS r_long,
+                   mean_wl < 3.5 OR mean_wl > 5.5 AS r_wordlen,
+                   distinct_ratio < 0.35 AS r_repeat,
+                   stops = 0 AS r_nostop
+            FROM f)
+      SELECT count(*) AS n_docs,
+             CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS n_r_short,
+             CAST(sum(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT) AS n_r_long,
+             CAST(sum(CASE WHEN r_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_r_wordlen,
+             CAST(sum(CASE WHEN r_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_r_repeat,
+             CAST(sum(CASE WHEN r_nostop THEN 1 ELSE 0 END) AS BIGINT) AS n_r_nostop,
+             CAST(sum(CASE WHEN NOT r_short AND NOT r_long AND NOT r_wordlen
+                            AND NOT r_repeat AND NOT r_nostop
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM r
+    """
+    })
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28)
+      t14, t15, t16, t23, t27, t28, t29)
 }
