@@ -82,19 +82,24 @@ object SimilarityQueries {
 
   // ---- e01: brute-force cosine top-k ---------------------------------
 
+  /** Exact top-k pairs (qid, cid, rnk, cos) — e01's core, reused by the
+    * e09 recall audit.
+    */
+  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = normalizedEmb(s, d)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("en").as("qe"))
+    val scored = broadcast(queries).crossJoin(
+      emb.select(col("vec_id").as("cid"), col("en").as("ce")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
+    graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+  }
+
   private val e01 = Q(
     "e01_knn_brute",
-    (s, d) => {
-      val emb = normalizedEmb(s, d)
-      val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("en").as("qe"))
-      val scored = broadcast(queries).crossJoin(
-        emb.select(col("vec_id").as("cid"), col("en").as("ce")))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
-      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
-        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
-    },
+    (s, d) => knnBrute(s, d)
+      .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim")),
     Some(s"""
       WITH $normalizedSql,
       q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
@@ -107,19 +112,22 @@ object SimilarityQueries {
 
   // ---- e02: LSH-bucketed approximate top-k ---------------------------
 
+  /** LSH-bucketed approximate top-k — e02's core, reused by e09. */
+  private def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = normalizedEmb(s, d).withColumn("bkt", bucket(col("e")))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("en").as("qe"), col("bkt"))
+    val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
+    val scored = broadcast(queries).join(cands, Seq("bkt"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
+    graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+  }
+
   private val e02 = Q(
     "e02_knn_lsh",
-    (s, d) => {
-      val emb = normalizedEmb(s, d).withColumn("bkt", bucket(col("e")))
-      val queries = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("en").as("qe"), col("bkt"))
-      val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
-      val scored = broadcast(queries).join(cands, Seq("bkt"))
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
-      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
-        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
-    },
+    (s, d) => knnLsh(s, d)
+      .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim")),
     Some(s"""
       WITH $normalizedSql,
       b AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM emb),
@@ -525,5 +533,56 @@ object SimilarityQueries {
       FROM code GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  // ---- e09: ANN recall audit (LSH vs exact) ---------------------------
+  //
+  // The index-quality gate: recall@k of the LSH index (e02) against the
+  // exact top-k (e01), per query — the number you check before trusting
+  // an ANN index at scale, and the one that decides band geometry /
+  // probe counts. Output is pure integers (hits of k), so the audit is
+  // engine-exact. Plan: the two k-row-per-query results join on
+  // (qid, cid) — both sides are tiny relative to the corpus (|Q|·k
+  // rows); the heavy work is the underlying searches themselves.
+
+  private val e09 = Q(
+    "e09_ann_recall",
+    (s, d) => {
+      val exact = knnBrute(s, d).select(col("qid"), col("cid"))
+      val approx = knnLsh(s, d).select(col("qid"), col("cid"))
+      val hits = exact.join(approx, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      b AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM emb),
+      q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
+      scored_ex AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
+        WHERE qid <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ex),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k),
+      qb AS (SELECT vec_id AS qid, en AS qe, bkt FROM b WHERE vec_id % 100 = 0),
+      scored_ap AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM qb JOIN (SELECT vec_id, en AS ce, bkt FROM b) c USING (bkt)
+        WHERE qid <> c.vec_id),
+      rap AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ap),
+      ap AS (SELECT qid, cid FROM rap WHERE rnk <= $k),
+      hits AS (SELECT qid, count(*) AS n_hits
+               FROM ex JOIN ap USING (qid, cid) GROUP BY 1)
+      SELECT qid, count(*) AS n_exact,
+             CAST(coalesce(any_value(n_hits), 0) AS BIGINT) AS n_hits
+      FROM ex LEFT JOIN hits USING (qid)
+      GROUP BY qid
+    """))
+
+  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

@@ -73,5 +73,33 @@ object StatsQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33)
+  // CUBE over (returnflag, linestatus): all four grouping sets in ONE
+  // shuffle (Spark expands the cube map-side; partial aggregation still
+  // applies) — vs four separate groupBys = four scans + four shuffles.
+  // Complements q36's ROLLUP. Null group cells are labeled 'ALL' in both
+  // engines (portable across null-ordering/stringification differences),
+  // and the grouping id is re-derived from the same flags DuckDB
+  // exposes, bit order pinned to (returnflag=2, linestatus=1).
+  private val q42 = Q(
+    "q42_cube_report",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("gid"), col("n"), col("qty")),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+             coalesce(l_linestatus, 'ALL') AS lstatus,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42)
 }
