@@ -193,5 +193,59 @@ object PipelineQueries {
       SELECT dir_key, bad_key, rnk, n_file_violations FROM r WHERE rnk <= 5
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31)
+  // ---- q43: hive-partitioned parquet write → partition-pruned read ----
+  //
+  // The lake-layout primitive the 100 TB story rests on: write the fact
+  // partitioned by a low-cardinality column (`partitionBy` — one
+  // directory per value, dynamic, no driver loop), then read it back
+  // with a partition predicate. Catalyst turns the predicate into a
+  // PartitionFilter — the scan LISTS only the matching directory and
+  // never opens the other partitions' files (PlanAuditSpec asserts the
+  // pruned plan). Oracle = the same filter over the original table
+  // (layout round-trip ≡ source of truth).
+
+  /** Guards q43's first materialization (same pattern as the fan-out). */
+  private val partLock = new Object
+
+  private def partitionedOrders(s: SparkSession, d: String): String = {
+    val out = tmp("orders_bypriority", d)
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    partLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        Tables.orders(s, d)
+          .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+        marker.createNewFile()
+      }
+    }
+    out
+  }
+
+  private val q43 = Q(
+    "q43_partition_prune",
+    (s, d) => {
+      val layout = partitionedOrders(s, d)
+      s.read.parquet(layout)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43)
+
+  /** The partitioned layout + pruned scan, exposed for PlanAuditSpec's
+    * partition-pruning assertion.
+    */
+  def prunedScanForAudit(s: SparkSession, d: String): DataFrame = {
+    val layout = partitionedOrders(s, d)
+    s.read.parquet(layout).filter(col("o_orderpriority") === "1-URGENT")
+  }
 }

@@ -896,7 +896,57 @@ object TextQueries {
     """
     })
 
+  // ---- t30: contamination overlap fraction ----------------------------
+  //
+  // t13 answers "is this doc contaminated?" (≥1 shared 4-gram with the
+  // benchmark); t30 answers "HOW contaminated?" — the per-doc overlap
+  // fraction (shared distinct grams / doc distinct grams) every
+  // decontamination policy thresholds on (drop at ≥50%, audit at ≥10%,
+  // ...). Reported in exact integer per-mille (floor), so the score is
+  // engine-portable with no float division. Same scale shape as t13:
+  // benchmark grams broadcast, corpus probed map-locally, only matches
+  // shuffle to the doc_id agg.
+
+  private val t30 = Q(
+    "t30_contamination_frac",
+    (s, d) => {
+      val grams = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .filter(size(col("_toks")) >= 4)
+        .select(col("doc_id"),
+          explode(Portable.tokenShingles(col("_toks"), 4)).as("g"))
+        .distinct()
+      val corpus = grams.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = grams.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("g")).distinct()
+      val total = corpus.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val shared = corpus.join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      total.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contam_pm",
+          floor(col("n_shared") * 1000 / col("n_grams")).cast("long"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+                     i -> toks[i]||'_'||toks[i+1]||'_'||toks[i+2]||'_'||toks[i+3]))) AS g
+            FROM t WHERE len(toks) >= 4),
+      corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 50 <> 0),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+      total AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+      shared AS (SELECT doc_id, count(*) AS n_shared
+                 FROM corpus JOIN bench USING (g) GROUP BY 1)
+      SELECT doc_id, n_grams,
+             CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+             CAST(coalesce(n_shared, 0) * 1000 // n_grams AS BIGINT) AS contam_pm
+      FROM total LEFT JOIN shared USING (doc_id)
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29)
+      t14, t15, t16, t23, t27, t28, t29, t30)
 }

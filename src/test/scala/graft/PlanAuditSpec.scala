@@ -33,4 +33,16 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("q43's scan prunes partitions: only the predicate's directory is read") {
+    val scan = graft.queries.PipelineQueries
+      .prunedScanForAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    // the partition predicate must appear as a partition filter (pruned
+    // at listing time), not a post-scan data Filter
+    assert(
+      "PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(scan).isDefined,
+      s"o_orderpriority not pushed to partition pruning:\n$scan")
+  }
 }
