@@ -101,5 +101,46 @@ object StatsQueries {
       GROUP BY CUBE (l_returnflag, l_linestatus)
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42)
+  // Per-source quality quartiles via ntile PARTITIONED BY source — the
+  // ranking-family window (ntile) with the scale-correct shape: one
+  // source-key shuffle, each source's sort local to its partition (a
+  // GLOBAL ntile would be a single-task sort at 100 TB — for global
+  // quantiles use the q26/q33 percentile family instead). Tie-break on
+  // doc_id pins bucket assignment; quality is the t02 score (bit-exact
+  // across engines), so quartile boundaries agree with no tolerance.
+  private val q44 = Q(
+    "q44_quality_quartiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          graft.etl.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source, text,
+                        ${graft.queries.OracleSql.toksSql} AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, source, ${graft.queries.OracleSql.qualityColsSql}
+            FROM t),
+      q AS (SELECT doc_id, source,
+                   ${graft.queries.OracleSql.qualityExprSql} AS quality
+            FROM m),
+      b AS (SELECT source, quality,
+                   CAST(ntile(4) OVER (PARTITION BY source
+                                       ORDER BY quality, doc_id) AS INTEGER)
+                     AS quartile
+            FROM q)
+      SELECT source, quartile, count(*) AS n,
+             min(quality) AS q_min, max(quality) AS q_max
+      FROM b
+      GROUP BY 1, 2
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44)
 }
