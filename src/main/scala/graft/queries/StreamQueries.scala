@@ -401,6 +401,49 @@ object StreamQueries {
       GROUP BY 1
     """))
 
+  // ---- q45: native session windows ------------------------------------
+  //
+  // Spark's built-in `session_window(ts, gap)` — the dynamic-gap window
+  // the engine merges at aggregation time (works identically on a
+  // watermarked stream, where it is THE bounded-state sessionization).
+  // Boundary convention: a new session starts when diff >= gap (windows
+  // [ts, ts+gap) merge only when they overlap) — q23's custom
+  // sessionizer keeps a diff > gap rule instead; both are valid
+  // contracts, pinned by their respective oracles. The window end is the
+  // last event + gap by definition, mirrored exactly in SQL.
+
+  private val sessGapUs = 30L * 60 * 1000000
+
+  private val q45 = Q(
+    "q45_session_window_native",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("value_sum")),
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      x AS (SELECT *,
+              CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                        >= $sessGapUs
+                   THEN 1 ELSE 0 END AS nw
+            FROM e),
+      g AS (SELECT *,
+              sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS sess
+            FROM x)
+      SELECT user_id,
+             min(ts_us) AS session_start_us,
+             max(ts_us) + $sessGapUs AS session_end_us,
+             count(*) AS n_events,
+             round(sum(value), 4) AS value_sum
+      FROM g
+      GROUP BY user_id, sess
+    """))
+
   def all: Seq[Q] =
-    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41)
+    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45)
 }
