@@ -466,5 +466,61 @@ object CorpusQueries {
       FROM r WHERE rnk = 1 AND op = 'upsert'
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26)
+  // ---- t31: per-source corpus datacard --------------------------------
+  //
+  // The "data card" table every corpus release ships: per source, the
+  // volume (docs, whitespace tokens), quality mass (t02 score summed in
+  // exact integer micro-units — round(q·1e6) of the already-6dp-rounded
+  // score is engine-exact, and integer sums are order-independent),
+  // exact-dup pressure (docs sharing a full-text md5 within the source),
+  // and language spread. One tokenization pass, two hash aggs (doc-level
+  // metrics, then source rollup) + one (source, md5) agg for dups — all
+  // map-side combined; nothing leaves the executors but per-source rows.
+
+  private val t31 = Q(
+    "t31_corpus_datacard",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), col("lang"), col("doc_id"),
+          size(TA.tokens(col("text"))).as("ntok"),
+          round(TA.qualityScore(col("text")) * 1e6).cast("long").as("qmicro"),
+          md5(col("text")).as("fp"))
+      val dupDocs = docs.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("qmicro")).as("q_micro_sum"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(dupDocs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("q_micro_sum"), col("n_langs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source, lang, text, $toksSql AS toks
+                 FROM documents),
+      m AS (SELECT doc_id, source, lang, ${OracleSql.qualityColsSql},
+                   md5(text) AS fp, len(toks) AS ntok_i
+            FROM t),
+      pd AS (SELECT doc_id, source, lang, ntok_i, fp,
+                    CAST(round(${OracleSql.qualityExprSql} * 1e6) AS BIGINT)
+                      AS qmicro
+             FROM m),
+      dups AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_dup_docs
+               FROM (SELECT source, fp, count(*) AS c FROM pd
+                     GROUP BY 1, 2 HAVING count(*) > 1)
+               GROUP BY 1)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ntok_i) AS BIGINT) AS n_tokens,
+             CAST(sum(qmicro) AS BIGINT) AS q_micro_sum,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(coalesce(any_value(n_dup_docs), 0) AS BIGINT) AS n_dup_docs
+      FROM pd LEFT JOIN dups USING (source)
+      GROUP BY source
+    """))
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31)
 }
