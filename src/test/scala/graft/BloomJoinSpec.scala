@@ -42,6 +42,24 @@ class BloomJoinSpec extends SparkSpec {
     assert(missed == 0, s"bloom dropped $missed true keys")
   }
 
+  test("property: bloom semi-join ≡ plain semi-join across key densities and sizes") {
+    // densities from near-empty to full-overlap, expectedItems both
+    // under- and over-sized vs the true key count (undersizing only
+    // raises fpp — the verify join must still make the result exact)
+    for {
+      (mod, items) <- Seq((2L, 10L), (7L, 5000L), (97L, 100L), (9999L, 1L))
+    } {
+      val big = spark.range(0, 5000)
+        .select(col("id").as("k"), (col("id") * 3 % 101).as("v"))
+      val keys = spark.range(0, 5000)
+        .filter(col("id") % mod === 0).select(col("id").as("kk"))
+      val viaBloom = BloomJoin.semiJoin(big, "k", keys, "kk", items)
+      val plain = big.join(keys.select(col("kk").as("k")), Seq("k"), "left_semi")
+      assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty,
+        s"mismatch at mod=$mod items=$items")
+    }
+  }
+
   test("empty key set yields an empty result") {
     val (big, keys) = fixture
     val r = BloomJoin.semiJoin(big, "k", keys.filter(lit(false)), "kk", 10L)
