@@ -39,6 +39,25 @@ object Dedup {
     ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Signature matrix → (id, bidx, bh) band rows. */
+  private def banded(sig: DataFrame, idCol: String,
+                     numBands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("bidx"), Portable.hash60(concat_ws("|", ms: _*), 1000 + b).as("bh"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+  }
+
+  /** Drop band rows in buckets hotter than `maxBucket`. */
+  private def capped(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bidx"), col("bh"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+
   /** Signature matrix → distinct candidate id pairs (a < b) via banded LSH
     * with a bucket-size cap.
     */
@@ -48,24 +67,37 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val bandCols = (0 until numBands).map { b =>
-      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      struct(lit(b).as("bidx"), Portable.hash60(concat_ws("|", ms: _*), 1000 + b).as("bh"))
-    }
-    val banded = sig
-      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
-    val small = banded
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bidx"), col("bh"))))
-      .filter(col("_n") <= maxBucket)
-      .drop("_n")
+    val small = capped(banded(sig, idCol, numBands, rowsPerBand), maxBucket)
     small.as("x")
       .join(small.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
+  }
+
+  /** Incremental probe: candidate (probe, index) pairs — the probe
+    * batch's bands equi-join the INDEX's bands only (never
+    * corpus×corpus). The hot-bucket cap applies to the index side (a
+    * boilerplate-hot corpus band would fan every probe row out
+    * quadratically); the probe batch is small by definition and stays
+    * uncapped. At 100 TB the index band table is the persisted artifact
+    * (computed once, appended to per ingest) and each new batch joins
+    * against it — near-dup checking cost scales with the BATCH, not the
+    * corpus.
+    */
+  def crossBandCandidates(
+      probeSig: DataFrame,
+      indexSig: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    val p = banded(probeSig, idCol, numBands, rowsPerBand)
+      .select(col(idCol).as("a"), col("bidx"), col("bh"))
+    val ix = capped(banded(indexSig, idCol, numBands, rowsPerBand), maxBucket)
+      .select(col(idCol).as("b"), col("bidx"), col("bh"))
+    p.join(ix, Seq("bidx", "bh")).select(col("a"), col("b")).distinct()
   }
 
   /** Resolve verified near-dup pairs into clusters: every member maps to
@@ -126,9 +158,21 @@ object Dedup {
       idCol: String,
       shCol: String,
       cand: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccard(base, base, idCol, shCol, cand, threshold)
+
+  /** Two-sided verify: `a` ids resolve in `baseA`, `b` ids in `baseB`
+    * (the incremental probe-vs-index case).
+    */
+  def verifyJaccard(
+      baseA: DataFrame,
+      baseB: DataFrame,
+      idCol: String,
+      shCol: String,
+      cand: DataFrame,
       threshold: Double): DataFrame = {
-    val sa = base.select(col(idCol).as("a"), col(shCol).as("_sha"))
-    val sb = base.select(col(idCol).as("b"), col(shCol).as("_shb"))
+    val sa = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
+    val sb = baseB.select(col(idCol).as("b"), col(shCol).as("_shb"))
     cand.join(sa, Seq("a")).join(sb, Seq("b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))

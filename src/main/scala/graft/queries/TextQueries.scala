@@ -946,7 +946,107 @@ object TextQueries {
       FROM total LEFT JOIN shared USING (doc_id)
     """))
 
+  /** Cross-side (probe vs index) variant of [[lshPairsSql]] — mirrors
+    * `Dedup.crossBandCandidates` + two-sided verify: probe bands join the
+    * index's CAPPED bands only, never index×index.
+    */
+  private def lshCrossSql(
+      indexSql: String, probeSql: String, k: Int, numBands: Int,
+      rowsPerBand: Int, maxBucket: Int, threshold: Double): String = {
+    val consts = Portable.minhashConsts(k)
+    val minCols = (0 until k)
+      .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
+      .mkString(",\n               ")
+    def bandRows(sig: String) = (0 until numBands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM $sig"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH ix AS ($indexSql),
+      pb AS ($probeSql),
+      exi AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
+      sigi AS (SELECT doc_id,
+               $minCols
+              FROM exi GROUP BY doc_id),
+      exp AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM pb)),
+      sigp AS (SELECT doc_id,
+               $minCols
+              FROM exp GROUP BY doc_id),
+      bandi AS (
+        ${bandRows("sigi")}),
+      bandp AS (
+        ${bandRows("sigp")}),
+      smalli AS (
+        SELECT * FROM (
+          SELECT doc_id, bidx, bh, count(*) OVER (PARTITION BY bidx, bh) AS n
+          FROM bandi) WHERE n <= $maxBucket),
+      cand AS (
+        SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+        FROM bandp p JOIN smalli i ON p.bidx = i.bidx AND p.bh = i.bh),
+      j AS (
+        SELECT a AS doc_a, b AS doc_b,
+               round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+                     / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
+        FROM cand JOIN pb ba ON ba.doc_id = cand.a
+                  JOIN ix bb ON bb.doc_id = cand.b)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
+    """
+  }
+
+  // ---- t32: incremental near-dup (new batch probed against the corpus
+  // LSH index) -----------------------------------------------------------
+  //
+  // t23 is the incremental EXACT dedup; this is its near-dup sibling —
+  // the daily-ingest question "which new docs near-duplicate something
+  // already in the corpus?". The corpus signature/band table is the
+  // persisted index (built once, appended per ingest); the new batch's
+  // bands equi-join it directly. Cost scales with the batch, never
+  // corpus×corpus. Fixture: the batch replays every doc_id % 10 == 0 doc
+  // under a shifted id, so each probe is guaranteed a jaccard-1.0 hit.
+
+  private val incShift = 3000000L
+
+  private val t32 = Q(
+    "t32_incremental_neardup",
+    (s, d) => {
+      def shingled(df: DataFrame) = df
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpus = shingled(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = shingled(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
+      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
+      val cand = Dedup.crossBandCandidates(sigPb, sigIx, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
+      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+    },
+    Some(lshCrossSql(
+      indexSql = s"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        WHERE len(toks) >= 3""",
+      probeSql = s"""
+        SELECT doc_id + $incShift AS doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+              WHERE doc_id % 10 = 0)
+        WHERE len(toks) >= 3""",
+      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+      threshold = 0.8)))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32)
 }
