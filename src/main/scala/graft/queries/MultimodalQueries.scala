@@ -287,5 +287,49 @@ object MultimodalQueries {
       WHERE bit_count(xor(a_ph, b_ph)) <= $phashHamMax
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  // ---- m07: modality-mix datacard -------------------------------------
+  //
+  // The multimodal sibling of t31: per (source, format), the volume and
+  // dimension envelope of the media corpus — the table a training run's
+  // data card reports before any decode happens. Metadata-only: derives
+  // from the m01 metadata columns, so at 100 TB the binary payloads are
+  // pruned out of the scan entirely (the plan reads doc_id/text-derived
+  // metadata, never the blobs).
+
+  private val m07 = Q(
+    "m07_modality_mix",
+    (s, d) => {
+      val docs = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("source"), hexm(col("text")).as("h"))
+        .select(col("source"),
+          when(hexByte(col("h"), 0) < 64, "png")
+            .when(hexByte(col("h"), 0) < 128, "jpg")
+            .when(hexByte(col("h"), 0) < 192, "wav")
+            .otherwise("mp4").as("format"),
+          (hexByte(col("h"), 1) + 1).as("width"),
+          (hexByte(col("h"), 2) + 1).as("height"))
+      docs.groupBy(col("source"), col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(lit(mediaBytes).cast("long")).as("total_bytes"),
+          max(col("width")).as("max_w"), max(col("height")).as("max_h"))
+    },
+    Some(s"""
+      WITH m AS (SELECT source, $hexmSql AS h FROM documents),
+      f AS (SELECT source,
+                   CASE WHEN ${hexByteSql("h", "0")} < 64 THEN 'png'
+                        WHEN ${hexByteSql("h", "0")} < 128 THEN 'jpg'
+                        WHEN ${hexByteSql("h", "0")} < 192 THEN 'wav'
+                        ELSE 'mp4' END AS format,
+                   ${hexByteSql("h", "1")} + 1 AS width,
+                   ${hexByteSql("h", "2")} + 1 AS height
+            FROM m)
+      SELECT source, format, count(*) AS n,
+             CAST(count(*) * $mediaBytes AS BIGINT) AS total_bytes,
+             CAST(max(width) AS INTEGER) AS max_w,
+             CAST(max(height) AS INTEGER) AS max_h
+      FROM f
+      GROUP BY 1, 2
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }
