@@ -44,6 +44,21 @@ object BloomJoin {
       ColumnBridge.expression(lit(bloom)),
       ColumnBridge.expression(xxhash64(key))))
 
+  /** `xxhash64` is TYPE-sensitive (INT 5 and BIGINT 5 hash differently),
+    * so build and probe must hash the key through one canonical type or
+    * a type-skewed pair would silently drop every match. Integral keys
+    * canonicalize to long (same widening the join itself performs);
+    * any other pair must already agree exactly.
+    */
+  private def canonical(df: DataFrame, keyName: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(keyName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(keyName).cast(LongType)
+      case _ => col(keyName)
+    }
+  }
+
   /** Exact semi-join of `big` against `keys` on `bigKey == keyCol`,
     * bloom-prefiltered: result is row-identical to
     * `big.join(keys, big(bigKey) === keys(keyCol), "left_semi")`.
@@ -53,12 +68,21 @@ object BloomJoin {
       bigKey: String,
       keys: DataFrame,
       keyCol: String,
-      expectedItems: Long): DataFrame =
-    build(keys, col(keyCol), expectedItems) match {
+      expectedItems: Long): DataFrame = {
+    val buildKey = canonical(keys, keyCol)
+    val probeKey = canonical(big, bigKey)
+    require(
+      keys.select(buildKey).schema.head.dataType ==
+        big.select(probeKey).schema.head.dataType,
+      s"bloom key types must agree after canonicalization: " +
+        s"$keyCol is ${keys.schema(keyCol).dataType}, " +
+        s"$bigKey is ${big.schema(bigKey).dataType}")
+    build(keys, buildKey, expectedItems) match {
       case None => big.where(lit(false))
       case Some(bloom) =>
-        big.filter(mightContain(bloom, col(bigKey)))
+        big.filter(mightContain(bloom, probeKey))
           .join(keys.select(col(keyCol).as(bigKey)).distinct(),
             Seq(bigKey), "left_semi")
     }
+  }
 }

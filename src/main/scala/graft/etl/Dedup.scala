@@ -97,7 +97,11 @@ object Dedup {
       .select(col(idCol).as("a"), col("bidx"), col("bh"))
     val ix = capped(banded(indexSig, idCol, numBands, rowsPerBand), maxBucket)
       .select(col(idCol).as("b"), col("bidx"), col("bh"))
-    p.join(ix, Seq("bidx", "bh")).select(col("a"), col("b")).distinct()
+    p.join(ix, Seq("bidx", "bh"))
+      // a probe id already present in the index (batch appended before
+      // probing) must not report itself as its own near-duplicate
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
   }
 
   /** Resolve verified near-dup pairs into clusters: every member maps to

@@ -221,13 +221,16 @@ object MultimodalQueries {
   private val phashHamMax = 16
   private val phashTwinShift = 2000000L
 
-  /** 16-bit band hash of payload-hex quarter `i` (hash60-derived). */
+  /** 15-bit band hash of payload-hex quarter `i` (hash60-derived; 15
+    * bits so four bands pack into 60 bits without overflowing a shifted
+    * BIGINT in either engine).
+    */
   private def bandCol(h: Column, i: Int): Column =
     pmod(graft.functions.Portable.hash60(
       h.substr(lit(32 * i + 1), lit(32)), 20 + i), lit(32768))
 
   private def bandSql(h: String, i: Int): String =
-    s"CAST(('0x'||substr(md5(substr($h, ${32 * i + 1}, 32)||'#${20 + i}'),1,15)) AS BIGINT) % 32768"
+    s"${OracleSql.hSql(s"substr($h, ${32 * i + 1}, 32)", 20 + i)} % 32768"
 
   private val m06 = Q(
     "m06_phash_neardup",

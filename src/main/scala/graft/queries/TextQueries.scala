@@ -846,11 +846,17 @@ object TextQueries {
       val docs = Tables.spread(Tables.documents(s, d))
         .withColumn("toks", TA.tokens(col("text")))
         .withColumn("ntok", size(col("toks")))
+        // ntok > 0 guard: ANSI Spark errors (not nulls) on /0, and a
+        // whitespace-only doc tokenizes to 0 tokens — same guard rule as
+        // qualityScoreFromToks; null ratios make every ratio rule false,
+        // and r_short still rejects the empty doc
         .withColumn("mean_wl",
-          aggregate(transform(col("toks"), t => length(t)), lit(0),
-            (acc, x) => acc + x).cast("double") / col("ntok"))
+          when(col("ntok") > 0,
+            aggregate(transform(col("toks"), t => length(t)), lit(0),
+              (acc, x) => acc + x).cast("double") / col("ntok")))
         .withColumn("distinct_ratio",
-          size(array_distinct(col("toks"))).cast("double") / col("ntok"))
+          when(col("ntok") > 0,
+            size(array_distinct(col("toks"))).cast("double") / col("ntok")))
         .withColumn("r_short", col("ntok") < 20)
         .withColumn("r_long", col("ntok") > 80)
         .withColumn("r_wordlen", col("mean_wl") < 3.5 || col("mean_wl") > 5.5)
@@ -871,10 +877,12 @@ object TextQueries {
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
       f AS (SELECT
               len(toks) AS ntok,
-              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-                / len(toks) AS mean_wl,
-              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                AS distinct_ratio,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                  / len(toks) END AS mean_wl,
+              CASE WHEN len(toks) > 0 THEN
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              END AS distinct_ratio,
               len(list_filter(toks, x -> list_contains($enStopsLst, x)))
                 AS stops
             FROM t),
@@ -926,8 +934,9 @@ object TextQueries {
       total.join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_grams"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-        .withColumn("contam_pm",
-          floor(col("n_shared") * 1000 / col("n_grams")).cast("long"))
+        // `div` = integral division, matching the oracle's `//` exactly
+        // (float floor(a/b) could in principle land 1 ulp high)
+        .withColumn("contam_pm", expr("(n_shared * 1000) div n_grams"))
     },
     Some(s"""
       WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -949,6 +958,12 @@ object TextQueries {
   /** Cross-side (probe vs index) variant of [[lshPairsSql]] — mirrors
     * `Dedup.crossBandCandidates` + two-sided verify: probe bands join the
     * index's CAPPED bands only, never index×index.
+    *
+    * LOCKSTEP: shares the minhash/band/cap/jaccard formulations with
+    * [[lshPairsSql]] — any change to the signature transform, band hash
+    * seed (1000+b), cap predicate, or jaccard rounding must be made in
+    * BOTH builders (each is pinned by its own driver-verified oracles,
+    * so a one-sided edit fails the gate rather than drifting silently).
     */
   private def lshCrossSql(
       indexSql: String, probeSql: String, k: Int, numBands: Int,

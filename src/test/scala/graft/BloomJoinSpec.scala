@@ -60,6 +60,17 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("mixed int/long key types canonicalize: no silently dropped matches") {
+    // xxhash64 is type-sensitive (INT 5 and BIGINT 5 hash differently) —
+    // without canonicalization a type-skewed pair loses every match
+    val big = spark.range(0, 1000)
+      .select(col("id").cast("int").as("k"), col("id").as("v"))
+    val keys = spark.range(0, 1000)
+      .filter(col("id") % 10 === 0).select(col("id").as("kk")) // long
+    val viaBloom = BloomJoin.semiJoin(big, "k", keys, "kk", 200L)
+    assert(viaBloom.count() == 100)
+  }
+
   test("empty key set yields an empty result") {
     val (big, keys) = fixture
     val r = BloomJoin.semiJoin(big, "k", keys.filter(lit(false)), "kk", 10L)
