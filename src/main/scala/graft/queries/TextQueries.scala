@@ -48,47 +48,71 @@ object TextQueries {
         UNION ALL SELECT doc_id + $dupShift, text FROM documents)"""
 
   /** DuckDB mirror of the full Dedup pipeline (minhashSignatures →
-    * bandCandidates with bucket cap → verifyJaccard). `baseSql` must be a
-    * CTE body producing (doc_id, sh).
+    * band candidates with bucket cap → verifyJaccard); each side's SQL
+    * must be a CTE body producing (doc_id, sh).
+    *
+    * ONE oracle builder for both LSH shapes — same-side near-dup pairs
+    * (`probeSql = None`: pair condition a < b) and incremental
+    * probe-vs-index (`probeSql = Some(...)`: a ≠ b). The hot-bucket cap
+    * is applied to the INDEX side only, which is exactly equivalent to
+    * capping both: a candidate pair shares its (bidx, bh) bucket, so
+    * both members see the same bucket size — capping either side kills
+    * the same pairs. Mirrors `Dedup.bandCandidates` /
+    * `Dedup.crossBandCandidates` + `verifyJaccard`.
     */
-  private def lshPairsSql(
-      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
-      maxBucket: Int, threshold: Double): String = {
+  private def lshSql(
+      indexSql: String, probeSql: Option[String], k: Int, numBands: Int,
+      rowsPerBand: Int, maxBucket: Int, threshold: Double): String = {
     val consts = Portable.minhashConsts(k)
     val minCols = (0 until k)
       .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
       .mkString(",\n               ")
-    val bandRows = (0 until numBands).map { b =>
+    def bandRows(sig: String) = (0 until numBands).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => s"m$i").mkString("||'|'||")
-      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
+      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM $sig"
     }.mkString("\n        UNION ALL ")
+    val pairCond =
+      if (probeSql.isEmpty) "p.doc_id < i.doc_id" else "p.doc_id <> i.doc_id"
     s"""
-      WITH base AS ($baseSql),
-      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
-             FROM (SELECT doc_id, unnest(sh) AS s FROM base)),
-      sig AS (SELECT doc_id,
+      WITH ix AS ($indexSql),
+      pb AS (${probeSql.getOrElse("SELECT * FROM ix")}),
+      exi AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
+      sigi AS (SELECT doc_id,
                $minCols
-              FROM ex GROUP BY doc_id),
-      band AS (
-        $bandRows),
-      small AS (
+              FROM exi GROUP BY doc_id),
+      exp AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM pb)),
+      sigp AS (SELECT doc_id,
+               $minCols
+              FROM exp GROUP BY doc_id),
+      bandi AS (
+        ${bandRows("sigi")}),
+      bandp AS (
+        ${bandRows("sigp")}),
+      smalli AS (
         SELECT * FROM (
           SELECT doc_id, bidx, bh, count(*) OVER (PARTITION BY bidx, bh) AS n
-          FROM band) WHERE n <= $maxBucket),
+          FROM bandi) WHERE n <= $maxBucket),
       cand AS (
-        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        FROM small x JOIN small y
-          ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+        FROM bandp p JOIN smalli i
+          ON p.bidx = i.bidx AND p.bh = i.bh AND $pairCond),
       j AS (
         SELECT a AS doc_a, b AS doc_b,
                round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
                      / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
-        FROM cand JOIN base ba ON ba.doc_id = cand.a
-                  JOIN base bb ON bb.doc_id = cand.b)
+        FROM cand JOIN pb ba ON ba.doc_id = cand.a
+                  JOIN ix bb ON bb.doc_id = cand.b)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
     """
   }
+
+  private def lshPairsSql(
+      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
+      maxBucket: Int, threshold: Double): String =
+    lshSql(baseSql, None, k, numBands, rowsPerBand, maxBucket, threshold)
 
   // ---- t01: token counting -------------------------------------------
 
@@ -955,62 +979,6 @@ object TextQueries {
       FROM total LEFT JOIN shared USING (doc_id)
     """))
 
-  /** Cross-side (probe vs index) variant of [[lshPairsSql]] — mirrors
-    * `Dedup.crossBandCandidates` + two-sided verify: probe bands join the
-    * index's CAPPED bands only, never index×index.
-    *
-    * LOCKSTEP: shares the minhash/band/cap/jaccard formulations with
-    * [[lshPairsSql]] — any change to the signature transform, band hash
-    * seed (1000+b), cap predicate, or jaccard rounding must be made in
-    * BOTH builders (each is pinned by its own driver-verified oracles,
-    * so a one-sided edit fails the gate rather than drifting silently).
-    */
-  private def lshCrossSql(
-      indexSql: String, probeSql: String, k: Int, numBands: Int,
-      rowsPerBand: Int, maxBucket: Int, threshold: Double): String = {
-    val consts = Portable.minhashConsts(k)
-    val minCols = (0 until k)
-      .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
-      .mkString(",\n               ")
-    def bandRows(sig: String) = (0 until numBands).map { b =>
-      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => s"m$i").mkString("||'|'||")
-      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM $sig"
-    }.mkString("\n        UNION ALL ")
-    s"""
-      WITH ix AS ($indexSql),
-      pb AS ($probeSql),
-      exi AS (SELECT doc_id, ${hSql("s", 0)} AS h
-              FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
-      sigi AS (SELECT doc_id,
-               $minCols
-              FROM exi GROUP BY doc_id),
-      exp AS (SELECT doc_id, ${hSql("s", 0)} AS h
-              FROM (SELECT doc_id, unnest(sh) AS s FROM pb)),
-      sigp AS (SELECT doc_id,
-               $minCols
-              FROM exp GROUP BY doc_id),
-      bandi AS (
-        ${bandRows("sigi")}),
-      bandp AS (
-        ${bandRows("sigp")}),
-      smalli AS (
-        SELECT * FROM (
-          SELECT doc_id, bidx, bh, count(*) OVER (PARTITION BY bidx, bh) AS n
-          FROM bandi) WHERE n <= $maxBucket),
-      cand AS (
-        SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
-        FROM bandp p JOIN smalli i ON p.bidx = i.bidx AND p.bh = i.bh),
-      j AS (
-        SELECT a AS doc_a, b AS doc_b,
-               round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
-                     / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
-        FROM cand JOIN pb ba ON ba.doc_id = cand.a
-                  JOIN ix bb ON bb.doc_id = cand.b)
-      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
-    """
-  }
-
   // ---- t32: incremental near-dup (new batch probed against the corpus
   // LSH index) -----------------------------------------------------------
   //
@@ -1044,20 +1012,20 @@ object TextQueries {
         numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
       Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
     },
-    Some(lshCrossSql(
+    Some(lshSql(
       indexSql = s"""
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
         FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         WHERE len(toks) >= 3""",
-      probeSql = s"""
+      probeSql = Some(s"""
         SELECT doc_id + $incShift AS doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
         FROM (SELECT doc_id, $toksSql AS toks FROM documents
               WHERE doc_id % 10 = 0)
-        WHERE len(toks) >= 3""",
+        WHERE len(toks) >= 3"""),
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 
