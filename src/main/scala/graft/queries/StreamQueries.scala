@@ -444,6 +444,44 @@ object StreamQueries {
       GROUP BY user_id, sess
     """))
 
+  // ---- q46: outer stream-stream attribution ---------------------------
+  //
+  // q41's inner join reports attributed pairs; q46 preserves EVERY
+  // purchase (right-outer) so unattributed conversions surface with
+  // n_views = 0 — the audit the marketing pipeline reconciles spend
+  // against. Streaming semantics: outer rows emit once the watermark
+  // passes purchase_ts + horizon (state already bounded by q41's time
+  // condition; the outer emission adds no state).
+
+  private val q46 = Q(
+    "q46_unattributed_purchases",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val pairs = StreamOps.attributePurchases(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        joinType = "right_outer")
+      pairs.groupBy(col("purchase_id"))
+        .agg(sum(when(col("view_id").isNotNull, 1L).otherwise(0L)).as("n_views"),
+          round(min(col("value")), 4).as("value"))
+        .withColumn("attributed", (col("n_views") > 0).cast("boolean"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+            FROM events WHERE event_type = 'purchase')
+      SELECT purchase_id,
+             CAST(sum(CASE WHEN view_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_views,
+             round(min(value), 4) AS value,
+             sum(CASE WHEN view_id IS NULL THEN 0 ELSE 1 END) > 0 AS attributed
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts < v.view_ts + INTERVAL 6 HOUR
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45)
+    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46)
 }

@@ -77,11 +77,18 @@ object StreamOps {
     * unbounded stream; an unconstrained stream-stream join would buffer
     * forever.
     */
+  /** `joinType`: "inner" (attributed pairs only) or "right_outer"
+    * (EVERY purchase preserved — unmatched ones carry null view columns;
+    * on a stream the outer rows emit once the watermark proves no
+    * in-horizon view can still arrive, which is exactly the
+    * "conversion without impression" audit feed).
+    */
   def attributePurchases(
       views: DataFrame,
       purchases: DataFrame,
       horizon: String = "6 hours",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val v0 = views.select(col("user_id"), col("event_id").as("view_id"),
       col("ts").as("view_ts"))
     val p0 = purchases.select(col("user_id").as("p_uid"),
@@ -92,8 +99,10 @@ object StreamOps {
     v.join(p,
       col("user_id") === col("p_uid") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
+      .select(coalesce(col("user_id"), col("p_uid")).as("user_id"),
+        col("purchase_id"), col("purchase_ts"),
         col("view_id"), col("view_ts"), col("value"))
   }
 

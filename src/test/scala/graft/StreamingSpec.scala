@@ -346,6 +346,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributePurchases right_outer: unmatched purchases emit after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    val views = Seq((100L, 1L, 0L, 0.0), (103L, 3L, 0L, 0.0))
+    // user 2's purchase has no view at all; user 1's and 3's match
+    val purchases = Seq(
+      (200L, 1L, 90L, 5.5), (201L, 2L, 100L, 9.99), (202L, 3L, 30L, 1.0))
+    def mk0(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"),
+        timestamp_micros(lit(base) + col("m") * MIN).as("ts"), col("value"))
+    def mk(s: Seq[(Long, Long, Long, Double)]) =
+      mk0(s.toDF("event_id", "user_id", "m", "value"))
+
+    val vIn = MemoryStream[(Long, Long, Long, Double)]
+    val pIn = MemoryStream[(Long, Long, Long, Double)]
+    def asStream(in: MemoryStream[(Long, Long, Long, Double)]) =
+      mk0(in.toDS().toDF("event_id", "user_id", "m", "value"))
+
+    val joined = StreamOps.attributePurchases(
+      asStream(vIn), asStream(pIn), joinType = "right_outer")
+    val ckpt = Files.createTempDirectory("ckpt7").toString
+    val q = joined.writeStream
+      .format("memory").queryName("attr_outer_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      vIn.addData(views: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      // outer rows need the watermark to prove no view can still match:
+      // push both streams' event time far past purchase+horizon
+      vIn.addData((999L, 99L, 100000L, 0.0))
+      pIn.addData((998L, 99L, 100000L, 0.0))
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("user_id") =!= 99)
+          .select(col("purchase_id"),
+            coalesce(col("view_id"), lit(-1L)).as("vid"), col("value"))
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("attr_outer_out"))
+      val batch = canon(StreamOps.attributePurchases(
+        mk(views), mk(purchases), joinType = "right_outer"))
+      assert(batch == Seq((200L, 100L, 5.5), (201L, -1L, 9.99), (202L, 103L, 1.0)))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("checkpointed aggregation restarts exactly-once: state kept, files not replayed") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckpt = Files.createTempDirectory("ckpt6").toString
