@@ -510,7 +510,19 @@ object SimilarityQueries {
           sum(col("dist")).as("pq_err"))
     },
     Some(s"""
-      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      WITH $pqChainSql
+      SELECT vec_id,
+             CAST(sum(k * (2 ** (4 * j))) AS BIGINT) AS pq_code,
+             CAST(sum(dist) AS BIGINT) AS pq_err
+      FROM code GROUP BY 1
+    """))
+
+  /** Shared DuckDB chain for the PQ family (e08 encode, e10 search):
+    * fixed-point vectors → subspace split → codebook → per-(vector,
+    * subspace) affinities → lexicographic argmin codes.
+    */
+  private lazy val pqChainSql = s"""
+      raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       fx AS (SELECT vec_id, list_transform(e, x -> round(x * $fxScale)) AS q FROM raw),
       subs AS (
         SELECT vec_id, j, list_slice(q, j*$pqSubDim+1, j*$pqSubDim+$pqSubDim) AS sub
@@ -526,11 +538,68 @@ object SimilarityQueries {
       code AS (
         SELECT a.vec_id, a.j, min(a.k) AS k, min(a.dist) AS dist
         FROM aff a JOIN mn ON mn.vec_id = a.vec_id AND mn.j = a.j AND a.dist = mn.md
-        GROUP BY 1, 2)
-      SELECT vec_id,
-             CAST(sum(k * (2 ** (4 * j))) AS BIGINT) AS pq_code,
-             CAST(sum(dist) AS BIGINT) AS pq_err
-      FROM code GROUP BY 1
+        GROUP BY 1, 2)"""
+
+  // ---- e10: PQ asymmetric-distance search (ADC) -----------------------
+  //
+  // The search half of the PQ story (e08 is the encode half): queries
+  // keep their exact (fixed-point) subvectors; candidates are
+  // represented ONLY by their 4-bit codes. Per query, a lookup table of
+  // subspace-distances to each codebook centroid (|Q|·m·16 integer
+  // rows — broadcast), and a candidate's approximate distance is the
+  // SUM of table lookups selected by its code — never touching the
+  // original vectors. All distances are exact integers (fixed-point),
+  // so ranking is engine-exact with no tolerance.
+  //
+  // Scale: the per-query LUT broadcast replaces any query×corpus vector
+  // math; the scoring join keys on (j, k) and aggregates map-side. At
+  // 100 TB you'd first restrict candidates by IVF cell (e04) — IVF-PQ —
+  // which drops the scored set by nCells/nProbe; the plan shape here is
+  // that inner ADC kernel.
+
+  private val e10 = Q(
+    "e10_pq_adc_search",
+    (s, d) => {
+      val fx = fxVectors(s, d)
+      val subs = fx
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("q"))
+        .select(col("vec_id"), col("j"),
+          slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+      val cents = subs.filter(col("vec_id") < pqK)
+        .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
+      val aff = subs.join(broadcast(cents), Seq("j"))
+        .select(col("vec_id"), col("j"), col("k"),
+          (Portable.dot(col("sub"), col("sub"))
+            + Portable.dot(col("csub"), col("csub"))
+            - lit(2.0) * Portable.dot(col("sub"), col("csub")))
+            .cast("long").as("dist"))
+      val codes = aff.groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
+      // ADC lookup table = the query rows of the SAME affinity relation
+      val lut = aff.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("j"), col("k"), col("dist"))
+      val scored = codes.select(col("vec_id").as("cid"), col("j"), col("k"))
+        .join(broadcast(lut), Seq("j", "k"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("dist")).as("adc_dist"))
+        .filter(col("qid") =!= col("cid"))
+      graft.etl.TopK.bottomK(scored, Seq(col("qid")), col("adc_dist"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), col("adc_dist"))
+    },
+    Some(s"""
+      WITH $pqChainSql,
+      lut AS (SELECT vec_id AS qid, j, k, dist FROM aff WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT l.qid, c.vec_id AS cid, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+        FROM code c JOIN lut l ON l.j = c.j AND l.k = c.k
+        WHERE l.qid <> c.vec_id
+        GROUP BY 1, 2),
+      r AS (SELECT qid, cid, adc_dist,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY adc_dist ASC, cid ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, adc_dist FROM r WHERE rnk <= $k
     """))
 
   // ---- e09: ANN recall audit (LSH vs exact) ---------------------------
@@ -584,5 +653,5 @@ object SimilarityQueries {
       GROUP BY qid
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }
