@@ -201,27 +201,50 @@ object ParityQueries {
       FROM base LEFT JOIN q ON q.o_custkey = base.o_custkey AND q.mo = base.mo
     """))
 
+  // Money math in FIXED POINT: prices/discounts are exact 2-decimal
+  // values, so round(x*100) recovers integer cents and the revenue sum
+  // is an exact BIGINT in 1e-4 units — order-INDEPENDENT, unlike a
+  // double sum, whose accumulation order differs between engines and
+  // (at sf0.1) lands one group's sum within 1 ulp of a round(.,2)
+  // half-boundary, flipping revenue by 0.01 and ratio by 1e-6. All
+  // derived doubles come from single divisions of exact integers, which
+  // ARE correctly rounded identically everywhere.
   private def branchRatio(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.spread(Tables.lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice",
           "l_discount", "l_quantity"))
-      .groupBy(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"))
+      .select(col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("p_c"),
+        round(col("l_discount") * 100).cast("long").as("d_c"),
+        col("l_quantity").cast("long").as("q_i"))
+      .groupBy(col("suppkey"), col("partkey"))
       .agg(
-        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
-        sum(col("l_quantity")).as("q"))
+        sum(col("p_c") * (lit(100L) - col("d_c"))).as("rev_e4"),
+        sum(col("q_i")).as("q_i"))
+      // HALF_UP happens in INTEGER math ((2a+b) div 2b), because round()
+      // on a double half-boundary diverges across engines (Spark rounds
+      // the shortest decimal repr, DuckDB the raw binary double); the
+      // final single division of an exact integer is bit-identical.
       .select(col("suppkey"), col("partkey"),
-        round(col("rev"), 2).as("revenue"),
-        round(col("q"), 2).as("qty"),
-        round(Normalize.safeDiv(col("rev"), col("q")), 6).as("ratio"))
+        (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"),
+        col("q_i").cast("double").as("qty"),
+        (when(col("q_i") =!= 0,
+          expr("(rev_e4 * 200 + q_i) div (2 * q_i)")).cast("double")
+          / 1000000.0).as("ratio"))
 
   private def branchSql(dir: String) = s"""
       WITH g AS (SELECT l_suppkey AS suppkey, l_partkey AS partkey,
-                        sum(l_extendedprice * (1 - l_discount)) AS rev,
-                        sum(l_quantity) AS q
+                        sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS rev_e4,
+                        sum(CAST(l_quantity AS BIGINT)) AS q_i
                  FROM lineitem GROUP BY 1, 2),
            r AS (SELECT suppkey, partkey,
-                        round(rev, 2) AS revenue, round(q, 2) AS qty,
-                        round(CASE WHEN q <> 0 THEN rev / q END, 6) AS ratio
+                        CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue,
+                        CAST(q_i AS DOUBLE) AS qty,
+                        CAST(CASE WHEN q_i <> 0
+                             THEN (rev_e4 * 200 + q_i) // (2 * q_i)
+                             END AS DOUBLE) / 1000000.0 AS ratio
                  FROM g),
            k AS (SELECT *, CAST(row_number() OVER (
                         PARTITION BY suppkey ORDER BY ratio $dir, partkey ASC)
