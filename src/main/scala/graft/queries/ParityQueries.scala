@@ -25,28 +25,48 @@ object ParityQueries {
 
   // SURVEY §2.3 A1 + §2.2 P1: hash agg over two keys with SUM/AVG/COUNT
   // (reference groupby-sum, aggregate_by_store.py:147–154).
+  // Price sums in exact integer cents / 1e-4 units (quantity sums are
+  // already exact — integer-valued doubles add exactly below 2^53);
+  // HALF_UP in integer division; ONE final division. See branchRatio's
+  // comment for why a double price sum + round() is engine-dependent.
   private val q01 = Q(
     "q01_pricing_summary",
     (s, d) => {
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("q_i"),
+          round(col("l_extendedprice") * 100).cast("long").as("p_c"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(sum(col("q_i")).as("q_i"), sum(col("p_c")).as("base_c"),
+          sum(col("rev_e4")).as("rev_e4"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("q_i").cast("double").as("sum_qty"),
+          (col("base_c").cast("double") / 100.0).as("sum_base_price"),
+          (expr("(rev_e4 + 50) div 100").cast("double") / 100.0)
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          count(lit(1)).as("count_order"))
+          (expr("(q_i * 20000 + n) div (2 * n)").cast("double") / 10000.0)
+            .as("avg_qty"),
+          col("n").as("count_order"))
     },
     Some("""
+      WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS q_i,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2)
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2)      AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(avg(l_quantity), 4)      AS avg_qty,
-             count(*)                       AS count_order
-      FROM lineitem
-      GROUP BY l_returnflag, l_linestatus
+             CAST(q_i AS DOUBLE) AS sum_qty,
+             CAST(base_c AS DOUBLE) / 100.0 AS sum_base_price,
+             CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+             CAST((q_i * 20000 + n) // (2 * n) AS DOUBLE) / 10000.0 AS avg_qty,
+             n AS count_order
+      FROM g
     """))
 
   // §2.2 P9/P10 range + IN predicates, P1 projection. Filters sit directly
@@ -458,19 +478,27 @@ object ParityQueries {
     (s, d) => {
       val fact = Tables.lineitem(s, d)
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
       val dim = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.etl.Skew.saltedJoin(fact, dim, Seq("l_orderkey"), salts = 8)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(col("rev")), 2).as("revenue"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("rev_e4"))
+        .select(col("o_orderpriority"), col("n_items"),
+          (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"))
     },
     Some("""
-      SELECT o_orderpriority, count(*) AS n_items,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY 1
+      WITH g AS (
+        SELECT o_orderpriority, count(*) AS n_items,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1)
+      SELECT o_orderpriority, n_items,
+             CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+      FROM g
     """))
 
   // Bloom-prefiltered semi-join, oracle-checked: BloomJoin.semiJoin must
@@ -489,16 +517,24 @@ object ParityQueries {
           expectedItems = 100000L)
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
+        .select(col("l_linestatus"), col("n_items"),
+          (expr("(rev_e4 + 50) div 100").cast("double") / 100.0).as("revenue"))
     },
     Some("""
-      SELECT l_linestatus, count(*) AS n_items,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-      FROM lineitem
-      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
-                           WHERE o_orderpriority = '1-URGENT')
-      GROUP BY 1
+      WITH g AS (
+        SELECT l_linestatus, count(*) AS n_items,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1)
+      SELECT l_linestatus, n_items,
+             CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100.0 AS revenue
+      FROM g
     """))
 
   def all: Seq[Q] =

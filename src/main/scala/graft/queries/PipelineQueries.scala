@@ -229,11 +229,15 @@ object PipelineQueries {
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          // exact integer cents → order-independent sum, one division
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("total_c").cast("double") / 100.0).as("total"))
     },
     Some("""
       SELECT o_orderstatus, count(*) AS n,
-             round(sum(o_totalprice), 2) AS total
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total
       FROM orders
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY 1
