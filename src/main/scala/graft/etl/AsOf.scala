@@ -36,6 +36,10 @@ object AsOf {
       payloadCols: Seq[String],
       tieBreak: Column): DataFrame = {
     val leftCols = left.columns.toSeq
+    val reserved = Seq("_tag", "_p", "_tb", "_match")
+    require(!leftCols.exists(reserved.contains),
+      s"joinBackward reserves columns ${reserved.mkString(", ")}; " +
+        s"rename the conflicting input column first")
     val payload = struct(payloadCols.map(col): _*)
     // tie-break keeps its own type (casting to long would crash on string
     // ids under ANSI mode and collapse fractional tiebreaks)

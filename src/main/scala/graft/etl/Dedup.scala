@@ -24,6 +24,12 @@ object Dedup {
 
   /** (id, sh: array<string>) → (id, m0..m{k-1}) MinHash signature matrix.
     *
+    * CONTRACT: rows with empty `sh` produce NO signature (explode emits
+    * nothing) and silently leave the pipeline — callers filter
+    * `size(sh) > 0` first and handle too-short docs by policy (the
+    * registry queries route them to exact dedup, which needs no
+    * shingles).
+    *
     * ONE md5 per shingle; the k hash family members are affine transforms
     * of that base hash ([[Portable.minhashTransform]]) — integer-only,
     * overflow-free, bit-identical in the DuckDB oracle. The k mins are

@@ -36,7 +36,7 @@ object MediaDecode {
     val per = bytes.length / groups
     if (per == 0) return Array.fill(groups)(0.0) // <4-byte payload: no NaNs
     Array.tabulate(groups) { g =>
-      var s = 0
+      var s = 0L // Long: an Int sum wraps negative beyond ~8 MB per quarter
       var i = g * per
       while (i < (g + 1) * per) { s += bytes(i) & 0xff; i += 1 }
       s / (per * 255.0)

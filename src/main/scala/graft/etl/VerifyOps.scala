@@ -101,6 +101,9 @@ object VerifyOps {
     * V4): per dataset, row count for `keyValue`.
     */
   def presence(datasets: Seq[(String, DataFrame)], keyCol: String, keyValue: String): DataFrame = {
+    require(datasets.nonEmpty,
+      "presence: empty dataset list (nothing to check — likely a glob " +
+        "that matched no inputs)")
     datasets.map { case (name, df) =>
       df.filter(trim(col(keyCol)) === keyValue)
         .agg(count(lit(1)).as("n_rows"))

@@ -25,6 +25,12 @@ object FanOut {
     * Blank/whitespace keys are dropped (fan_out_by_storeid.py:35–37).
     * `prefixRows` (meta rows from [[HeaderScan]]) and `bom` reproduce the
     * reference's per-file prefix replay + utf-8-sig output.
+    *
+    * A key containing '/' nests directories (`US/East` →
+    * `outDir/US/East/src.csv`) — byte-identical to the reference's
+    * `os.path.join(out, key)`, and flagged by the same verify pass in
+    * both systems (the depth-1 read glob won't see it). Callers wanting
+    * path-safe keys sanitize before writing, as they would there.
     */
   def write(
       df: DataFrame,
@@ -249,9 +255,15 @@ object FanOut {
         s"key column '$keyCol' not found in $first"))
     val schema = StructType(info.columns.map(c => StructField(c, StringType)))
     val prefixSet = info.prefixRows.toSet
-    spark.read.text(s"$outDir/*/$srcName.csv")
+    // srcName is user input: escape glob metacharacters so "data[1]"
+    // reads back literally. The key regex extracts the PARENT DIRECTORY
+    // generically instead of anchoring on srcName — the glob already
+    // restricts the file set, and input_file_name() URI-encodes
+    // characters like '[' so a literal srcName anchor would not match.
+    val srcGlob = srcName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1")
+    spark.read.text(s"$outDir/*/$srcGlob.csv")
       .select(col("value").as("_line"),
-        regexp_extract(input_file_name(), s".*/([^/]+)/$srcName\\.csv$$", 1).as("_dir_key"))
+        regexp_extract(input_file_name(), ".*/([^/]+)/[^/]+$", 1).as("_dir_key"))
       .withColumn("_line", regexp_replace(col("_line"), "^﻿", ""))
       .filter(!col("_line").isin(prefixSet.toSeq: _*))
       .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"),

@@ -209,7 +209,14 @@ object StreamOps {
 
     def close(uid: Long, s: OpenSession): Session =
       Session(uid, s.start, s.end, s.n,
-        // same HALF_UP rule as Spark's round(col, 4) in the batch twin
+        // same HALF_UP rule as Spark's round(col, 4) in the batch twin.
+        // Known boundary: the stream accumulates value_sum in sorted
+        // session-merge order while the batch twin sums in shuffle
+        // arrival order — double addition is non-associative, so a sum
+        // landing within 1 ulp of a .00005 boundary could round apart.
+        // SCALE.md "Numeric determinism" has the integer-unit recipe if
+        // a deployment needs that last ulp; event values here are
+        // 2-decimal and sessions are short, so the twins stay identical.
         BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     events

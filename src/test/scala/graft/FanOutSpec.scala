@@ -97,6 +97,17 @@ class FanOutSpec extends SparkSpec {
       Seq("50%", "a b", "s#1", "x+y"))
   }
 
+  test("metacharacter src names round-trip: regex and glob specials are literal") {
+    val out = tmpDir("fanout_meta").toString
+    val df = Seq(("s1", "1"), ("s2", "2")).toDF(S, "v")
+    val src = "report(2024)[v1]"
+    FanOut.write(df, S, out, src)
+    assert(new java.io.File(s"$out/s1/$src.csv").isFile)
+    val back = FanOut.read(spark, out, "report(2024)[v1]", S)
+    assert(back.count() == 2)
+    assert(VerifyOps.contentViolations(back, S).count() == 0)
+  }
+
   test("VerifyOps: missing/extra file sets and injected content violation") {
     val present = Seq(("s1", "a.csv"), ("s1", "b.csv"), ("s2", "a.csv"))
       .toDF(S, "src")
