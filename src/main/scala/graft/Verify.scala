@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [queryName ...]")
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: restrict the dump to the named queries
     val wanted = args.drop(2).toSet

@@ -41,6 +41,13 @@ private[cli] object Args {
   def required(m: Map[String, String], k: String): String =
     m.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k"))
 
+  /** Source name from a CSV file name: strip ONE trailing extension,
+    * case-insensitively ("x.CSV.csv" → "x.CSV", never "x" — a chained
+    * stripSuffix would double-strip and collide distinct inputs).
+    */
+  def srcBase(fileName: String): String =
+    fileName.replaceAll("(?i)\\.csv$", "")
+
   /** Local session for CLI runs; under spark-submit the provided master
     * wins (builder config is a no-op when a session already exists).
     */
@@ -70,9 +77,15 @@ object FanOutMain {
     val enc = a.getOrElse("encoding", "UTF-8")
     val key = a.getOrElse("key", HeaderScan.defaultKeyCol)
     val spark = Args.session("graft-fanout")
-    HeaderScan.readDirFrames(spark, in, key, enc).foreach { case (info, df) =>
+    val frames = HeaderScan.readDirFrames(spark, in, key, enc)
+    val names = frames.map { case (info, _) => Args.srcBase(new Path(info.path).getName) }
+    // two inputs collapsing to one src name would silently overwrite
+    // each other's {key}/{src}.csv — refuse rather than lose data
+    require(names.distinct.length == names.length,
+      s"input files collide on source names: " +
+        names.groupBy(identity).collect { case (n, g) if g.length > 1 => n }.mkString(", "))
+    frames.zip(names).foreach { case ((info, df), srcName) =>
       println(s"[info] processing: ${info.path}")
-      val srcName = new Path(info.path).getName.stripSuffix(".csv").stripSuffix(".CSV")
       FanOut.write(df.drop("_src"), key, out, srcName, prefixRows = info.prefixRows)
     }
     spark.stop()
@@ -96,38 +109,56 @@ object VerifyFanoutMain {
     import spark.implicits._
 
     val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inputFiles = new Path(in).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .listStatus(new Path(in)).map(_.getPath.getName)
-      .filter(_.toLowerCase.endsWith(".csv")).sorted.toSeq
-    val srcNames = inputFiles.map(_.stripSuffix(".csv").stripSuffix(".CSV"))
+
+    // expected (store, src) pairs come from the INPUT CONTENT — a store
+    // absent from a source file legitimately has no output for it, and
+    // key-less input files are warn-skipped by the fan-out itself
+    // (fan_out_by_storeid.py:28–30), so both sides use the same
+    // HeaderScan ingest (same --encoding)
+    val frames = HeaderScan.readDirFrames(spark, in, key, enc)
+    val srcNames = frames.map { case (info, _) =>
+      Args.srcBase(new Path(info.path).getName)
+    }
+    val expected = frames.zip(srcNames).map { case ((_, df), srcName) =>
+      df.select(trim(col(key)).as(key)).filter(col(key) =!= "")
+        .distinct().withColumn("src", lit(srcName))
+    }.reduceOption(_ unionAll _)
+      .getOrElse(Seq.empty[(String, String)].toDF(key, "src"))
 
     // pass 1 — file sets (driver metadata listing → anti-join check)
-    val present = fs.listStatus(new Path(out)).filter(_.isDirectory)
+    val presentPairs = fs.listStatus(new Path(out)).filter(_.isDirectory)
       .flatMap { d =>
         fs.listStatus(d.getPath).map(f => (d.getPath.getName, f.getPath.getName))
-      }.toSeq.toDF(key, "src")
-      .filter(col("src").endsWith(".csv"))
-      .withColumn("src", regexp_replace(col("src"), "\\.csv$", ""))
-    val setProblems = VerifyOps.fileSetCheck(present, key, srcNames).cache()
+      }.toSeq
+      .filter(_._2.toLowerCase.endsWith(".csv"))
+      .map { case (k, f) => (k, Args.srcBase(f)) }
+    val present = presentPairs.toDF(key, "src")
+    val presentSrcs = presentPairs.map(_._2).toSet
+    val setProblems = VerifyOps.fileSetCheckPairs(present, expected, key).cache()
     val nMissing = setProblems.filter(col("kind") === "missing").count()
     val nExtra = setProblems.filter(col("kind") === "extra").count()
-    println(s"[sets] input files=${inputFiles.length} missing=$nMissing extra=$nExtra")
-    setProblems.orderBy(col("kind"), col(key), col("src")).limit(10).collect()
+    println(s"[sets] input files=${frames.length} missing=$nMissing extra=$nExtra")
+    // first 10 stores PER set problem (verify_fanout.py truncation) — a
+    // flood of one kind must not hide the other
+    val wKind = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col(key), col("src"))
+    setProblems.withColumn("_r", row_number().over(wKind))
+      .filter(col("_r") <= 10)
+      .orderBy(col("kind"), col(key), col("src")).collect()
       .foreach(r => println(s"  ${r.getString(1)}: store=${r.getString(0)} file=${r.getString(2)}.csv"))
 
-    // pass 2 — content invariant per source file (distributed read-back)
+    // pass 2 — content invariant per source file (distributed read-back;
+    // membership test on the driver-side listing, no Spark job per file)
     var totalViolations = 0L
-    srcNames.foreach { srcName =>
-      if (present.filter(col("src") === srcName).limit(1).count() > 0) {
-        val back = FanOut.read(spark, out, srcName, key)
-        val n = VerifyOps.contentViolations(back, key).count()
-        totalViolations += n
-        if (n > 0) {
-          println(s"[content] $srcName.csv: $n violating rows")
-          VerifyOps.violationSamples(back.select(col(key), col("_dir_key")), key, 5)
-            .orderBy(col("_dir_key"), col("_rnk")).collect()
-            .foreach(r => println(s"  dir=${r.getString(1)} key_cell='${r.getString(0)}'"))
-        }
+    srcNames.filter(presentSrcs).foreach { srcName =>
+      val back = FanOut.read(spark, out, srcName, key)
+      val n = VerifyOps.contentViolations(back, key).count()
+      totalViolations += n
+      if (n > 0) {
+        println(s"[content] $srcName.csv: $n violating rows")
+        VerifyOps.violationSamples(back.select(col(key), col("_dir_key")), key, 5)
+          .orderBy(col("_dir_key"), col("_rnk")).collect()
+          .foreach(r => println(s"  dir=${r.getString(1)} key_cell='${r.getString(0)}'"))
       }
     }
     println(s"[content] total violations=$totalViolations")

@@ -38,12 +38,23 @@ object VerifyOps {
     val keys = expectedKeys
       .map(_.toDF(keyCol).select(col(keyCol)).distinct())
       .getOrElse(present.select(col(keyCol)).distinct())
-    val expected = keys
-      .crossJoin(broadcast(expectedSrcs.toDF("src")))
+    fileSetCheckPairs(present,
+      keys.crossJoin(broadcast(expectedSrcs.toDF("src"))), keyCol)
+  }
+
+  /** [[fileSetCheck]] against an explicit expected (key, src) pair set —
+    * the per-file membership computed from the INPUT data. This is the
+    * reference's actual contract: a store absent from a source file
+    * legitimately has no output for it, so "every present store × every
+    * src" over-expects (FanOutPropertySpec pins the per-file invariant).
+    */
+  def fileSetCheckPairs(present: DataFrame, expected: DataFrame,
+                        keyCol: String): DataFrame = {
+    val exp = expected.select(col(keyCol), col("src")).distinct()
     val have = present.select(col(keyCol), col("src")).distinct()
-    val missing = expected.join(have, Seq(keyCol, "src"), "left_anti")
+    val missing = exp.join(have, Seq(keyCol, "src"), "left_anti")
       .select(col(keyCol), lit("missing").as("kind"), col("src"))
-    val extra = have.join(expected, Seq(keyCol, "src"), "left_anti")
+    val extra = have.join(exp, Seq(keyCol, "src"), "left_anti")
       .select(col(keyCol), lit("extra").as("kind"), col("src"))
     missing.unionAll(extra)
   }

@@ -108,6 +108,22 @@ class FanOutSpec extends SparkSpec {
     assert(VerifyOps.contentViolations(back, S).count() == 0)
   }
 
+  test("fileSetCheckPairs: a store absent from a source is not 'missing'") {
+    val present = Seq(("s1", "a"), ("s2", "a"), ("s1", "b"))
+      .toDF(S, "src")
+    // expected mirrors the INPUT content: s2 never appeared in source b
+    val expected = Seq(("s1", "a"), ("s2", "a"), ("s1", "b"))
+      .toDF(S, "src")
+    assert(VerifyOps.fileSetCheckPairs(present, expected, S).count() == 0)
+    // an input pair with no output file IS missing; an output file with
+    // no input pair IS extra
+    val expected2 = expected.unionAll(Seq(("s2", "b")).toDF(S, "src"))
+    val present2 = present.unionAll(Seq(("s3", "a")).toDF(S, "src"))
+    val problems = VerifyOps.fileSetCheckPairs(present2, expected2, S)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(problems.toSeq == Seq(("s2", "missing", "b"), ("s3", "extra", "a")))
+  }
+
   test("VerifyOps: missing/extra file sets and injected content violation") {
     val present = Seq(("s1", "a.csv"), ("s1", "b.csv"), ("s2", "a.csv"))
       .toDF(S, "src")
