@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Dedup, Tables, TextAnalysis => TA}
@@ -305,17 +305,21 @@ object TextQueries {
     s.read.parquet(path)
   }
 
-  private val t06 = Q(
-    "t06_minhash_lsh_pairs",
-    (s, d) => sharedTokenLshPairs(s, d),
-    Some(lshPairsSql(
-      s"""
+  /** (doc_id, sh) base over the doubled corpus — t06's index side, also
+    * the pair source for the t33 leakage audit.
+    */
+  private val tokenLshBaseSql = s"""
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
         FROM (SELECT doc_id, $toksSql AS toks
               FROM $doubledSql AS documents(doc_id, text))
-        WHERE len(toks) >= 3""",
+        WHERE len(toks) >= 3"""
+
+  private val t06 = Q(
+    "t06_minhash_lsh_pairs",
+    (s, d) => sharedTokenLshPairs(s, d),
+    Some(lshPairsSql(tokenLshBaseSql,
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 
@@ -1029,7 +1033,49 @@ object TextQueries {
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 
+  // ---- t33: split leakage audit ---------------------------------------
+  //
+  // The check every train/val/test split needs AFTER near-dup detection:
+  // hash splits (t15) assign documents independently of content, so two
+  // near-duplicate documents can land in different splits — content
+  // leakage that inflates eval scores. Compose the verified LSH pair set
+  // (t06's shared table — computed once) with the split formula and
+  // report pair counts per unordered split pair; `leaked = the two
+  // splits differ`. The audit itself is O(|pairs|) — negligible next to
+  // the dedup that produced them.
+
+  private def splitOf(id: Column): Column = {
+    val b = pmod(Portable.hash60(id.cast("string"), 13), lit(100L))
+    when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
+  }
+
+  private def splitSql(id: String): String =
+    s"""CASE WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 90 THEN 'train'
+             WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 95 THEN 'val'
+             ELSE 'test' END"""
+
+  private val t33 = Q(
+    "t33_split_leakage",
+    (s, d) => sharedTokenLshPairs(s, d)
+      .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+      .select(least(col("sa"), col("sb")).as("split_x"),
+        greatest(col("sa"), col("sb")).as("split_y"))
+      .groupBy(col("split_x"), col("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_x") =!= col("split_y")),
+    Some(s"""
+      WITH sp AS (
+        SELECT least(sa, sb) AS split_x, greatest(sa, sb) AS split_y
+        FROM (SELECT ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb
+              FROM (${lshPairsSql(tokenLshBaseSql,
+                k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+                threshold = 0.8)})))
+      SELECT split_x, split_y, count(*) AS n_pairs,
+             split_x <> split_y AS leaked
+      FROM sp GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30, t32)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33)
 }
