@@ -334,5 +334,61 @@ object MultimodalQueries {
       GROUP BY 1, 2
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  // ---- m08: block-level dedup ratio (content-addressed store audit) ----
+  //
+  // What a dedup-capable blob store reports: chunk payloads into
+  // fixed blocks (m05's split), count references per block fingerprint,
+  // and report the storage saved by keeping each block once. The m06
+  // twin corpus supplies real duplication (twins share payload quarters
+  // 0–2 → 3 of 4 blocks). Ratio in exact integer per-mille. Plan: one
+  // partition-local explode + one fingerprint hash agg + one one-row
+  // rollup — the same shape at any corpus size.
+
+  private val m08 = Q(
+    "m08_block_dedup_ratio",
+    (s, d) => {
+      val base = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+      val twins = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + phashTwinShift).as("doc_id"),
+          concat(col("h").substr(1, 96),
+            substring(md5(concat(col("h"), lit("x"))), 1, 32)).as("h"))
+      val nBlocks = mediaBytes / blockBytes
+      val blocks = base.unionByName(twins)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(nBlocks - 1))).as("block_idx"), col("h"))
+        .select(md5(col("h").substr(col("block_idx") * lit(2 * blockBytes) + 1,
+          lit(2 * blockBytes))).as("block_md5"))
+      val perBlock = blocks.groupBy(col("block_md5"))
+        .agg(count(lit(1)).as("refs"))
+      perBlock.agg(
+        sum(col("refs")).as("n_refs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("refs")) * blockBytes).as("logical_bytes"),
+        (count(lit(1)) * blockBytes).as("stored_bytes"))
+        .select(col("n_refs"), col("n_unique"), col("logical_bytes"),
+          col("stored_bytes"),
+          expr("((n_refs - n_unique) * 1000) div n_refs").as("saved_pm"))
+    },
+    Some(s"""
+      WITH base AS (SELECT doc_id, $hexmSql AS h FROM documents),
+      twins AS (
+        SELECT doc_id + $phashTwinShift AS doc_id,
+               substr(h, 1, 96) || substr(md5(h||'x'), 1, 32) AS h
+        FROM base WHERE doc_id % 5 = 0),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+      b AS (SELECT md5(substr(h, CAST(block_idx * ${2 * blockBytes} + 1 AS BIGINT),
+                     ${2 * blockBytes})) AS block_md5
+            FROM corpus,
+                 (SELECT unnest(range(0, ${mediaBytes / blockBytes})) AS block_idx)),
+      pb AS (SELECT block_md5, count(*) AS refs FROM b GROUP BY 1)
+      SELECT CAST(sum(refs) AS BIGINT) AS n_refs,
+             count(*) AS n_unique,
+             CAST(sum(refs) * $blockBytes AS BIGINT) AS logical_bytes,
+             CAST(count(*) * $blockBytes AS BIGINT) AS stored_bytes,
+             CAST((sum(refs) - count(*)) * 1000 // sum(refs) AS BIGINT) AS saved_pm
+      FROM pb
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }
