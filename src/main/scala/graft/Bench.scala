@@ -58,8 +58,21 @@ object Bench {
     val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the JSON to a file: the stdout line sits at the end of a
+    // long sbt log and a fixed-size log tail can clip it (a ~97-query line
+    // is several KB). The file is the durable artifact; stdout is a preview.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, "bench.json"), json + "\n")
+      System.err.println(s"[bench] wrote $outDir/bench.json")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

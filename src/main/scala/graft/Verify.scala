@@ -19,17 +19,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      .map { case (name, fn) =>
+      val ok =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          false
+        }
       // free per-query persisted/checkpointed data between queries
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (name, ok)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -46,6 +51,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Durable run summary (file, not just stderr): which dumps succeeded.
+    // A driver that only tails the log can read this instead.
+    val summary = outcomes.map { case (n, ok) => s"${q(n)}: $ok" }
+      .mkString("{\"dumped\": {", ",", "}}")
+    Files.writeString(Paths.get(s"$outDir/verify.json"), summary + "\n")
     spark.stop()
   }
 }

@@ -82,6 +82,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature matrix → the (id, bidx, bh) band rows as a first-class
+    * result — the artifact a MANAGED LSH index persists (parquet on
+    * storage) and appends to per ingest. Signatures are per-doc, so
+    * building per-ingest band tables and appending them is exactly
+    * equivalent to banding the whole corpus at once; the hot-bucket cap
+    * is applied at PROBE time over the full persisted table (capping
+    * per ingest would under-count cross-ingest hot buckets).
+    */
+  def bandTable(sig: DataFrame, idCol: String,
+                numBands: Int, rowsPerBand: Int): DataFrame =
+    banded(sig, idCol, numBands, rowsPerBand)
+
+  /** Probe a PERSISTED index band table (as read back from storage — the
+    * t34 lifecycle): the probe batch's bands equi-join the index bands
+    * only; cost scales with the batch, never the corpus. Cap semantics
+    * follow [[crossBandCandidates]] (index side capped, probe side not).
+    */
+  def probeBandTable(
+      probeSig: DataFrame,
+      indexBands: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    val p = banded(probeSig, idCol, numBands, rowsPerBand)
+      .select(col(idCol).as("a"), col("bidx"), col("bh"))
+    val ix = capped(indexBands, maxBucket)
+      .select(col(idCol).as("b"), col("bidx"), col("bh"))
+    p.join(ix, Seq("bidx", "bh"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** Incremental probe: candidate (probe, index) pairs — the probe
     * batch's bands equi-join the INDEX's bands only (never
     * corpus×corpus). The hot-bucket cap applies to the index side (a

