@@ -20,12 +20,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
-  /** "BPE-ish" subword-shaped token count: runs of letters, runs of digits,
-    * and single non-alphanumeric marks each count as one token.
+  /** Real subword token count: greedy longest-match over the compiled-in
+    * merge vocabulary ([[graft.functions.SubwordCount.vocab]]), one
+    * native codegen'd expression per row (no UDF). This is the token
+    * economics t01 reports and t17's sequence packing consumes; the
+    * oracle mirrors it with a recursive-CTE longest-match
+    * ([[graft.queries.OracleSql.subwordCountCtes]]).
     */
-  val bpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-
-  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenRe))
+  def subwordCount(toks: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SubwordCount(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks)))
 
   /** Crude char-based token estimate (the common len/4 heuristic). */
   def tokenEstimate(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")

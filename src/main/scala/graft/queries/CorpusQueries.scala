@@ -49,8 +49,11 @@ object CorpusQueries {
     "t17_sequence_pack",
     (s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
+        // REAL tokenizer economics: greedy longest-match subword counts
+        // (one codegen'd expression), not the whitespace proxy — packing
+        // budgets are only as real as the counts they pack
         .select(col("doc_id"),
-          size(TA.tokens(col("text"))).cast("long").as("n_tokens"))
+          TA.subwordCount(TA.tokens(col("text"))).as("n_tokens"))
         .withColumn("bucket", floor(col("doc_id") / bucketW).cast("long"))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -69,9 +72,10 @@ object CorpusQueries {
           pmod(col("start_off"), lit(seqLen)).as("seq_pos"))
     },
     Some(s"""
-      WITH t AS (
-        SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
-        FROM documents),
+      WITH RECURSIVE ${OracleSql.subwordCountCtes},
+      t AS (
+        SELECT d.doc_id, CAST(coalesce(subwc.bpe, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN subwc USING (doc_id)),
       o AS (
         SELECT doc_id, n_tokens,
                CAST(coalesce(sum(n_tokens) OVER (

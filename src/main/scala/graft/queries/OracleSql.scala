@@ -66,6 +66,36 @@ object OracleSql {
   val toksSql =
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
 
+  /** Code points consumed by ONE greedy longest-match step over `rest` —
+    * the CASE ladder mirrors [[graft.functions.SubwordCount]]'s
+    * longest-first probe (vocab literals generated from the SAME Seq, so
+    * the two engines cannot drift).
+    */
+  def subwordStepSql(rest: String): String = {
+    val byLen = graft.functions.SubwordCount.vocab.groupBy(_.length)
+    (graft.functions.SubwordCount.maxLen to 2 by -1).map { l =>
+      val lst = byLen.getOrElse(l, Nil).map(p => s"'$p'").mkString("[", ",", "]")
+      s"WHEN list_contains($lst, substr($rest, 1, $l)) THEN $l"
+    }.mkString("CASE ", " ", " ELSE 1 END")
+  }
+
+  /** CTE chain `(w, r, subwc)` computing per-doc greedy subword counts
+    * over `documents` — each recursion step consumes one piece, so rows
+    * with a non-empty remainder count the pieces. Callers MUST open the
+    * query with `WITH RECURSIVE` and left-join `subwc(doc_id, bpe)`
+    * (docs with no tokens are absent → coalesce to 0).
+    */
+  val subwordCountCtes: String = s"""
+      w AS (SELECT doc_id, unnest($toksSql) AS rest FROM documents),
+      r AS (
+        SELECT doc_id, rest FROM w
+        UNION ALL
+        SELECT doc_id, substr(rest, 1 + ${subwordStepSql("rest")}) AS rest
+        FROM r WHERE rest <> ''),
+      subwc AS (
+        SELECT doc_id, count(*) AS bpe FROM r WHERE rest <> ''
+        GROUP BY doc_id)"""
+
   /** Quality-score measure columns over a relation with (text, toks) —
     * mirrors `TextAnalysis.qualityScoreFromToks`'s inputs.
     */

@@ -122,19 +122,18 @@ object TextQueries {
       val t = Tables.spread(Tables.documents(s, d))
       t.select(col("doc_id"),
         size(TA.tokens(col("text"))).as("ws_tokens"),
-        TA.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TA.subwordCount(TA.tokens(col("text"))).as("bpe_tokens"),
         TA.tokenEstimate(col("text")).as("est_tokens"),
         length(col("text")).as("len_chars"))
     },
-    // NB: DuckDB conventional strings don't process backslash escapes —
-    // the regex goes in verbatim, single-backslash.
     Some(s"""
-      SELECT doc_id,
+      WITH RECURSIVE ${OracleSql.subwordCountCtes}
+      SELECT d.doc_id,
              len($toksSql) AS ws_tokens,
-             len(regexp_extract_all(text, '${TA.bpeTokenRe}')) AS bpe_tokens,
+             CAST(coalesce(subwc.bpe, 0) AS BIGINT) AS bpe_tokens,
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
              length(text) AS len_chars
-      FROM documents
+      FROM documents d LEFT JOIN subwc USING (doc_id)
     """))
 
   // ---- t02: quality scoring ------------------------------------------

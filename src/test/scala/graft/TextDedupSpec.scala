@@ -14,12 +14,12 @@ class TextDedupSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column): Any =
     Seq("x").toDF("_").select(c.as("v")).collect()(0).get(0)
 
-  test("tokens / bpeTokenCount / tokenEstimate") {
+  test("tokens / subwordCount / tokenEstimate") {
     assert(one(T.tokens(lit("  The  quick  Fox "))) ==
       Seq("the", "quick", "fox"))
     assert(one(T.tokens(lit(""))) == Seq())
-    // "don't stop2" → don | ' | t | stop | 2 = 5
-    assert(one(T.bpeTokenCount(lit("don't stop2"))) == 5L)
+    // "don't stop2" → d|on|'|t + st|o|p|2 = 8 greedy subword pieces
+    assert(one(T.subwordCount(T.tokens(lit("don't stop2")))) == 8L)
     assert(one(T.tokenEstimate(lit("abcdefgh"))) == 2L) // 8/4
     assert(one(T.tokenEstimate(lit("abcdefghi"))) == 3L) // ceil(9/4)
   }
