@@ -259,13 +259,14 @@ object StreamQueries {
   // deterministic intervals of width 2w starting every w across the
   // event span). Spark executes a raw `ts BETWEEN s AND e` join as a
   // broadcast-nested-loop — O(|events|·|intervals|) compares. The
-  // scalable formulation grids time into width-w cells: an interval of
-  // width 2w covers exactly cells {c, c+1} (+ the span-remainder tail
-  // cell for the last one), so exploding each interval to its covered
-  // cells turns the join into an EQUI-join on cell id + an exact
-  // residual filter — hash join, partial-agg-friendly, no quadratic
-  // compare. The oracle is DuckDB's native inequality join: two
-  // different algorithms, hash-matched (the q28 as-of pattern).
+  // scalable formulation is [[graft.etl.IntervalJoin.byGrid]]: intervals
+  // of ARBITRARY width explode to their covered width-w grid cells
+  // (`floor(s/w) .. floor((e-1)/w)`), turning the join into an EQUI-join
+  // on cell id + an exact residual filter — hash join,
+  // partial-agg-friendly, no quadratic compare. The oracle is DuckDB's
+  // native inequality join: two different algorithms, hash-matched (the
+  // q28 as-of pattern). IntervalJoinSpec proves grid-vs-BNL parity on
+  // irregular widths.
   //
   // All grid math is integer micros derived from min/max(ts) — exact in
   // both engines.
@@ -284,19 +285,11 @@ object StreamQueries {
         .crossJoin(broadcast(stats))
         .select(col("campaign_id"),
           (col("mn") + col("campaign_id") * col("w")).as("c_start"),
-          (col("mn") + (col("campaign_id") + 2) * col("w")).as("c_end"))
-      // each interval [c·w, (c+2)·w) covers grid cells c and c+1; the
-      // last interval also covers the span-remainder tail cell 20
-      val cells = campaigns
-        .withColumn("j", explode(sequence(lit(0L),
-          when(col("campaign_id") === nCampaigns - 1, 2L).otherwise(1L))))
-        .select(col("campaign_id"), col("c_start"), col("c_end"),
-          (col("campaign_id") + col("j")).as("cell"))
-      val evCells = ev.crossJoin(broadcast(stats))
-        .select(col("event_id"), col("ts_us"), col("value"),
-          floor((col("ts_us") - col("mn")) / col("w")).cast("long").as("cell"))
-      evCells.join(broadcast(cells), Seq("cell"))
-        .filter(col("ts_us") >= col("c_start") && col("ts_us") < col("c_end"))
+          (col("mn") + (col("campaign_id") + 2) * col("w")).as("c_end"),
+          col("w"))
+      graft.etl.IntervalJoin.byGrid(
+          ev.crossJoin(broadcast(stats.select(col("w")))), campaigns,
+          "ts_us", "c_start", "c_end", "w")
         .groupBy(col("campaign_id"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("value_sum"))
