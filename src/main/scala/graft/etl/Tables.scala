@@ -29,18 +29,29 @@ object Tables {
     * parallelism wins back. Hashing one id column is allocation-free and
     * deterministic by construction.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(df.columns.head))
-      // lazy localCheckpoint = an optimizer barrier. Without it Catalyst
-      // pushes every downstream filter below the repartition to the scan
-      // — substitution inlines the filtered expression (e.g.
-      // parseMonth∘fabrication appears ~8× in the pushed predicate) and
-      // the whole thing evaluates on the scan's ONE core, which is
-      // exactly what spread exists to avoid. Checkpointing the raw
-      // spread rows (small by the premise of this helper) pins the
-      // exchange in place; all derivation above it runs full-width.
-      .localCheckpoint(false)
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // GUARD: on an already-parallel source (multi-file / multi-row-group
+    // scans — the production case) spread is a NO-OP, so downstream
+    // filters and projections push to the scan unimpeded (SpreadSpec
+    // asserts this). The repartition+barrier below only engages for
+    // under-split scans, where the barrier costs nothing the scan
+    // hadn't already serialized. getNumPartitions plans the scan's
+    // splits but runs no job.
+    if (df.rdd.getNumPartitions >= target) df
+    else
+      df.repartition(target,
+        org.apache.spark.sql.functions.col(df.columns.head))
+        // lazy localCheckpoint = an optimizer barrier. Without it Catalyst
+        // pushes every downstream filter below the repartition to the scan
+        // — substitution inlines the filtered expression (e.g.
+        // parseMonth∘fabrication appears ~8× in the pushed predicate) and
+        // the whole thing evaluates on the scan's ONE core, which is
+        // exactly what spread exists to avoid. Checkpointing the raw
+        // spread rows (small by the premise of this helper) pins the
+        // exchange in place; all derivation above it runs full-width.
+        .localCheckpoint(false)
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
