@@ -409,14 +409,12 @@ object StreamQueries {
 
   private val q45 = Q(
     "q45_session_window_native",
-    (s, d) => Tables.events(s, d)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("value_sum"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("session_start_us"),
-        unix_micros(col("session_window.end")).as("session_end_us"),
-        col("n_events"), col("value_sum")),
+    // value_sum follows the fixed-point money rule (q38/q40 pattern):
+    // quantize each value ONCE to integer 1e-4 units, sum BIGINTs
+    // (order-independent), divide once at the end — round(sum(double))
+    // is engine-order-dependent and flaked exactly this way on the money
+    // queries before they were converted.
+    (s, d) => StreamOps.sessionWindowNative(Tables.events(s, d)),
     Some(s"""
       WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
       x AS (SELECT *,
@@ -432,7 +430,8 @@ object StreamQueries {
              min(ts_us) AS session_start_us,
              max(ts_us) + $sessGapUs AS session_end_us,
              count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM g
       GROUP BY user_id, sess
     """))

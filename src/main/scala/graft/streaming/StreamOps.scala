@@ -47,6 +47,31 @@ object StreamOps {
         col("n_events"), col("value_sum"))
   }
 
+  /** Native engine-merged session windows (`session_window(ts, gap)`) —
+    * ONE definition for batch (q45's oracle-checked form) and streaming
+    * input, where the watermark makes it THE bounded-state
+    * sessionization (state = open sessions inside the watermark window).
+    * Boundary rule: new session at diff >= gap. value_sum follows the
+    * fixed-point money rule — quantize once to 1e-4 units, sum BIGINTs,
+    * divide once (order-independent, engine-exact).
+    */
+  def sessionWindowNative(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 10000).cast("long")).as("v_e4"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"),
+        (col("v_e4").cast("double") / 10000.0).as("value_sum"))
+  }
+
   /** Stream-static enrichment join: attach each event's customer nation.
     * The dimension sides are broadcast — the event side (batch or
     * unbounded stream) is never shuffled, which is the only join shape

@@ -173,6 +173,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowNative: q45's native session_window streams ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    def asTs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("value"))
+    val sessions = StreamOps.sessionWindowNative(asTs(input.toDF()))
+    val ckpt = Files.createTempDirectory("ckpt8").toString
+    val q = sessions.writeStream
+      .format("memory").queryName("sessnat_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val evs = events
+      // two micro-batches, out of order within each; then a watermark
+      // sentinel so every session closes and emits (append mode)
+      input.addData(evs(4), evs(6), evs(0), evs(1))
+      q.processAllAvailable()
+      input.addData(evs(5), evs(2), evs(3))
+      q.processAllAvailable()
+      input.addData(Ev(99, evs.map(_.ts_us).max + 1000 * MIN, 0.0))
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") =!= 99)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"), col("value_sum"))
+        .as[(Long, Long, Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("sessnat_out"))
+      val batch = canon(StreamOps.sessionWindowNative(
+        asTs(events.toDF("user_id", "ts_us", "value"))))
+      // same session structure as the custom sessionizer fixture: u1 × 2
+      // (40-min gap ≥ 30-min gap splits), u2 × 1, u3 × 1
+      assert(batch.length == 4)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dedupExactStream keeps the first arrival per fingerprint (≡ batch)") {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000L * US
