@@ -92,19 +92,27 @@ object FanOutMain {
   }
 }
 
-/** `graft.cli.VerifyFanoutMain --input-dir I --output-dir O [--encoding E] [--key 商店序號]`
+/** `graft.cli.VerifyFanoutMain --input-dir I --output-dir O [--encoding E] [--key 商店序號] [--strict true]`
   *
   * Exit code 1 iff any store is missing a source file, has an extra
   * file, or any output row's key cell differs from its directory
   * (verify_fanout.py:187–188). Report truncation mirrors the reference:
   * first 10 stores per set problem, ≤5 sample rows per violating file.
+  *
+  * Default file-set expectation is content-derived (store, src) pairs —
+  * see [[VerifyOps.fileSetCheckPairs]] for why the reference verifier's
+  * cross-product over-expects. `--strict true` restores the reference's
+  * expectation (every present store dir × every input file) for
+  * byte-for-byte verifier parity.
   */
 object VerifyFanoutMain {
   def main(args: Array[String]): Unit = {
-    val a = Args.parse(args, Set("input-dir", "output-dir", "encoding", "key"))
+    val a = Args.parse(args,
+      Set("input-dir", "output-dir", "encoding", "key", "strict"))
     val (in, out) = (Args.required(a, "input-dir"), Args.required(a, "output-dir"))
     val enc = a.getOrElse("encoding", "UTF-8")
     val key = a.getOrElse("key", HeaderScan.defaultKeyCol)
+    val strict = a.get("strict").exists(_.toBoolean)
     val spark = Args.session("graft-verify-fanout")
     import spark.implicits._
 
@@ -134,7 +142,13 @@ object VerifyFanoutMain {
       .map { case (k, f) => (k, Args.srcBase(f)) }
     val present = presentPairs.toDF(key, "src")
     val presentSrcs = presentPairs.map(_._2).toSet
-    val setProblems = VerifyOps.fileSetCheckPairs(present, expected, key).cache()
+    // --strict: the reference verifier's expectation — every store dir
+    // that exists must hold every input file (verify_fanout.py
+    // check_file_sets: missing = input_files - store_files per dir)
+    val setProblems = (
+      if (strict)
+        VerifyOps.fileSetCheck(present, key, srcNames)
+      else VerifyOps.fileSetCheckPairs(present, expected, key)).cache()
     val nMissing = setProblems.filter(col("kind") === "missing").count()
     val nExtra = setProblems.filter(col("kind") === "extra").count()
     println(s"[sets] input files=${frames.length} missing=$nMissing extra=$nExtra")
@@ -148,17 +162,31 @@ object VerifyFanoutMain {
       .foreach(r => println(s"  ${r.getString(1)}: store=${r.getString(0)} file=${r.getString(2)}.csv"))
 
     // pass 2 — content invariant per source file (distributed read-back;
-    // membership test on the driver-side listing, no Spark job per file)
+    // membership test on the driver-side listing, no Spark job per file).
+    // STRAY files (present in store dirs but not among the inputs) are
+    // content-checked too — verify_fanout.py's check_store_no_values
+    // scans every CSV under each store dir, so a stray file's violating
+    // rows must add to total_violations, not just surface as "extra"
     var totalViolations = 0L
-    srcNames.filter(presentSrcs).foreach { srcName =>
-      val back = FanOut.read(spark, out, srcName, key)
-      val n = VerifyOps.contentViolations(back, key).count()
-      totalViolations += n
-      if (n > 0) {
-        println(s"[content] $srcName.csv: $n violating rows")
-        VerifyOps.violationSamples(back.select(col(key), col("_dir_key")), key, 5)
-          .orderBy(col("_dir_key"), col("_rnk")).collect()
-          .foreach(r => println(s"  dir=${r.getString(1)} key_cell='${r.getString(0)}'"))
+    val strays = (presentSrcs -- srcNames.toSet).toSeq.sorted
+    (srcNames.filter(presentSrcs) ++ strays).foreach { srcName =>
+      try {
+        val back = FanOut.read(spark, out, srcName, key)
+        val n = VerifyOps.contentViolations(back, key).count()
+        totalViolations += n
+        if (n > 0) {
+          println(s"[content] $srcName.csv: $n violating rows")
+          VerifyOps.violationSamples(back.select(col(key), col("_dir_key")), key, 5)
+            .orderBy(col("_dir_key"), col("_rnk")).collect()
+            .foreach(r => println(s"  dir=${r.getString(1)} key_cell='${r.getString(0)}'"))
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // a stray CSV without the key header cannot satisfy the
+        // invariant (FanOut.read refuses it; the reference's df[key]
+        // access would throw) — count it as one violation instead of
+        // crashing the verifier mid-report
+        totalViolations += 1
+        println(s"[content] $srcName.csv: unreadable under key '$key' (${e.getMessage.linesIterator.next()}) — counted as violation")
       }
     }
     println(s"[content] total violations=$totalViolations")

@@ -43,10 +43,17 @@ object VerifyOps {
   }
 
   /** [[fileSetCheck]] against an explicit expected (key, src) pair set —
-    * the per-file membership computed from the INPUT data. This is the
-    * reference's actual contract: a store absent from a source file
-    * legitimately has no output for it, so "every present store × every
-    * src" over-expects (FanOutPropertySpec pins the per-file invariant).
+    * the per-file membership computed from the INPUT data. This is a
+    * DELIBERATE fix of the reference verifier's false failures:
+    * verify_fanout.py's check_file_sets expects every store dir to hold
+    * every input file (the cross-product), but that is
+    * fan_out_by_storeid.py's WRITE-side layout only when every store
+    * appears in every source — a store absent from a source file
+    * legitimately has no output for it, and the reference verifier
+    * wrongly exits 1 on that layout. Content-derived pairs expect
+    * exactly what the fan-out can produce (FanOutPropertySpec pins the
+    * per-file invariant); `VerifyFanoutMain --strict true` restores the
+    * reference verifier's cross-product expectation byte-for-byte.
     */
   def fileSetCheckPairs(present: DataFrame, expected: DataFrame,
                         keyCol: String): DataFrame = {
