@@ -989,6 +989,140 @@ object SimilarityQueries {
       ${lshGeometrySql("mix16x4", bandedPlanes, planeVecMix)}
     """))
 
+  // ---- e14/e15: multi-probe LSH search + its cost/recall audit --------
+  //
+  // The recall knob the plain bucket join (e02) lacks: instead of
+  // widening buckets (fewer planes → quadratic candidate growth), the
+  // QUERY probes its own bucket plus every bucket at Hamming distance 1
+  // (one plane sign flipped) — numPlanes+1 probes, so candidate volume
+  // grows ~(P+1)·|bucket| (linear) while recall gains every neighbor
+  // that disagrees on exactly one plane. Probing is still a pure
+  // equi-join (probe bucket list exploded on the tiny query side; the
+  // corpus side is hashed once and never re-bucketed). Planes are the
+  // avalanche-mixed family — e13 showed the legacy family's correlated
+  // planes waste buckets.
+  //
+  // e15 is the e09-discipline audit over BOTH knob settings (radius 0 =
+  // plain bucket, radius 1 = multi-probe): per variant, total candidate
+  // pairs scored (the cost), exact-top-k hits (the recall numerator) —
+  // pure integers, engine-exact. This pair of entries is the tuning
+  // loop a deployment runs before choosing probe radius.
+
+  /** Scored multi-probe candidates (qid, cid, cos) at probe radius 0
+    * (own bucket) or 1 (own + every one-bit-flip bucket) over
+    * mixed-family buckets. Shared by e14 (top-k tail) and e15 (audit).
+    */
+  private def multiProbeScored(s: SparkSession, d: String, radius: Int): DataFrame = {
+    val mixPlanes = 0 until numPlanes
+    val emb = normalizedEmb(s, d)
+      .withColumn("bkt", bucketOf(mixPlanes, planeVecMix)(col("e")))
+    val probeBkts: Seq[Column] = col("bkt") +:
+      (if (radius >= 1) mixPlanes.map(i => col("bkt").bitwiseXOR(lit(1L << i)))
+       else Seq())
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("en").as("qe"),
+        explode(array(probeBkts: _*)).as("bkt"))
+    val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
+    broadcast(queries).join(cands, Seq("bkt"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
+  }
+
+  /** Multi-probe top-k: (qid, cid, rnk, cos) like [[knnLsh]]. */
+  private def knnMultiProbe(s: SparkSession, d: String, radius: Int): DataFrame =
+    graft.etl.TopK.topK(
+      multiProbeScored(s, d, radius), Seq(col("qid")), col("cos"), col("cid"), k)
+
+  /** DuckDB chain for one probe radius, ending in CTEs
+    * `cand_$tag(qid, cid, cos)` / `top_$tag(qid, cid)`.
+    */
+  private def multiProbeSql(tag: String, radius: Int): String = {
+    val probes = "b.bkt" +:
+      (if (radius >= 1) (0 until numPlanes).map(i => s"xor(b.bkt, ${1L << i})")
+       else Seq())
+    s"""
+      q_$tag AS (
+        SELECT vec_id AS qid, en AS qe, unnest([${probes.mkString(", ")}]) AS bkt
+        FROM bmix b WHERE vec_id % 100 = 0),
+      cand_$tag AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q_$tag JOIN (SELECT vec_id, en AS ce, bkt FROM bmix) c USING (bkt)
+        WHERE qid <> c.vec_id),
+      top_$tag AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                      ORDER BY cos DESC, cid ASC) AS rnk
+          FROM cand_$tag)
+        WHERE rnk <= $k)"""
+  }
+
+  private val bmixSql =
+    s"bmix AS (SELECT vec_id, en, e, ${bucketSqlOf(0 until numPlanes, planeVecMix, "e")} AS bkt FROM emb)"
+
+  private val e14 = Q(
+    "e14_knn_multiprobe",
+    (s, d) => knnMultiProbe(s, d, radius = 1)
+      .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim")),
+    Some(s"""
+      WITH $normalizedSql,
+      $bmixSql,
+      ${multiProbeSql("r1", 1)}
+      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM (
+        SELECT qid, cid, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+        FROM cand_r1)
+      WHERE rnk <= $k
+    """))
+
+  private val e15 = Q(
+    "e15_multiprobe_audit",
+    (s, d) => {
+      val exact = knnBrute(s, d).select(col("qid"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def variant(tag: String, radius: Int): DataFrame = {
+        val scored = multiProbeScored(s, d, radius)
+        val top = graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+          .select(col("qid"), col("cid"))
+        val nCand = scored.agg(count(lit(1)).as("n_cand"))
+        val nHits = exact.join(top, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("n_hits"))
+        val nExact = exact.agg(count(lit(1)).as("n_exact"))
+        nCand.crossJoin(nHits).crossJoin(nExact)
+          .select(lit(tag).as("variant"), col("n_cand"), col("n_exact"),
+            col("n_hits"))
+      }
+      variant("probe0", 0).unionAll(variant("probe1", 1))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      $bmixSql,
+      ${multiProbeSql("r0", 0)},
+      ${multiProbeSql("r1", 1)},
+      q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
+      scored_ex AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
+        WHERE qid <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ex),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k)
+      SELECT 'probe0' AS variant,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_r0) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ex JOIN top_r0 USING (qid, cid)) AS n_hits
+      UNION ALL
+      SELECT 'probe1',
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_r1),
+             (SELECT CAST(count(*) AS BIGINT) FROM ex),
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ex JOIN top_r1 USING (qid, cid))
+    """))
+
   def all: Seq[Q] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+      e14, e15)
 }
