@@ -112,7 +112,13 @@ object VerifyFanoutMain {
     val (in, out) = (Args.required(a, "input-dir"), Args.required(a, "output-dir"))
     val enc = a.getOrElse("encoding", "UTF-8")
     val key = a.getOrElse("key", HeaderScan.defaultKeyCol)
-    val strict = a.get("strict").exists(_.toBoolean)
+    val strict = a.get("strict") match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"--strict expects true or false, got '$v'")
+    }
     val spark = Args.session("graft-verify-fanout")
     import spark.implicits._
 
@@ -186,7 +192,10 @@ object VerifyFanoutMain {
         // access would throw) — count it as one violation instead of
         // crashing the verifier mid-report
         totalViolations += 1
-        println(s"[content] $srcName.csv: unreadable under key '$key' (${e.getMessage.linesIterator.next()}) — counted as violation")
+        val why = Option(e.getMessage)
+          .flatMap(_.linesIterator.toSeq.headOption)
+          .getOrElse(e.getClass.getSimpleName)
+        println(s"[content] $srcName.csv: unreadable under key '$key' ($why) — counted as violation")
       }
     }
     println(s"[content] total violations=$totalViolations")

@@ -131,17 +131,9 @@ object Dedup {
       idCol: String,
       numBands: Int,
       rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
-    val p = banded(probeSig, idCol, numBands, rowsPerBand)
-      .select(col(idCol).as("a"), col("bidx"), col("bh"))
-    val ix = capped(banded(indexSig, idCol, numBands, rowsPerBand), maxBucket)
-      .select(col(idCol).as("b"), col("bidx"), col("bh"))
-    p.join(ix, Seq("bidx", "bh"))
-      // a probe id already present in the index (batch appended before
-      // probing) must not report itself as its own near-duplicate
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
-  }
+      maxBucket: Int): DataFrame =
+    probeBandTable(probeSig, banded(indexSig, idCol, numBands, rowsPerBand),
+      idCol, numBands, rowsPerBand, maxBucket)
 
   /** Resolve verified near-dup pairs into clusters: every member maps to
     * its cluster's minimum doc id (the canonical representative a

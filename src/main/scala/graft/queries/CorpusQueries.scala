@@ -53,7 +53,9 @@ object CorpusQueries {
         // (one codegen'd expression), not the whitespace proxy — packing
         // budgets are only as real as the counts they pack
         .select(col("doc_id"),
-          TA.subwordCount(TA.tokens(col("text"))).as("n_tokens"))
+          // coalesce: NULL-text parity with the oracle's LEFT JOIN + 0
+          coalesce(TA.subwordCount(TA.tokens(col("text"))), lit(0L))
+            .as("n_tokens"))
         .withColumn("bucket", floor(col("doc_id") / bucketW).cast("long"))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)

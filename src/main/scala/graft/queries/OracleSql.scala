@@ -72,7 +72,10 @@ object OracleSql {
     * the two engines cannot drift).
     */
   def subwordStepSql(rest: String): String = {
-    val byLen = graft.functions.SubwordCount.vocab.groupBy(_.length)
+    // group by CODE POINTS (what SubwordCount matches and DuckDB substr
+    // counts), not UTF-16 length — they differ for astral-plane pieces
+    val byLen = graft.functions.SubwordCount.vocab
+      .groupBy(p => p.codePointCount(0, p.length))
     (graft.functions.SubwordCount.maxLen to 2 by -1).map { l =>
       val lst = byLen.getOrElse(l, Nil).map(p => s"'$p'").mkString("[", ",", "]")
       s"WHEN list_contains($lst, substr($rest, 1, $l)) THEN $l"

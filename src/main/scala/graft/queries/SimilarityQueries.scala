@@ -59,9 +59,6 @@ object SimilarityQueries {
       if (((z >>> 33) & 1L) == 0L) 1.0 else -1.0
     }
 
-  private val hyperplanes: Seq[Seq[Double]] =
-    (0 until numPlanes).map(planeVec)
-
   private def planeLit(pl: Seq[Double]): Column = array(pl.map(lit): _*)
 
   private def planeSql(pl: Seq[Double]): String =
@@ -1048,13 +1045,12 @@ object SimilarityQueries {
         SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
         FROM q_$tag JOIN (SELECT vec_id, en AS ce, bkt FROM bmix) c USING (bkt)
         WHERE qid <> c.vec_id),
-      top_$tag AS (
-        SELECT qid, cid FROM (
-          SELECT qid, cid,
-                 row_number() OVER (PARTITION BY qid
-                      ORDER BY cos DESC, cid ASC) AS rnk
-          FROM cand_$tag)
-        WHERE rnk <= $k)"""
+      ranked_$tag AS (
+        SELECT qid, cid, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
+        FROM cand_$tag),
+      top_$tag AS (SELECT qid, cid FROM ranked_$tag WHERE rnk <= $k)"""
   }
 
   private val bmixSql =
@@ -1068,12 +1064,8 @@ object SimilarityQueries {
       WITH $normalizedSql,
       $bmixSql,
       ${multiProbeSql("r1", 1)}
-      SELECT qid, cid, rnk, round(cos, 6) AS sim FROM (
-        SELECT qid, cid, cos,
-               CAST(row_number() OVER (PARTITION BY qid
-                    ORDER BY cos DESC, cid ASC) AS INTEGER) AS rnk
-        FROM cand_r1)
-      WHERE rnk <= $k
+      SELECT qid, cid, rnk, round(cos, 6) AS sim
+      FROM ranked_r1 WHERE rnk <= $k
     """))
 
   private val e15 = Q(

@@ -291,8 +291,13 @@ object StreamQueries {
           ev.crossJoin(broadcast(stats.select(col("w")))), campaigns,
           "ts_us", "c_start", "c_end", "w")
         .groupBy(col("campaign_id"))
+        // fixed-point value sum (q45/q38 rule): quantize once to 1e-4
+        // units, sum BIGINTs, divide once — round(sum(double), 4) is
+        // engine-order-dependent at half-boundaries
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("value_sum"))
+          sum(round(col("value") * 10000).cast("long")).as("v_e4"))
+        .select(col("campaign_id"), col("n_events"),
+          (col("v_e4").cast("double") / 10000.0).as("value_sum"))
     },
     Some(s"""
       WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
@@ -303,7 +308,8 @@ object StreamQueries {
         SELECT c AS campaign_id, mn + c * w AS c_start, mn + (c + 2) * w AS c_end
         FROM st CROSS JOIN (SELECT unnest(range(0, $nCampaigns)) AS c))
       SELECT campaign_id, count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM ev JOIN campaigns
         ON ev.ts_us >= c_start AND ev.ts_us < c_end
       GROUP BY 1

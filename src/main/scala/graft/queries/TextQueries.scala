@@ -122,7 +122,10 @@ object TextQueries {
       val t = Tables.spread(Tables.documents(s, d))
       t.select(col("doc_id"),
         size(TA.tokens(col("text"))).as("ws_tokens"),
-        TA.subwordCount(TA.tokens(col("text"))).as("bpe_tokens"),
+        // coalesce: NULL text null-propagates through tokens→count on
+        // the Spark side, but the oracle's LEFT JOIN + coalesce reports
+        // 0 tokens for such a doc — pin both engines to 0
+        coalesce(TA.subwordCount(TA.tokens(col("text"))), lit(0L)).as("bpe_tokens"),
         TA.tokenEstimate(col("text")).as("est_tokens"),
         length(col("text")).as("len_chars"))
     },
@@ -299,6 +302,14 @@ object TextQueries {
           .filter(size(col("sh")) > 0)
         lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
           .write.mode("overwrite").parquet(path)
+        // per-process artifact: clean up on JVM exit (same hygiene as
+        // the t34 index — repeated runs must not accumulate in tmpdir)
+        sys.addShutdownHook {
+          def deleteRec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+          }
+          deleteRec(new java.io.File(path)); ()
+        }
       }
     }
     s.read.parquet(path)
@@ -1129,6 +1140,14 @@ object TextQueries {
         bandsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
           .write.mode("append").parquet(path)
         marker.createNewFile()
+        // per-process artifact: clean it up on JVM exit so repeated
+        // bench/verify runs don't accumulate band tables in tmpdir
+        sys.addShutdownHook {
+          def deleteRec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+          }
+          deleteRec(new java.io.File(path)); marker.delete(); ()
+        }
       }
     }
     path
