@@ -524,13 +524,17 @@ object SimilarityQueries {
         slice(col("q"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
 
   /** Per-(vector, subspace, centroid) integer L2 affinities against the
-    * broadcast codebook (first pqK vectors' subvectors). Shared by
-    * e08/e10/e11 — the codebook broadcast means the corpus is never
-    * shuffled to be encoded.
+    * broadcast codebook (pqK subvectors drawn from vec_ids starting at
+    * `cbookFrom`). Shared by e08/e10/e11/e16 — the codebook broadcast
+    * means the corpus is never shuffled to be encoded. e16 passes
+    * `cbookFrom = nCells`: in residual space, vec_ids < nCells ARE the
+    * IVF centroids and their residuals are exactly zero — a codebook
+    * drawn from them would be 16 copies of the zero vector.
     */
-  private def pqAff(subs: DataFrame): DataFrame = {
-    val cents = subs.filter(col("vec_id") < pqK)
-      .select(col("j"), col("vec_id").as("k"), col("sub").as("csub"))
+  private def pqAff(subs: DataFrame, cbookFrom: Int = 0): DataFrame = {
+    val cents = subs
+      .filter(col("vec_id") >= cbookFrom && col("vec_id") < cbookFrom + pqK)
+      .select(col("j"), (col("vec_id") - cbookFrom).as("k"), col("sub").as("csub"))
     subs.join(broadcast(cents), Seq("j"))
       .select(col("vec_id"), col("j"), col("k"),
         (Portable.dot(col("sub"), col("sub"))
@@ -718,19 +722,20 @@ object SimilarityQueries {
   private val ivfProbe = 4
   private val rerankR = 100
 
-  /** e11 core (qid, cid, rnk, dist) — reused by the e12 recall audit. */
-  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
-    val fx = fxVectors(s, d)
-    // IVF coarse layer: integer-L2 cell assignment (same space as the PQ
-    // codes — a cosine coarse layer would rank a different metric than
-    // the ADC scores it gates)
+  /** IVF coarse layer shared by e11/e16: deterministic centroids
+    * (cent_id, c), per-vector cell assignment (vec_id, cent_id), and the
+    * query probe set (qid, cent_id) — integer-L2 space throughout (a
+    * cosine coarse layer would rank a different metric than the ADC
+    * scores it gates). Assignment is a (dist ASC, cent_id ASC) argmin
+    * via min_by — aggregation-only, no window sort.
+    */
+  private def ivfLayer(fx: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val cents = fx.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("q").as("c"))
     val affIvf = fx.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
           - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
-    // (dist ASC, cent_id ASC) argmin — aggregation-only, no window sort
     val members = affIvf.groupBy(col("vec_id"))
       .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
     val w = org.apache.spark.sql.expressions.Window
@@ -739,6 +744,13 @@ object SimilarityQueries {
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") <= ivfProbe)
       .select(col("vec_id").as("qid"), col("cent_id"))
+    (cents, members, probes)
+  }
+
+  /** e11 core (qid, cid, rnk, dist) — reused by the e12 recall audit. */
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val fx = fxVectors(s, d)
+    val (_, members, probes) = ivfLayer(fx)
     // PQ fine layer: codes + per-query LUT from the same affinity relation
     val aff = pqAff(pqSubs(fx))
     val codes = aff.groupBy(col("vec_id"), col("j"))
@@ -754,6 +766,13 @@ object SimilarityQueries {
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("dist")).as("adc_dist"))
       .select(col("qid"), col("vec_id").as("cid"), col("adc_dist"))
+    adcRerank(adc, fx)
+  }
+
+  /** ADC tail shared by e11/e16: top-R shortlist by approximate distance,
+    * then exact integer-L2 rerank on the |Q|·R pairs only.
+    */
+  private def adcRerank(adc: DataFrame, fx: DataFrame): DataFrame = {
     val shortlist = graft.etl.TopK.perGroup(
         adc, Seq(col("qid")), Seq(col("adc_dist").asc, col("cid").asc),
         rerankR, rankCol = "srnk")
@@ -1114,7 +1133,191 @@ object SimilarityQueries {
               FROM ex JOIN top_r1 USING (qid, cid))
     """))
 
+  // ---- e16/e17: RESIDUAL IVF-PQ + accuracy audit ----------------------
+  //
+  // The true FAISS IVFPQ formulation: PQ codes encode the RESIDUAL
+  // x − centroid(cell(x)), not the raw vector. On cluster-structured
+  // embeddings the coarse layer explains most of the variance, residuals
+  // concentrate near zero, and the 16-entry-per-subspace codebook spends
+  // its codes where it matters — the classic accuracy win over raw-space
+  // codes (e11) at identical index size. The price is a per-(query,
+  // probed-cell) LUT (|Q|·ivfProbe·m·16 integer rows, still broadcast)
+  // instead of e11's per-query LUT, because the query's residual differs
+  // per cell. All math stays exact integer, so every ranking is
+  // engine-exact.
+  //
+  // e17 is the encoder audit — and on THIS corpus it reports the
+  // opposite of the FAISS default: raw 42 vs residual 32 hits of 100
+  // (sf0.1). Uniform-random vectors are the case where residual
+  // encoding HURTS: the coarse layer explains ~no variance, so
+  // residuals carry ~2× the per-coordinate variance of the raw vectors
+  // and the same-size codebook covers them worse. That is exactly why
+  // the audit exists — measure, don't cargo-cult the default; on real
+  // clustered embeddings the same audit flips to residual.
+
+  /** e16 core (qid, cid, rnk, dist) — residual-space codes + rerank. */
+  private def ivfPqResidualSearch(s: SparkSession, d: String): DataFrame = {
+    val fx = fxVectors(s, d)
+    val (cents, members, probes) = ivfLayer(fx)
+    // residuals: each vector minus ITS cell's centroid (exact integers)
+    val res = fx.join(members, Seq("vec_id"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"),
+        zip_with(col("q"), col("c"), (a, b) => a - b).as("q"))
+    // residual-space PQ: codebook from the first pqK NON-CENTROID
+    // residuals (see pqAff's cbookFrom note)
+    val rAff = pqAff(pqSubs(res), cbookFrom = nCells)
+    val codes = rAff.groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
+    val index = codes.join(members, Seq("vec_id"))
+    val cbook = pqSubs(res)
+      .filter(col("vec_id") >= nCells && col("vec_id") < nCells + pqK)
+      .select(col("j"), (col("vec_id") - nCells).as("k"), col("sub").as("csub"))
+    // per-(query, probed cell) LUT: the query's residual wrt THAT cell
+    val qres = fx.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q"))
+      .join(broadcast(probes), Seq("qid"))
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("qid"), col("cent_id"),
+        zip_with(col("q"), col("c"), (a, b) => a - b).as("rq"))
+    val qsubs = qres
+      .select(col("qid"), col("cent_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("rq"))
+      .select(col("qid"), col("cent_id"), col("j"),
+        slice(col("rq"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+    val lut = qsubs.join(broadcast(cbook), Seq("j"))
+      .select(col("qid"), col("cent_id"), col("j"), col("k"),
+        (Portable.dot(col("sub"), col("sub"))
+          + Portable.dot(col("csub"), col("csub"))
+          - lit(2.0) * Portable.dot(col("sub"), col("csub")))
+          .cast("long").as("dist"))
+    val adc = index
+      .join(broadcast(lut), Seq("cent_id", "j", "k"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+      .select(col("qid"), col("vec_id").as("cid"), col("adc_dist"))
+    adcRerank(adc, fx)
+  }
+
+  /** Residual-space DuckDB chain on top of [[ivfPqChainSql]]'s coarse
+    * CTEs, ending in `rivfpq(qid, cid, dist, rnk)`.
+    */
+  private lazy val residualChainSql = s"""
+      rres AS (
+        SELECT f.vec_id,
+               list_transform(range(1, ${dim + 1}), i -> f.q[i] - c.c[i]) AS rq
+        FROM fx f JOIN members m USING (vec_id)
+                  JOIN icents c ON c.cent_id = m.cent_id),
+      rsubs AS (
+        SELECT vec_id, j, list_slice(rq, j*$pqSubDim+1, j*$pqSubDim+$pqSubDim) AS sub
+        FROM rres CROSS JOIN (SELECT unnest(range(0, $pqSubspaces)) AS j)),
+      rcents AS (
+        SELECT j, vec_id - $nCells AS k, sub AS csub
+        FROM rsubs WHERE vec_id >= $nCells AND vec_id < ${nCells + pqK}),
+      raff AS (
+        SELECT s.vec_id, s.j, c.k,
+               CAST(list_dot_product(s.sub, s.sub) + list_dot_product(c.csub, c.csub)
+                    - 2 * list_dot_product(s.sub, c.csub) AS BIGINT) AS dist
+        FROM rsubs s JOIN rcents c ON c.j = s.j),
+      rmn AS (SELECT vec_id, j, min(dist) AS md FROM raff GROUP BY 1, 2),
+      rcode AS (
+        SELECT a.vec_id, a.j, min(a.k) AS k
+        FROM raff a JOIN rmn ON rmn.vec_id = a.vec_id AND rmn.j = a.j AND a.dist = rmn.md
+        GROUP BY 1, 2),
+      ridx AS (SELECT c.vec_id, c.j, c.k, m.cent_id
+               FROM rcode c JOIN members m USING (vec_id)),
+      qres AS (
+        SELECT p.qid, p.cent_id,
+               list_transform(range(1, ${dim + 1}), i -> f.q[i] - c.c[i]) AS rq
+        FROM probes p JOIN fx f ON f.vec_id = p.qid
+                      JOIN icents c ON c.cent_id = p.cent_id),
+      qrsubs AS (
+        SELECT qid, cent_id, j,
+               list_slice(rq, j*$pqSubDim+1, j*$pqSubDim+$pqSubDim) AS sub
+        FROM qres CROSS JOIN (SELECT unnest(range(0, $pqSubspaces)) AS j)),
+      rlut AS (
+        SELECT q.qid, q.cent_id, q.j, c.k,
+               CAST(list_dot_product(q.sub, q.sub) + list_dot_product(c.csub, c.csub)
+                    - 2 * list_dot_product(q.sub, c.csub) AS BIGINT) AS dist
+        FROM qrsubs q JOIN rcents c ON c.j = q.j),
+      radc AS (
+        SELECT l.qid, i.vec_id AS cid, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+        FROM ridx i JOIN rlut l
+          ON l.cent_id = i.cent_id AND l.j = i.j AND l.k = i.k
+        WHERE l.qid <> i.vec_id
+        GROUP BY 1, 2),
+      rshort AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, cid ASC) AS srnk
+          FROM radc)
+        WHERE srnk <= $rerankR),
+      rrr AS (
+        SELECT s.qid, s.cid,
+               CAST(list_dot_product(q.q, q.q) + list_dot_product(c.q, c.q)
+                    - 2 * list_dot_product(q.q, c.q) AS BIGINT) AS dist
+        FROM rshort s JOIN fx q ON q.vec_id = s.qid
+                      JOIN fx c ON c.vec_id = s.cid),
+      rivfpq AS (
+        SELECT qid, cid, dist,
+               CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY dist ASC, cid ASC) AS INTEGER) AS rnk
+        FROM rrr)"""
+
+  private val e16 = Q(
+    "e16_ivf_pq_residual",
+    (s, d) => ivfPqResidualSearch(s, d)
+      .select(col("qid"), col("cid"), col("rnk"), col("dist")),
+    Some(s"""
+      WITH $ivfPqChainSql,
+      $residualChainSql
+      SELECT qid, cid, rnk, dist FROM rivfpq WHERE rnk <= $k
+    """))
+
+  private val e17 = Q(
+    "e17_pq_encoder_audit",
+    (s, d) => {
+      val exact = knnExactL2(s, d).select(col("qid"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def row(tag: String, approx: DataFrame): DataFrame = {
+        val hits = exact.join(approx.select(col("qid"), col("cid")),
+            Seq("qid", "cid"))
+          .agg(count(lit(1)).as("n_hits"))
+        exact.agg(count(lit(1)).as("n_exact")).crossJoin(hits)
+          .select(lit(tag).as("encoder"), col("n_exact"), col("n_hits"))
+      }
+      row("raw", ivfPqSearch(s, d))
+        .unionAll(row("residual", ivfPqResidualSearch(s, d)))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql,
+      $residualChainSql,
+      ap_raw AS (SELECT qid, cid FROM ivfpq WHERE rnk <= $k),
+      ap_res AS (SELECT qid, cid FROM rivfpq WHERE rnk <= $k),
+      ex_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(list_dot_product(q.q, q.q) + list_dot_product(c.q, c.q)
+                    - 2 * list_dot_product(q.q, c.q) AS BIGINT) AS dist
+        FROM fx q CROSS JOIN fx c
+        WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, cid ASC) AS rnk
+              FROM ex_scored),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k)
+      SELECT 'raw' AS encoder,
+             (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ex JOIN ap_raw USING (qid, cid)) AS n_hits
+      UNION ALL
+      SELECT 'residual',
+             (SELECT CAST(count(*) AS BIGINT) FROM ex),
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM ex JOIN ap_res USING (qid, cid))
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15)
+      e14, e15, e16, e17)
 }
