@@ -47,13 +47,16 @@ object Dedup {
 
   /** Signature matrix → (id, bidx, bh) band rows. */
   private def banded(sig: DataFrame, idCol: String,
-                     numBands: Int, rowsPerBand: Int): DataFrame = {
+                     numBands: Int, rowsPerBand: Int,
+                     keep: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       val ms = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(b).as("bidx"), Portable.hash60(concat_ws("|", ms: _*), 1000 + b).as("bh"))
     }
-    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.bidx").as("bidx"), col("band.bh").as("bh"))
+    val carried = col(idCol) +: keep.map(col)
+    sig.select(carried :+ explode(array(bandCols: _*)).as("band"): _*)
+      .select(carried ++ Seq(col("band.bidx").as("bidx"),
+        col("band.bh").as("bh")): _*)
   }
 
   /** Drop band rows in buckets hotter than `maxBucket`. */
@@ -93,6 +96,41 @@ object Dedup {
   def bandTable(sig: DataFrame, idCol: String,
                 numBands: Int, rowsPerBand: Int): DataFrame =
     banded(sig, idCol, numBands, rowsPerBand)
+
+  /** Public cap (see [[capped]]) for callers holding a band table
+    * directly — e.g. the streaming probe, which caps the STATIC index
+    * side at plan time.
+    */
+  def capBands(bands: DataFrame, maxBucket: Int): DataFrame =
+    capped(bands, maxBucket)
+
+  /** Per-ROW minhash signature columns m0..m{k-1} via an array fold over
+    * the shingle column — same math as [[minhashSignatures]] (one
+    * hash60 per shingle, affine family, min), but with NO aggregation:
+    * the right formulation when the input is an unbounded STREAM (zero
+    * shuffle, zero state) or when rows already carry their shingle
+    * arrays. Empty shingle arrays yield null signatures (array_min of
+    * empty) — callers filter `size(sh) > 0` first, same contract as
+    * [[minhashSignatures]].
+    */
+  def rowSignatures(base: DataFrame, shCol: String, k: Int): DataFrame = {
+    val consts = Portable.minhashConsts(k)
+    val withH = base.withColumn("_hs",
+      transform(col(shCol), s => Portable.hash60(s)))
+    consts.zipWithIndex.foldLeft(withH) { case (df, (c, i)) =>
+      df.withColumn(s"m$i",
+        array_min(transform(col("_hs"), h => Portable.minhashTransform(h, c))))
+    }.drop("_hs")
+  }
+
+  /** Band rows from signature COLUMNS (the [[banded]] shape) — public
+    * for per-row/streaming callers; `keep` names extra columns to carry
+    * through the explode (e.g. event time + shingles on a stream, where
+    * joining back for them would be a stream-stream join).
+    */
+  def rowBands(sig: DataFrame, idCol: String, numBands: Int,
+               rowsPerBand: Int, keep: Seq[String] = Nil): DataFrame =
+    banded(sig, idCol, numBands, rowsPerBand, keep)
 
   /** Probe a PERSISTED index band table (as read back from storage — the
     * t34 lifecycle): the probe batch's bands equi-join the index bands

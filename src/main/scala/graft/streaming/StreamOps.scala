@@ -47,6 +47,58 @@ object StreamOps {
         col("n_events"), col("value_sum"))
   }
 
+  /** Streaming near-dup probe against a PERSISTED LSH index (the t34
+    * band table read from storage) — the streaming half of the managed
+    * index lifecycle: docs arrive as a stream, their minhash signatures
+    * are computed PER ROW (array fold, [[graft.etl.Dedup.rowSignatures]]
+    * — no aggregation, so the stream holds zero shuffle state), bands
+    * equi-join the static index (stream-static inner join: stateless),
+    * and exact Jaccard verifies against the static corpus shingles.
+    * The only state is the pair dedup (a pair can match via several
+    * bands), bounded by `dropDuplicatesWithinWatermark` — the same
+    * contract as [[dedupExactStream]].
+    *
+    * ONE definition for batch and stream: on a batch frame the watermark
+    * and watermark-dedup degrade to plain `dropDuplicates`, giving the
+    * oracle-checkable twin (t34's probe is the same computation via
+    * [[graft.etl.Dedup.probeBandTable]]).
+    *
+    * `docs` needs (doc_id, ts, sh); `indexBands` (doc_id, bidx, bh);
+    * `corpusSh` (doc_id, sh). Output: (a, ts, b, jaccard).
+    */
+  def nearDupProbeStream(
+      docs: DataFrame,
+      indexBands: DataFrame,
+      corpusSh: DataFrame,
+      k: Int = 15,
+      numBands: Int = 3,
+      rowsPerBand: Int = 5,
+      maxBucket: Int = 20,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.etl.Dedup
+    val src =
+      if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
+    val sig = Dedup.rowSignatures(src.filter(size(col("sh")) > 0), "sh", k)
+    val bands = Dedup.rowBands(sig, "doc_id", numBands, rowsPerBand,
+      keep = Seq("ts", "sh"))
+    // hot-bucket cap on the STATIC index side only (plan-time window on
+    // a bounded table); the probe stream stays uncapped — same contract
+    // as Dedup.probeBandTable
+    val ix = Dedup.capBands(indexBands, maxBucket)
+      .select(col("doc_id").as("b"), col("bidx"), col("bh"))
+    val verified = bands.join(ix, Seq("bidx", "bh"))
+      .filter(col("doc_id") =!= col("b"))
+      .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
+        Seq("b"))
+      .select(col("doc_id").as("a"), col("ts"), col("b"),
+        round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
+    else verified.dropDuplicates("a", "b")
+  }
+
   /** Native engine-merged session windows (`session_window(ts, gap)`) —
     * ONE definition for batch (q45's oracle-checked form) and streaming
     * input, where the watermark makes it THE bounded-state

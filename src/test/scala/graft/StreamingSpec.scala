@@ -434,6 +434,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupProbeStream: streaming probe of a persisted-style LSH index ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.{Dedup, TextAnalysis => TA}
+    import graft.functions.Portable
+    val base = 1700000000L * US
+
+    // corpus: 6 docs, two of which (20, 21) are exact texts of (10, 11)
+    val corpusRows = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "pack my box with five dozen liquor jugs every single day"),
+      (12L, "how vexingly quick daft zebras jump around the tall fence"),
+      (13L, "sphinx of black quartz judge my vow before the night ends"),
+      (20L, "the quick brown fox jumps over the lazy dog again and again"),
+      (21L, "pack my box with five dozen liquor jugs every single day"))
+    def shingled(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_toks", TA.tokens(col("text")))
+      .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val corpusSh = shingled(corpusRows.toDF("doc_id", "text"))
+    val indexBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpusSh, "doc_id", "sh", 15),
+      "doc_id", numBands = 3, rowsPerBand = 5)
+
+    // probe batch: replay docs 10 and 12 under shifted ids
+    val probeRows = Seq(
+      (910L, base, "the quick brown fox jumps over the lazy dog again and again"),
+      (912L, base + MIN, "how vexingly quick daft zebras jump around the tall fence"))
+    def probeSh(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_toks", TA.tokens(col("text")))
+      .select(col("doc_id"), col("ts"),
+        Portable.tokenShingles(col("_toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val input = MemoryStream[(Long, Long, String)]
+    val streamDocs = probeSh(input.toDS().toDF("doc_id", "us", "text")
+      .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("text")))
+    val out = StreamOps.nearDupProbeStream(streamDocs, indexBands, corpusSh)
+    val ckpt = Files.createTempDirectory("ckpt9").toString
+    val q = out.writeStream
+      .format("memory").queryName("neardup_probe_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(probeRows: _*)
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("a"), col("b"), col("jaccard"))
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("neardup_probe_out"))
+      val batchDocs = probeSh(probeRows.toDF("doc_id", "us", "text")
+        .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("text")))
+      val batch = canon(StreamOps.nearDupProbeStream(batchDocs, indexBands, corpusSh))
+      // each probe finds its original AND the original's exact dup
+      assert(batch.toSet == Set(
+        (910L, 10L, 1.0), (910L, 20L, 1.0), (912L, 12L, 1.0)))
+      assert(streamed == batch)
+
+      // and the batch twin matches the t34-style probeBandTable path
+      val sigPb = Dedup.minhashSignatures(
+        batchDocs.select(col("doc_id"), col("sh")), "doc_id", "sh", 15)
+      val cand = Dedup.probeBandTable(sigPb, indexBands, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = 20)
+      val viaBatchApi = Dedup.verifyJaccard(
+        batchDocs.select(col("doc_id"), col("sh")), corpusSh,
+        "doc_id", "sh", cand, 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(viaBatchApi == batch)
+    } finally q.stop()
+  }
+
   test("checkpointed aggregation restarts exactly-once: state kept, files not replayed") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckpt = Files.createTempDirectory("ckpt6").toString
