@@ -528,5 +528,109 @@ object CorpusQueries {
       GROUP BY source
     """))
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31)
+  // ---- t36: BM25 retrieval (top-k docs per query) ----------------------
+  //
+  // The retrieval primitive curation pipelines use for targeted audits
+  // (decontamination lookups, "find docs like this benchmark item",
+  // nearest-source attribution): Okapi BM25 over the corpus, a fixed
+  // query set, top-5 docs per query.
+  //
+  // Numeric determinism (the t27/t28 discipline): the only libm call
+  // (ln in idf) is rounded ONCE to integer micro-units; the tf
+  // normalization is a fixed chain of IEEE +,*,/ (correctly rounded,
+  // identical per row in both engines); each term's score is rounded
+  // ONCE to micro-units and docs sum INTEGERS — no float accumulation
+  // order anywhere.
+  //
+  // Scale shape: the query-term table is tiny and broadcast, so the
+  // corpus explode is pre-filtered to query terms at the scan side
+  // (isin pushes down); per-(doc, term) tf and per-term df are hash
+  // aggs with map-side partials; the score join touches only matching
+  // postings; top-k is a window per query over candidate docs only. At
+  // 100 TB with a large query load you'd persist the (term, doc, tf)
+  // postings table once (the t34 index discipline) and probe it.
+
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25K = 5
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "stream", 2L -> "window", 2L -> "agg",
+    3L -> "vector", 3L -> "scan")
+
+  private val t36 = Q(
+    "t36_bm25_search",
+    (s, d) => {
+      import s.implicits._
+      val qdf = bm25Queries.toDF("qid", "term")
+      val qTerms = bm25Queries.map(_._2).distinct
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+        .filter(col("len") > 0)
+      val stats = docs.agg(count(lit(1)).as("n"), avg(col("len")).as("avgdl"))
+      val postings = docs
+        .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("len"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = postings
+        .join(broadcast(qdf), Seq("term"))
+        .join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_micro",
+          round(log(lit(1.0)
+            + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) * 1e6)
+            .cast("long"))
+        .withColumn("ts_micro",
+          round(col("idf_micro") * (col("tf") * lit(bm25K1 + 1.0))
+            / (col("tf") + lit(bm25K1)
+              * (lit(1.0 - bm25B) + lit(bm25B) * col("len") / col("avgdl"))))
+            .cast("long"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("ts_micro")).as("score_micro"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("score_micro"),
+          col("doc_id"), bm25K)
+        .select(col("qid"), col("doc_id"), col("rnk"), col("score_micro"))
+    },
+    Some {
+      val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""
+      WITH qs(qid, term) AS (VALUES $qvals),
+      docs AS (
+        SELECT doc_id, $toksSql AS toks FROM documents),
+      dl AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len
+        FROM docs WHERE len(toks) > 0),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(len) AS avgdl FROM dl),
+      postings AS (
+        SELECT doc_id, len, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, len, unnest(toks) AS term FROM dl)
+        WHERE term IN (SELECT DISTINCT term FROM qs)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM postings GROUP BY 1),
+      scored AS (
+        SELECT q.qid, p.doc_id,
+               CAST(sum(CAST(round(
+                 CAST(round(ln(1.0 + (st.n - f.df + 0.5) / (f.df + 0.5)) * 1e6)
+                      AS BIGINT)
+                 * (p.tf * ${bm25K1 + 1.0})
+                 / (p.tf + $bm25K1
+                    * (${1.0 - bm25B} + $bm25B * p.len / st.avgdl)))
+                 AS BIGINT)) AS BIGINT) AS score_micro
+        FROM postings p
+          JOIN qs q ON q.term = p.term
+          JOIN dfreq f ON f.term = p.term
+          CROSS JOIN st
+        GROUP BY 1, 2),
+      r AS (SELECT qid, doc_id, score_micro,
+                   CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, doc_id, rnk, score_micro FROM r WHERE rnk <= $bm25K
+    """ })
+
+  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36)
 }

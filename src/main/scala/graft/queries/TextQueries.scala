@@ -1185,7 +1185,65 @@ object TextQueries {
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 
+  // ---- t35: linear quality classifier (fastText-style scoring pass) ---
+  //
+  // The classifier-filter stage of CCNet/GPT-3-style curation: a linear
+  // model over hashed bag-of-words presence features scores every doc
+  // and gates keep/drop. The model here is a deterministic stand-in
+  // (per-bucket weights derived from the portable hash — at 100 TB a
+  // trained weight vector broadcasts into the SAME expression), but the
+  // plumbing is the real thing: hash trick to D buckets, per-doc
+  // distinct presence features, integer micro-unit score, threshold.
+  //
+  // Scale shape: the ENTIRE scoring pass is row-local column
+  // expressions — tokenize → bucket → distinct → weight-sum all happen
+  // inside one projection; the corpus is scanned once with ZERO
+  // shuffles and no UDF (the weight lookup is an expression of the
+  // bucket id, not a join). That is the cheapest possible shape for a
+  // 100 TB filter pass, and exactly why classifier-filtering entire
+  // crawls is tractable.
+
+  private val clfDim = 4096
+  private val clfSeedFeat = 21
+  private val clfSeedW = 77
+
+  private val t35 = Q(
+    "t35_quality_classifier",
+    (s, d) => {
+      val buckets = array_distinct(transform(
+        array_distinct(TA.tokens(col("text"))),
+        t => pmod(Portable.hash60(t, clfSeedFeat), lit(clfDim.toLong))))
+      // weight(b) ∈ [-1000, 1000] micro-units, derived from the hash —
+      // the broadcast-trained-weights seam
+      def w(b: Column): Column =
+        pmod(Portable.hash60(b.cast("string"), clfSeedW), lit(2001L)) - lit(1000L)
+      Tables.spread(Tables.documents(s, d))
+        .withColumn("_fs", buckets)
+        .select(col("doc_id"),
+          size(col("_fs")).as("n_features"),
+          aggregate(col("_fs"), lit(0L), (acc, b) => acc + w(b))
+            .as("score_micro"))
+        .withColumn("label",
+          when(col("score_micro") >= 0, lit("keep")).otherwise(lit("drop")))
+    },
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               list_distinct(list_transform(list_distinct($toksSql),
+                 t -> ${hSql("t", clfSeedFeat)} % $clfDim)) AS fs
+        FROM documents)
+      SELECT doc_id,
+             len(fs) AS n_features,
+             CAST(coalesce(list_sum(list_transform(fs,
+               b -> ${hSql("CAST(b AS VARCHAR)", clfSeedW)} % 2001 - 1000)), 0)
+               AS BIGINT) AS score_micro,
+             CASE WHEN coalesce(list_sum(list_transform(fs,
+               b -> ${hSql("CAST(b AS VARCHAR)", clfSeedW)} % 2001 - 1000)), 0) >= 0
+                  THEN 'keep' ELSE 'drop' END AS label
+      FROM f
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35)
 }
