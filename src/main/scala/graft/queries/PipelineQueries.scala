@@ -243,7 +243,67 @@ object PipelineQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43)
+  // ---- q47: schema evolution across lake snapshots --------------------
+  //
+  // The ingest reality every long-lived corpus hits: early snapshots
+  // were written WITHOUT a column that later snapshots carry (here:
+  // `lang` added in v2). The lake read must unify both vintages —
+  // `mergeSchema` reconciles the parquet footers into one schema, the
+  // snapshot directory name becomes a partition column via partition
+  // discovery, and v1 rows surface the missing column as NULL (no
+  // rewrite of old data). Oracle = the same per-snapshot semantics
+  // computed from the source table (deterministic doc_id % 2 split).
+  //
+  // Scale note: mergeSchema footer reconciliation reads one footer per
+  // FILE — fine per-snapshot-directory; for 10k+-file lakes pin the
+  // merged schema in a table catalog instead and pass it explicitly
+  // (the read path below is unchanged).
+
+  private val evoLock = new Object
+
+  private def evolvedDocs(s: SparkSession, d: String): String = {
+    val out = tmp("docs_evolved", d)
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    evoLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        val docs = Tables.documents(s, d)
+        // v1 vintage: no lang column yet
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/snap=v1")
+        // v2 vintage: lang added
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/snap=v2")
+        marker.createNewFile()
+      }
+    }
+    out
+  }
+
+  private val q47 = Q(
+    "q47_schema_evolution",
+    (s, d) => {
+      val unified = s.read.option("mergeSchema", "true")
+        .parquet(evolvedDocs(s, d))
+      unified
+        .groupBy(col("snap"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("chars"))
+    },
+    Some("""
+      SELECT 'v1' AS snap, CAST(NULL AS VARCHAR) AS lang,
+             count(*) AS n_docs,
+             CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'v2', lang, count(*), CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT)
+      FROM documents WHERE doc_id % 2 = 1
+      GROUP BY lang
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47)
 
   /** The partitioned layout + pruned scan, exposed for PlanAuditSpec's
     * partition-pruning assertion.
