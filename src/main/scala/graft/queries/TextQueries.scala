@@ -1243,7 +1243,111 @@ object TextQueries {
       FROM f
     """))
 
+  // ---- t37: exact substring-span dedup (Lee et al. ExactSubstr) -------
+  //
+  // The third dedup family beside exact-doc and near-doc: find every
+  // w-token span that occurs more than once ANYWHERE in the corpus and
+  // report, per doc, exactly how many of its tokens are covered by
+  // duplicated spans — the "Deduplicating Training Data Makes Language
+  // Models Better" metric (there via suffix arrays; here via positional
+  // w-gram hashing, exact at w-gram granularity).
+  //
+  // Exact coverage needs the UNION of overlapping fixed-length
+  // intervals, not a count: duplicated positions p1 < p2 with
+  // p2 − p1 < w overlap. One window per doc over duplicated positions
+  // computes it exactly: covered = Σ min(w, pos − lag(pos)) (first
+  // interval contributes w). Integer math throughout; the fraction is
+  // exact per-mille.
+  //
+  // Scale: positional grams are a partition-local explode (~n_tokens
+  // rows/doc); occurrence counts are one hash agg with map-side
+  // partials; the dup-position join is corpus-scale on BOTH sides — the
+  // honest cost of the exact method (this is why the LSH family exists
+  // as the cheap recall path); the coverage window shuffles only
+  // DUPLICATED positions, partitioned by doc. Fixture: every 5th doc is
+  // replayed as a SNIPPET (its first-half token prefix) under a shifted
+  // id — snippets come out fully covered (1000‰), their originals HALF
+  // covered (the partial-span case a doubled corpus cannot produce),
+  // everything else ~0.
+
+  private val spanW = 8
+  private val snipShift = 5000000L
+
+  private val t37 = Q(
+    "t37_substring_dup_spans",
+    (s, d) => {
+      val t0 = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("ntok", size(col("toks")).cast("long"))
+      val snips = t0.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("slen",
+          greatest(lit(spanW.toLong), floor(col("ntok") / 2)).cast("int"))
+        .select((col("doc_id") + snipShift).as("doc_id"),
+          slice(col("toks"), lit(1), col("slen")).as("toks"))
+        .withColumn("ntok", size(col("toks")).cast("long"))
+      val base = t0.unionByName(snips).filter(col("ntok") >= spanW)
+      val grams = base.select(col("doc_id"), col("ntok"),
+          posexplode(transform(
+            sequence(lit(0L), col("ntok") - spanW),
+            i => Portable.hash60(
+              concat_ws("_", slice(col("toks"), (i + 1).cast("int"), lit(spanW))), 7)))
+            .as(Seq("pos", "h")))
+      val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(col("h"))
+      val dupPos = grams.join(dupH, Seq("h"))
+        .select(col("doc_id"), col("ntok"), col("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val covered = dupPos
+        .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+        .withColumn("add",
+          when(col("gap").isNull || col("gap") >= spanW, lit(spanW.toLong))
+            .otherwise(col("gap")))
+        .groupBy(col("doc_id"), col("ntok"))
+        .agg(sum(col("add")).as("dup_tokens"))
+      base.select(col("doc_id"), col("ntok"))
+        .join(covered.select(col("doc_id"), col("dup_tokens")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok").as("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+        .withColumn("dup_pm", floor(col("dup_tokens") * 1000 / col("n_tokens")).cast("long"))
+    },
+    Some(s"""
+      WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      sn AS (
+        SELECT doc_id + $snipShift AS doc_id,
+               list_slice(toks, 1, greatest($spanW, len(toks) // 2)) AS toks
+        FROM t0 WHERE doc_id % 5 = 0),
+      base AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS ntok
+        FROM (SELECT * FROM t0 UNION ALL SELECT * FROM sn)
+        WHERE len(toks) >= $spanW),
+      gpos AS (
+        SELECT doc_id, ntok, toks,
+               unnest(range(0, ntok - $spanW + 1)) AS pos
+        FROM base),
+      grams AS (
+        SELECT doc_id, ntok, pos,
+               ${hSql(s"array_to_string(list_slice(toks, pos + 1, pos + $spanW), '_')", 7)} AS h
+        FROM gpos),
+      duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+      duppos AS (
+        SELECT g.doc_id, g.ntok, g.pos FROM grams g JOIN duph USING (h)),
+      cov AS (
+        SELECT doc_id, ntok,
+               CAST(sum(CASE WHEN gap IS NULL OR gap >= $spanW
+                             THEN $spanW ELSE gap END) AS BIGINT) AS dup_tokens
+        FROM (SELECT doc_id, ntok, pos,
+                     pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+              FROM duppos)
+        GROUP BY 1, 2)
+      SELECT b.doc_id, b.ntok AS n_tokens,
+             CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(floor(coalesce(c.dup_tokens, 0) * 1000 / b.ntok) AS BIGINT) AS dup_pm
+      FROM base b LEFT JOIN cov c USING (doc_id)
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37)
 }
