@@ -531,11 +531,18 @@ object SimilarityQueries {
     * IVF centroids and their residuals are exactly zero — a codebook
     * drawn from them would be 16 copies of the zero vector.
     */
-  private def pqAff(subs: DataFrame, cbookFrom: Int = 0): DataFrame = {
-    val cents = subs
+  /** The pqK-entry codebook drawn from subspace rows — THE single
+    * definition of the codebook draw, shared by encode ([[pqAff]]) and
+    * the e16 query-side LUT (which must key the SAME codebook or ADC
+    * distances silently reference the wrong centroids).
+    */
+  private def pqCodebook(subs: DataFrame, cbookFrom: Int): DataFrame =
+    subs
       .filter(col("vec_id") >= cbookFrom && col("vec_id") < cbookFrom + pqK)
       .select(col("j"), (col("vec_id") - cbookFrom).as("k"), col("sub").as("csub"))
-    subs.join(broadcast(cents), Seq("j"))
+
+  private def pqAff(subs: DataFrame, cbookFrom: Int = 0): DataFrame = {
+    subs.join(broadcast(pqCodebook(subs, cbookFrom)), Seq("j"))
       .select(col("vec_id"), col("j"), col("k"),
         (Portable.dot(col("sub"), col("sub"))
           + Portable.dot(col("csub"), col("csub"))
@@ -1165,14 +1172,14 @@ object SimilarityQueries {
       .select(col("vec_id"),
         zip_with(col("q"), col("c"), (a, b) => a - b).as("q"))
     // residual-space PQ: codebook from the first pqK NON-CENTROID
-    // residuals (see pqAff's cbookFrom note)
-    val rAff = pqAff(pqSubs(res), cbookFrom = nCells)
+    // residuals (see pqAff's cbookFrom note); ONE pqSubs subtree and ONE
+    // codebook definition feed both the codes and the query LUT
+    val rsubs = pqSubs(res)
+    val rAff = pqAff(rsubs, cbookFrom = nCells)
     val codes = rAff.groupBy(col("vec_id"), col("j"))
       .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
     val index = codes.join(members, Seq("vec_id"))
-    val cbook = pqSubs(res)
-      .filter(col("vec_id") >= nCells && col("vec_id") < nCells + pqK)
-      .select(col("j"), (col("vec_id") - nCells).as("k"), col("sub").as("csub"))
+    val cbook = pqCodebook(rsubs, cbookFrom = nCells)
     // per-(query, probed cell) LUT: the query's residual wrt THAT cell
     val qres = fx.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("q"))

@@ -1210,9 +1210,14 @@ object TextQueries {
   private val t35 = Q(
     "t35_quality_classifier",
     (s, d) => {
-      val buckets = array_distinct(transform(
-        array_distinct(TA.tokens(col("text"))),
-        t => pmod(Portable.hash60(t, clfSeedFeat), lit(clfDim.toLong))))
+      // coalesce to []: NULL text must score 0/'keep' in BOTH engines
+      // (t01's null contract) — un-coalesced, Spark null-propagates to
+      // NULL/'drop' while the oracle's coalesce(list_sum) reports 0
+      val buckets = coalesce(
+        array_distinct(transform(
+          array_distinct(TA.tokens(col("text"))),
+          t => pmod(Portable.hash60(t, clfSeedFeat), lit(clfDim.toLong)))),
+        array().cast("array<long>"))
       // weight(b) ∈ [-1000, 1000] micro-units, derived from the hash —
       // the broadcast-trained-weights seam
       def w(b: Column): Column =
@@ -1229,8 +1234,9 @@ object TextQueries {
     Some(s"""
       WITH f AS (
         SELECT doc_id,
-               list_distinct(list_transform(list_distinct($toksSql),
-                 t -> ${hSql("t", clfSeedFeat)} % $clfDim)) AS fs
+               coalesce(list_distinct(list_transform(list_distinct($toksSql),
+                 t -> ${hSql("t", clfSeedFeat)} % $clfDim)),
+                 CAST([] AS BIGINT[])) AS fs
         FROM documents)
       SELECT doc_id,
              len(fs) AS n_features,

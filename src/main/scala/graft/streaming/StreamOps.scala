@@ -82,11 +82,16 @@ object StreamOps {
     val sig = Dedup.rowSignatures(src.filter(size(col("sh")) > 0), "sh", k)
     val bands = Dedup.rowBands(sig, "doc_id", numBands, rowsPerBand,
       keep = Seq("ts", "sh"))
-    // hot-bucket cap on the STATIC index side only (plan-time window on
-    // a bounded table); the probe stream stays uncapped — same contract
-    // as Dedup.probeBandTable
-    val ix = Dedup.capBands(indexBands, maxBucket)
+    // hot-bucket cap on the STATIC index side only (same contract as
+    // Dedup.probeBandTable). For a STREAM the capped table is pinned
+    // with an eager localCheckpoint: stream-static joins re-evaluate the
+    // static subtree EVERY trigger, so an un-pinned cap would re-shuffle
+    // and re-window the entire index per micro-batch — per-trigger cost
+    // must scale with the batch, never the index. (At cluster scale:
+    // persist the capped band table to storage once and read that.)
+    val capped = Dedup.capBands(indexBands, maxBucket)
       .select(col("doc_id").as("b"), col("bidx"), col("bh"))
+    val ix = if (docs.isStreaming) capped.localCheckpoint(true) else capped
     val verified = bands.join(ix, Seq("bidx", "bh"))
       .filter(col("doc_id") =!= col("b"))
       .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
