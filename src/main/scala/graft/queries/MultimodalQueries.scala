@@ -390,5 +390,63 @@ object MultimodalQueries {
       FROM pb
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  // ---- m09: shot-boundary detection over sampled frames ---------------
+  //
+  // The video-curation primitive after frame sampling (m02): find where
+  // consecutive frames change enough to start a new shot. Frame
+  // distance = Σ |byte_i(f) − byte_i(f−1)| over the frame's bytes
+  // (exact integers, 0..2040 for 8 bytes); a boundary opens a new shot
+  // when the distance reaches the threshold. Real decoders drop in at
+  // the byte-extraction seam (the m04 stub contract) — the shot logic
+  // itself is codec-agnostic.
+  //
+  // Scale shape: ALL of a clip's frames live in its own payload row, so
+  // frame diffs, boundary tests, and the shot count are row-local
+  // column expressions — the whole pass is scan → project, ZERO
+  // shuffles (the m03/t35 filter-pass shape). A multi-row frame table
+  // would instead use one lag window partitioned by clip — same math,
+  // one bounded shuffle.
+
+  private val frameB = 8
+  private val shotThr = 700L
+
+  private val m09 = Q(
+    "m09_shot_boundaries",
+    (s, d) => {
+      val nFrames = mediaBytes / frameB
+      // Σ |byte - prev_byte| for frame f vs f-1
+      def frameDiff(f: Int): Column =
+        (0 until frameB).map { i =>
+          abs(hexByte(col("h"), f * frameB + i)
+            - hexByte(col("h"), (f - 1) * frameB + i)).cast("long")
+        }.reduce(_ + _)
+      val diffs = (1 until nFrames).map(frameDiff)
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), lower(hexm(col("text"))).as("h"))
+        .select(col("doc_id"),
+          lit(nFrames.toLong).as("n_frames"),
+          (lit(1L) + diffs.map(dc => when(dc >= shotThr, 1L).otherwise(0L))
+            .reduce(_ + _)).as("n_shots"),
+          greatest(diffs: _*).as("max_frame_diff"))
+    },
+    Some {
+      val nFrames = mediaBytes / frameB
+      def diffSql(f: Int): String =
+        (0 until frameB).map { i =>
+          s"abs(${hexByteSql("h", (f * frameB + i).toString)} - " +
+            s"${hexByteSql("h", ((f - 1) * frameB + i).toString)})"
+        }.mkString("(", " + ", ")")
+      val diffs = (1 until nFrames).map(diffSql)
+      val shots = diffs.map(ds => s"CASE WHEN $ds >= $shotThr THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH m AS (SELECT doc_id, lower($hexmSql) AS h FROM documents)
+      SELECT doc_id,
+             CAST($nFrames AS BIGINT) AS n_frames,
+             CAST(1 + $shots AS BIGINT) AS n_shots,
+             CAST(greatest(${diffs.mkString(", ")}) AS BIGINT) AS max_frame_diff
+      FROM m
+    """ })
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }
