@@ -1353,7 +1353,127 @@ object TextQueries {
       FROM base b LEFT JOIN cov c USING (doc_id)
     """))
 
+  // ---- t38: held-out trigram NLL with stupid backoff -------------------
+  //
+  // t28 scores the corpus against ITS OWN unigram counts; the real
+  // perplexity gate scores HELD-OUT text against a model trained on the
+  // train split. A trigram model makes the backoff ladder REAL on this
+  // corpus (its tiny vocab means every bigram is trained, but ~40% of
+  // the trigram space is not): P(w3|w1w2) = C3/C2 when the trigram is
+  // trained, else 0.4 * C2(w2w3)/C1(w2), else 0.4 * 0.4 * add-1 unigram
+  // (Brants et al. "stupid backoff"). Splits are t15's deterministic
+  // hash split, so train/val never drift between runs or engines.
+  //
+  // Numeric discipline (t27/t28): probabilities are single-division
+  // doubles of exact integers, each trigram's -ln(p) is rounded ONCE to
+  // integer micro-nats, and docs sum BIGINTs. The per-level backoff
+  // counts ride along as the gate's coverage diagnostic.
+  //
+  // Scale shape: n-gram count tables are hash aggs with map-side
+  // partials; the val-side joins are equi-joins on token keys and
+  // correctly NOT broadcast (n-gram tables grow with the corpus -- the
+  // t28 argument); (n, v) totals are a 1-row broadcast.
+
+  private val t38 = Q(
+    "t38_trigram_backoff_nll",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("split", splitOf(col("doc_id")))
+      def ngramsOf(df: DataFrame, n: Int) = df
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - n),
+          i => struct((1 to n).map(j =>
+            element_at(col("toks"), (i + j).cast("int")).as(s"w$j")): _*)))
+          .as("g"))
+        .select(col("doc_id") +: (1 to n).map(j => col(s"g.w$j").as(s"w$j")): _*)
+      val train = docs.filter(col("split") === "train")
+      val uni = train.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val stats = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      val bi = ngramsOf(train, 2)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val tri = ngramsOf(train, 3)
+        .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+      ngramsOf(docs.filter(col("split") === "val"), 3)
+        .join(tri, Seq("w1", "w2", "w3"), "left")
+        .join(bi.select(col("w1"), col("w2"), col("c2").as("ctx2")),
+          Seq("w1", "w2"), "left")
+        .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+          col("c2").as("back2")), Seq("w2", "w3"), "left")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c1w2")), Seq("w2"), "left")
+        .join(uni.select(col("tok").as("w3"), col("c").as("c1w3")), Seq("w3"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lvl",
+          when(col("c3").isNotNull && col("ctx2").isNotNull, lit(1))
+            .when(col("back2").isNotNull && col("c1w2").isNotNull, lit(2))
+            .otherwise(lit(3)))
+        .withColumn("p",
+          when(col("lvl") === 1, col("c3").cast("double") / col("ctx2"))
+            .when(col("lvl") === 2,
+              lit(0.4) * col("back2").cast("double") / col("c1w2"))
+            .otherwise(lit(0.4) * lit(0.4)
+              * (coalesce(col("c1w3"), lit(0L)) + 1).cast("double")
+              / (col("n") + col("v"))))
+        .withColumn("nll", round(-log(col("p")) * 1e6).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(col("nll")).as("nll_micro"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("backoff_bi"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("backoff_uni"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $toksSql AS toks, ${splitSql("doc_id")} AS split
+        FROM documents),
+      tr AS (SELECT unnest(toks) AS tok FROM docs WHERE split = 'train'),
+      uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1),
+      st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS v FROM uni),
+      trb AS (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+              FROM docs WHERE split = 'train' AND len(toks) >= 2),
+      bi AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2,
+                    CAST(count(*) AS BIGINT) AS c2
+             FROM trb GROUP BY 1, 2),
+      trt AS (SELECT toks, unnest(range(0, len(toks) - 2)) AS i
+              FROM docs WHERE split = 'train' AND len(toks) >= 3),
+      tri AS (SELECT toks[i + 1] AS w1, toks[i + 2] AS w2, toks[i + 3] AS w3,
+                     CAST(count(*) AS BIGINT) AS c3
+              FROM trt GROUP BY 1, 2, 3),
+      vt AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
+             FROM docs WHERE split = 'val' AND len(toks) >= 3),
+      vg AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2,
+                    toks[i + 3] AS w3 FROM vt),
+      sc AS (
+        SELECT v.doc_id,
+               CASE WHEN t.c3 IS NOT NULL AND cx.c2 IS NOT NULL THEN 1
+                    WHEN bk.c2 IS NOT NULL AND u2.c IS NOT NULL THEN 2
+                    ELSE 3 END AS lvl,
+               CAST(round(-ln(
+                 CASE WHEN t.c3 IS NOT NULL AND cx.c2 IS NOT NULL
+                      THEN CAST(t.c3 AS DOUBLE) / cx.c2
+                      WHEN bk.c2 IS NOT NULL AND u2.c IS NOT NULL
+                      THEN 0.4 * CAST(bk.c2 AS DOUBLE) / u2.c
+                      ELSE 0.4 * 0.4 * (coalesce(u3.c, 0) + 1) / (st.n + st.v)
+                 END) * 1e6) AS BIGINT) AS nll
+        FROM vg v
+          LEFT JOIN tri t ON t.w1 = v.w1 AND t.w2 = v.w2 AND t.w3 = v.w3
+          LEFT JOIN bi cx ON cx.w1 = v.w1 AND cx.w2 = v.w2
+          LEFT JOIN bi bk ON bk.w1 = v.w2 AND bk.w2 = v.w3
+          LEFT JOIN uni u2 ON u2.tok = v.w2
+          LEFT JOIN uni u3 ON u3.tok = v.w3
+          CROSS JOIN st)
+      SELECT doc_id, count(*) AS n_trigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_micro,
+             CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS backoff_bi,
+             CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS backoff_uni
+      FROM sc GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38)
 }

@@ -16,7 +16,7 @@ class RegistrySpec extends SparkSpec {
     names.foreach(n => assert(n.matches("[a-z][a-z0-9_]*"), s"bad name: $n"))
     val qKeys = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qKeys))
-    assert(qKeys.size >= 110)
+    assert(qKeys.size >= 111)
   }
 
   test("every query plan resolves at sf0.001 with sane output columns") {
