@@ -390,10 +390,11 @@ object MultimodalQueries {
       FROM pb
     """))
 
-  // ---- m09: shot-boundary detection over sampled frames ---------------
+  // ---- m09: shot-boundary detection over decoded frames ---------------
   //
-  // The video-curation primitive after frame sampling (m02): find where
-  // consecutive frames change enough to start a new shot. Frame
+  // The video-curation primitive beside frame sampling (m02, same
+  // 8-byte frame layout): diff CONSECUTIVE frames of the clip payload
+  // and open a new shot where the change reaches the threshold. Frame
   // distance = Σ |byte_i(f) − byte_i(f−1)| over the frame's bytes
   // (exact integers, 0..2040 for 8 bytes); a boundary opens a new shot
   // when the distance reaches the threshold. Real decoders drop in at
@@ -407,22 +408,21 @@ object MultimodalQueries {
   // would instead use one lag window partitioned by clip — same math,
   // one bounded shuffle.
 
-  private val frameB = 8
   private val shotThr = 700L
 
   private val m09 = Q(
     "m09_shot_boundaries",
     (s, d) => {
-      val nFrames = mediaBytes / frameB
+      val nFrames = mediaBytes / frameBytes
       // Σ |byte - prev_byte| for frame f vs f-1
       def frameDiff(f: Int): Column =
-        (0 until frameB).map { i =>
-          abs(hexByte(col("h"), f * frameB + i)
-            - hexByte(col("h"), (f - 1) * frameB + i)).cast("long")
+        (0 until frameBytes).map { i =>
+          abs(hexByte(col("h"), f * frameBytes + i)
+            - hexByte(col("h"), (f - 1) * frameBytes + i)).cast("long")
         }.reduce(_ + _)
       val diffs = (1 until nFrames).map(frameDiff)
       graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
-        .select(col("doc_id"), lower(hexm(col("text"))).as("h"))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
         .select(col("doc_id"),
           lit(nFrames.toLong).as("n_frames"),
           (lit(1L) + diffs.map(dc => when(dc >= shotThr, 1L).otherwise(0L))
@@ -430,17 +430,17 @@ object MultimodalQueries {
           greatest(diffs: _*).as("max_frame_diff"))
     },
     Some {
-      val nFrames = mediaBytes / frameB
+      val nFrames = mediaBytes / frameBytes
       def diffSql(f: Int): String =
-        (0 until frameB).map { i =>
-          s"abs(${hexByteSql("h", (f * frameB + i).toString)} - " +
-            s"${hexByteSql("h", ((f - 1) * frameB + i).toString)})"
+        (0 until frameBytes).map { i =>
+          s"abs(${hexByteSql("h", (f * frameBytes + i).toString)} - " +
+            s"${hexByteSql("h", ((f - 1) * frameBytes + i).toString)})"
         }.mkString("(", " + ", ")")
       val diffs = (1 until nFrames).map(diffSql)
       val shots = diffs.map(ds => s"CASE WHEN $ds >= $shotThr THEN 1 ELSE 0 END")
         .mkString(" + ")
       s"""
-      WITH m AS (SELECT doc_id, lower($hexmSql) AS h FROM documents)
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents)
       SELECT doc_id,
              CAST($nFrames AS BIGINT) AS n_frames,
              CAST(1 + $shots AS BIGINT) AS n_shots,

@@ -1455,7 +1455,11 @@ object TextQueries {
                       THEN CAST(t.c3 AS DOUBLE) / cx.c2
                       WHEN bk.c2 IS NOT NULL AND u2.c IS NOT NULL
                       THEN 0.4 * CAST(bk.c2 AS DOUBLE) / u2.c
-                      ELSE 0.4 * 0.4 * (coalesce(u3.c, 0) + 1) / (st.n + st.v)
+                      -- CASTs force double op-for-op with the Spark side:
+                      -- bare 0.4 * 0.4 is exact DECIMAL 0.16 in DuckDB,
+                      -- but doubles fold to 0.16000000000000003
+                      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                           * (coalesce(u3.c, 0) + 1) / (st.n + st.v)
                  END) * 1e6) AS BIGINT) AS nll
         FROM vg v
           LEFT JOIN tri t ON t.w1 = v.w1 AND t.w2 = v.w2 AND t.w3 = v.w3
