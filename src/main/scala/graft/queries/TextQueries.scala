@@ -1477,7 +1477,86 @@ object TextQueries {
       FROM sc GROUP BY 1
     """))
 
+  // ---- t39: C4-style first-occurrence paragraph dedup + rewrite --------
+  //
+  // t37 MEASURES duplicated-span coverage; this operator APPLIES the
+  // C4/Lee-et-al. policy and REWRITES the corpus: split each doc into
+  // non-overlapping paraW-word windows ("paragraphs"), keep only the
+  // globally FIRST occurrence of each distinct paragraph (corpus order =
+  // (doc_id, para_idx) — a re-run on the same corpus is a no-op), and
+  // re-emit every doc from its surviving paragraphs. Differs from t20
+  // (frequency-thresholded boilerplate removal): here even a SINGLE
+  // repeat is dropped, and the first copy always survives.
+  //
+  // Scale shape: ONE shuffle on the paragraph fingerprint for the
+  // first-occurrence window — group size = duplicate multiplicity, so
+  // skew is bounded by the corpus dup rate (a boilerplate-heavy corpus
+  // should run t20's hot-set cap first, which removes exactly the hot
+  // groups). Reconstruction is a groupBy(doc_id) whose collect state is
+  // bounded by the doc's own length. Docs whose every paragraph lost
+  // the race rewrite to NULL (fully-duplicated doc → dropped), same
+  // contract both engines.
+
+  private val paraW = 4
+
+  private val t39 = Q(
+    "t39_paragraph_dedup",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("para_idx"))
+      Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor((size(col("toks")) - 1).cast("long") / paraW))).as("para_idx"))
+        .select(col("doc_id"), col("para_idx"),
+          concat_ws(" ",
+            slice(col("toks"), (col("para_idx") * paraW + 1).cast("int"), lit(paraW)))
+            .as("para"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ",
+            transform(
+              array_sort(collect_list(
+                when(col("rn") === 1, struct(col("para_idx"), col("para"))))),
+              x => x.getField("para")))).as("fp"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          (col("n_paras") - col("n_kept")).as("n_dropped"),
+          when(col("n_kept") > 0, col("fp")).as("rewritten_fp"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, $toksSql AS toks FROM documents WHERE len($toksSql) > 0),
+      e AS (
+        SELECT doc_id, i AS para_idx,
+               array_to_string(
+                 toks[CAST(i * $paraW + 1 AS BIGINT)
+                      : CAST(i * $paraW + $paraW AS BIGINT)], ' ') AS para
+        FROM t, unnest(range(0,
+               CAST(floor((len(toks) - 1) / ${paraW}.0) AS BIGINT) + 1)) AS u(i)),
+      r AS (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY md5(para)
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM e)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                  THEN md5(string_agg(para, ' ' ORDER BY para_idx)
+                           FILTER (WHERE rn = 1))
+                  ELSE NULL END AS rewritten_fp
+      FROM r GROUP BY doc_id
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38)
+      t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
+      t39)
 }
