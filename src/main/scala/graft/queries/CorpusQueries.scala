@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -437,32 +438,44 @@ object CorpusQueries {
   // this is the standard log-compaction shape (shuffle carries one row
   // per CHANGE, not per key × version history, after partial pushdown).
 
+  /** Deterministic changelog overlay shared by t26 (compaction → latest
+    * state) and q48 (SCD-2 → full validity history): a v1 upsert for
+    * every doc, a v2 edit for doc_id ≡ 0 mod 3, a v2 delete for
+    * doc_id ≡ 0 mod 4 (≡ 0 mod 12 → a same-version delete-after-write,
+    * resolved by the 'delete' < 'upsert' op tie-break).
+    */
+  private def changelog(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, d))
+    val base = docs.select(col("doc_id"), lit(1L).as("version"),
+      lit("upsert").as("op"), col("text"))
+    val edits = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id"), lit(2L).as("version"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+    base.unionAll(edits).unionAll(deletes)
+  }
+
+  private val changelogSql = """
+        SELECT doc_id, 1 AS version, 'upsert' AS op, text FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 'upsert', text || ' v2' FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 2, 'delete', NULL FROM documents WHERE doc_id % 4 = 0"""
+
   private val t26 = Q(
     "t26_changelog_apply",
     (s, d) => {
-      val docs = Tables.spread(Tables.documents(s, d))
-      val base = docs.select(col("doc_id"), lit(1L).as("version"),
-        lit("upsert").as("op"), col("text"))
-      val edits = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
-          concat(col("text"), lit(" v2")).as("text"))
-      val deletes = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-        .select(col("doc_id"), lit(2L).as("version"), lit("delete").as("op"),
-          lit(null).cast("string").as("text"))
-      val log = base.unionAll(edits).unionAll(deletes)
+      val log = changelog(s, d)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("version").desc, col("op").asc) // 'delete' < 'upsert'
       log.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") === 1 && col("op") === "upsert")
         .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
     },
-    Some("""
-      WITH log AS (
-        SELECT doc_id, 1 AS version, 'upsert' AS op, text FROM documents
-        UNION ALL
-        SELECT doc_id, 2, 'upsert', text || ' v2' FROM documents WHERE doc_id % 3 = 0
-        UNION ALL
-        SELECT doc_id, 2, 'delete', NULL FROM documents WHERE doc_id % 4 = 0),
+    Some(s"""
+      WITH log AS ($changelogSql),
       r AS (
         SELECT doc_id, version, op, text,
                row_number() OVER (PARTITION BY doc_id
@@ -470,6 +483,61 @@ object CorpusQueries {
         FROM log)
       SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS fp
       FROM r WHERE rnk = 1 AND op = 'upsert'
+    """))
+
+  // ---- q48: SCD-2 dimension history from the changelog ----------------
+  //
+  // t26 compacts the changelog to the LATEST state; this is the other
+  // standard consumer — a slowly-changing-dimension type-2 table carrying
+  // every version's validity interval: valid_from = its version,
+  // valid_to = the next change's version − 1 (NULL = still open),
+  // is_current = no later change exists. A delete closes the previous
+  // interval and contributes no row of its own; a same-version
+  // delete-after-write (doc_id ≡ 0 mod 12) means that version's upsert
+  // never becomes visible.
+  //
+  // Plan discipline: BOTH window passes partition by doc_id — the
+  // same-version compaction is a lag() in (version, op) order, not a
+  // row_number over (doc_id, version), so Catalyst plans ONE exchange
+  // and the second window is sort-only on the same partitioning. The
+  // shuffle carries one row per CHANGE (same bound as t26).
+
+  private val q48 = Q(
+    "q48_scd2_history",
+    (s, d) => {
+      val wc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("version"), col("op")) // 'delete' < 'upsert'
+      val wn = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+      changelog(s, d)
+        .withColumn("prev_v", lag(col("version"), 1).over(wc))
+        .filter(col("prev_v").isNull || col("prev_v") =!= col("version"))
+        .withColumn("next_v", lead(col("version"), 1).over(wn))
+        .filter(col("op") === "upsert")
+        .select(col("doc_id"),
+          col("version").as("valid_from"),
+          (col("next_v") - 1).as("valid_to"),
+          when(col("next_v").isNull, 1L).otherwise(0L).as("is_current"),
+          md5(col("text")).as("fp"))
+    },
+    Some(s"""
+      WITH log AS ($changelogSql),
+      c AS (
+        SELECT doc_id, version, op, text,
+               lag(version) OVER (PARTITION BY doc_id
+                                  ORDER BY version, op) AS prev_v
+        FROM log),
+      k AS (
+        SELECT doc_id, version, op, text,
+               lead(version) OVER (PARTITION BY doc_id
+                                   ORDER BY version) AS next_v
+        FROM c WHERE prev_v IS NULL OR prev_v <> version)
+      SELECT doc_id,
+             CAST(version AS BIGINT) AS valid_from,
+             CAST(next_v - 1 AS BIGINT) AS valid_to,
+             CAST(CASE WHEN next_v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current,
+             md5(text) AS fp
+      FROM k WHERE op = 'upsert'
     """))
 
   // ---- t31: per-source corpus datacard --------------------------------
@@ -632,5 +700,6 @@ object CorpusQueries {
       SELECT qid, doc_id, rnk, score_micro FROM r WHERE rnk <= $bm25K
     """ })
 
-  def all: Seq[Q] = Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36)
+  def all: Seq[Q] =
+    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, q48)
 }

@@ -168,4 +168,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(iter2Cost <= iter1Cost,
       s"Lloyd step increased total cost: $iter2Cost > $iter1Cost")
   }
+
+  test("q48: SCD-2 intervals — delete closes, edit supersedes, one exchange") {
+    val df = SparkEntry.queries("q48_scd2_history")(spark, sf0001)
+    // both window passes share the doc_id partitioning → exactly one
+    // shuffle exchange in the whole plan (spread's checkpoint is an RDD
+    // scan, the changelog union is exchange-free). The plan is wrapped
+    // in AdaptiveSparkPlanExec (collect() won't descend), so count
+    // exchanges in the initial-plan text.
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected ONE exchange (shared doc_id partitioning), got $shuffles:\n$plan")
+    val rows = df.collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+        _.map(r => (r.getAs[Long]("valid_from"),
+          Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+          r.getAs[Long]("is_current"))).sortBy(_._1).toSeq).toMap
+    // doc 1: v1 upsert only → one open current interval
+    assert(rows(1L) == Seq((1L, None, 1L)))
+    // doc 3: edit at v2 → v1 closed at 1, v2 open+current
+    assert(rows(3L) == Seq((1L, Some(1L), 0L), (2L, None, 1L)))
+    // doc 4: delete at v2 → v1 closed, no current row
+    assert(rows(4L) == Seq((1L, Some(1L), 0L)))
+    // doc 12: same-version delete-after-write → v2 upsert never visible
+    assert(rows(12L) == Seq((1L, Some(1L), 0L)))
+    // every doc has at most one current version, and intervals never overlap
+    rows.values.foreach { ivs =>
+      assert(ivs.count(_._3 == 1L) <= 1)
+      ivs.sliding(2).foreach {
+        case Seq((_, Some(hi), _), (lo2, _, _)) => assert(hi < lo2)
+        case _ => ()
+      }
+    }
+  }
 }
