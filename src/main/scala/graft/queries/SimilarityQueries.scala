@@ -1324,7 +1324,118 @@ object SimilarityQueries {
               FROM ex JOIN ap_res USING (qid, cid))
     """))
 
+  // ---- e18: Johnson–Lindenstrauss random projection + audit -----------
+  //
+  // Dimensionality reduction as a first-class ANN lever: project the
+  // 64-dim embeddings onto rDim=16 Rademacher (±1) directions from the
+  // avalanche-mixed plane family — a 4× cut in vector bytes and in
+  // per-pair FLOPs with the JL distance-preservation guarantee
+  // (Achlioptas 2003 proves the ±1 form). The audit applies e09's
+  // discipline to the reduction: per query, engine-exact hits-of-k of
+  // projected-space top-k vs the exact 64-dim top-k, plus the summed
+  // |Δcos| over the exact top-k pairs in micro-units (each pair rounded
+  // ONCE, BIGINT sums — order-independent) — the distortion JL bounds.
+  //
+  // Scale shape: the projection is a row-local map (rDim folds per
+  // vector, no shuffle); the search here inherits e01's
+  // broadcast-queries brute-force shape to isolate the projection's
+  // effect. Production composes the PROJECTED vectors with the
+  // e04/e11/e14 index plans — independent levers that multiply: 4×
+  // cheaper distances inside every cell/bucket probe.
+
+  private val rDim = 16
+  private val jlPlanes: Seq[Seq[Double]] =
+    (0 until rDim).map(j => planeVecMix(200 + j))
+
+  private def jlProj(v: Column): Column =
+    array(jlPlanes.map(pl => Portable.dot(v, planeLit(pl))): _*)
+
+  private def jlProjSql(v: String): String =
+    jlPlanes.map(pl => s"list_dot_product($v, ${planeSql(pl)})")
+      .mkString("[", ",\n                 ", "]")
+
+  private val e18 = Q(
+    "e18_jl_projection",
+    (s, d) => {
+      val emb = normalizedEmb(s, d)
+        .withColumn("p", jlProj(col("e")))
+        .withColumn("_pn", Portable.norm(col("p")))
+        .withColumn("pn",
+          when(col("_pn") =!= 0.0, transform(col("p"), x => x / col("_pn"))))
+        .drop("_pn")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("pn").as("qp"))
+      val scored = broadcast(queries).crossJoin(
+          emb.select(col("vec_id").as("cid"), col("pn").as("cp")))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qp"), col("cp")).as("cos"))
+      val approx = graft.etl.TopK
+        .topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"))
+      val exact = knnBrute(s, d).select(col("qid"), col("cid"), col("cos"))
+      val dist = exact
+        .join(emb.select(col("vec_id").as("qid"), col("pn").as("qp")), Seq("qid"))
+        .join(emb.select(col("vec_id").as("cid"), col("pn").as("cp")), Seq("cid"))
+        .select(col("qid"),
+          round(abs(Portable.dot(col("qp"), col("cp")) - col("cos")) * 1e6)
+            .cast("long").as("dmicro"))
+        .groupBy(col("qid")).agg(sum(col("dmicro")).as("dist_micro"))
+      val hits = exact.select(col("qid"), col("cid"))
+        .join(approx, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .join(dist, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("dist_micro"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      pemb AS (
+        SELECT vec_id, en,
+               CASE WHEN list_dot_product(p, p) > 0
+                    THEN list_transform(p, x -> x / sqrt(list_dot_product(p, p)))
+                    ELSE NULL END AS pn
+        FROM (SELECT vec_id, en, ${jlProjSql("e")} AS p FROM emb)),
+      q AS (SELECT vec_id AS qid, en AS qe, pn AS qp
+            FROM pemb WHERE vec_id % 100 = 0),
+      scored_ex AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM pemb) c
+        WHERE qid <> c.vec_id),
+      rex AS (SELECT qid, cid, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ex),
+      ex AS (SELECT qid, cid, cos FROM rex WHERE rnk <= $k),
+      scored_ap AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qp, cp) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, pn AS cp FROM pemb) c
+        WHERE qid <> c.vec_id),
+      rap AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ap),
+      ap AS (SELECT qid, cid FROM rap WHERE rnk <= $k),
+      hits AS (SELECT qid, count(*) AS n_hits
+               FROM ex JOIN ap USING (qid, cid) GROUP BY 1),
+      dist AS (
+        SELECT e2.qid,
+               CAST(sum(CAST(round(abs(list_dot_product(pq.pn, pc.pn) - e2.cos)
+                                   * 1e6) AS BIGINT)) AS BIGINT) AS dist_micro
+        FROM ex e2
+          JOIN pemb pq ON pq.vec_id = e2.qid
+          JOIN pemb pc ON pc.vec_id = e2.cid
+        GROUP BY 1)
+      SELECT ex.qid, count(*) AS n_exact,
+             CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS n_hits,
+             any_value(ds.dist_micro) AS dist_micro
+      FROM ex LEFT JOIN hits h USING (qid) LEFT JOIN dist ds USING (qid)
+      GROUP BY ex.qid
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17)
+      e14, e15, e16, e17, e18)
 }
