@@ -540,6 +540,72 @@ object CorpusQueries {
       FROM k WHERE op = 'upsert'
     """))
 
+  // ---- t41: link-graph PageRank (source-quality propagation) ----------
+  //
+  // The link-analysis signal corpus curation borrows from web ranking:
+  // centrality over a link graph ranks sources before sampling (the
+  // public Common-Crawl-style domain-ranking technique). The graph here
+  // is the deterministic bipartite trade graph — distinct
+  // (customer, supplier) pairs from orders ⋈ lineitem, bidirected so
+  // every node has out-edges (no dangling-mass correction needed) —
+  // and the operator is [[graft.etl.Graph.pageRankMicro]]: 3 fixed
+  // iterations, damping 0.85, ALL integer micro-unit math, so the
+  // result is bit-exact against DuckDB's unrolled-CTE mirror.
+  //
+  // Scale: two keyed shuffles per iteration (join on src, agg on dst)
+  // + one eager checkpoint per round (lineage stays flat); the edge
+  // list is degree-annotated and pinned once. 100 suppliers serve
+  // ~1500 customers, so supplier ranks concentrate the mass — the
+  // spec pins mass conservation and the hub asymmetry.
+
+  private val suppOffset = 1000000000L
+  private val prIters = 3
+
+  private def prIterSql(k: Int): String = s"""
+      r$k AS (
+        SELECT n.id,
+               CAST(150000 + coalesce(sum(p.r // d.odeg), 0) * 85 // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        JOIN edges e ON e.dst = n.id
+        JOIN r${k - 1} p ON p.id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY n.id)"""
+
+  private val t41 = Q(
+    "t41_graph_pagerank",
+    (s, d) => {
+      val eg0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+      val edges = eg0
+        .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
+        .unionAll(eg0
+          .select((col("sp") + suppOffset).as("src"), col("c").as("dst")))
+      graft.etl.Graph.pageRankMicro(edges, prIters)
+        .select(col("id").as("node_id"),
+          when(col("id") >= suppOffset, lit("s")).otherwise(lit("c"))
+            .as("node_type"),
+          col("rank_micro"))
+    },
+    Some(s"""
+      WITH eg0 AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, sp + $suppOffset AS dst FROM eg0
+        UNION ALL SELECT sp + $suppOffset, c FROM eg0),
+      deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${(1 to prIters).map(prIterSql).mkString(",")}
+      SELECT id AS node_id,
+             CASE WHEN id >= $suppOffset THEN 's' ELSE 'c' END AS node_type,
+             r AS rank_micro
+      FROM r$prIters
+    """))
+
   // ---- t31: per-source corpus datacard --------------------------------
   //
   // The "data card" table every corpus release ships: per source, the
@@ -701,5 +767,5 @@ object CorpusQueries {
     """ })
 
   def all: Seq[Q] =
-    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, q48)
+    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, q48)
 }

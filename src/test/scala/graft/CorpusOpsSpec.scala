@@ -169,6 +169,26 @@ class CorpusOpsSpec extends SparkSpec {
       s"Lloyd step increased total cost: $iter2Cost > $iter1Cost")
   }
 
+  test("t41: PageRank conserves rank mass and concentrates it on hub suppliers") {
+    val rows = run("t41_graph_pagerank")
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("rank_micro")))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_._2).sum
+    // damping conserves mass up to per-step floor losses (each node
+    // floors once per in-edge + once for the damping multiply); every
+    // node also keeps at least the teleport floor
+    assert(total <= n * 1000000L, s"mass grew: $total > ${n * 1000000L}")
+    assert(total >= (n * 1000000L * 9) / 10, s"mass leaked >10%: $total")
+    assert(rows.forall(_._2 >= 150000L), "a node fell below the teleport floor")
+    val (supp, cust) = rows.partition(_._1 == "s")
+    assert(supp.nonEmpty && cust.nonEmpty)
+    val avgS = supp.map(_._2).sum / supp.length
+    val avgC = cust.map(_._2).sum / cust.length
+    assert(avgS > avgC * 5,
+      s"supplier hubs should dominate: avg(s)=$avgS vs avg(c)=$avgC")
+  }
+
   test("q48: SCD-2 intervals — delete closes, edit supersedes, one exchange") {
     val df = SparkEntry.queries("q48_scd2_history")(spark, sf0001)
     // both window passes share the doc_id partitioning → exactly one
