@@ -32,6 +32,17 @@ object TextAnalysis {
       graft.functions.SubwordCount(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(toks)))
 
+  /** Unicode NFC canonicalization — native codegen'd expression
+    * ([[graft.functions.NfcNormalize]]), byte-exact with DuckDB's
+    * `nfc_normalize`. Composed vs decomposed accent sequences collapse
+    * to one form, so normalized fingerprints catch the dups byte-md5
+    * misses.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Crude char-based token estimate (the common len/4 heuristic). */
   def tokenEstimate(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
 

@@ -1555,8 +1555,71 @@ object TextQueries {
       FROM r GROUP BY doc_id
     """))
 
+  // ---- t40: Unicode canonicalization + normalized dedup ----------------
+  //
+  // Byte-level md5 dedup (t05) misses documents that differ only in
+  // Unicode FORM: composed U+00E9 vs decomposed e+U+0301, case, or
+  // whitespace runs — the variants a crawl actually produces. The
+  // canonicalizer is nfc → lower → collapse-whitespace → trim, where
+  // NFC is a native codegen'd expression ([[graft.functions
+  // .NfcNormalize]] — Spark has no built-in normalizer and a UDF would
+  // break codegen on the every-document path); DuckDB mirrors it with
+  // nfc_normalize. The fixture plants both failure modes: a composed-é
+  // suffix on every doc, and for doc_id ≡ 0 mod 7 a variant with
+  // doubled whitespace, upper case, and the DECOMPOSED suffix — raw
+  // fingerprints all differ, normalized fingerprints pair each variant
+  // with its base.
+  //
+  // Scale: canonicalization is row-local codegen'd column work; the
+  // only shuffle is the window over norm_fp (group size = dup
+  // multiplicity, the t39 bound). This is the normalize-BEFORE-
+  // fingerprint front door of the whole dedup family.
+
+  private val nrmShift = 2000000L
+
+  private def canon(c: Column): Column =
+    trim(regexp_replace(lower(TA.nfc(c)), "\\s+", " "))
+
+  private val t40 = Q(
+    "t40_normalized_dedup",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+      val base = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + nrmShift).as("doc_id"),
+          concat(lit("  "),
+            regexp_replace(upper(col("text")), " ", "  "),
+            lit(" CAFE\u0301 ")).as("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_fp"))
+      base.unionAll(variants)
+        .select(col("doc_id"), md5(canon(col("text"))).as("norm_fp"))
+        .withColumn("n_same_norm", count(lit(1)).over(w))
+        .withColumn("is_canonical",
+          when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents),
+      var AS (
+        SELECT doc_id + $nrmShift AS doc_id,
+               '  ' || regexp_replace(upper(text), ' ', '  ', 'g')
+                    || ' CAFE' || chr(769) || ' ' AS text
+        FROM documents WHERE doc_id % 7 = 0),
+      u AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+      n AS (SELECT doc_id,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\\s+', ' ', 'g'))) AS norm_fp
+            FROM u)
+      SELECT doc_id, norm_fp,
+             CAST(count(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_same_norm,
+             CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY norm_fp)
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+      FROM n
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39)
+      t39, t40)
 }
