@@ -617,29 +617,11 @@ object CorpusQueries {
   // metrics, then source rollup) + one (source, md5) agg for dups — all
   // map-side combined; nothing leaves the executors but per-source rows.
 
-  private val t31 = Q(
-    "t31_corpus_datacard",
-    (s, d) => {
-      val docs = Tables.spread(Tables.documents(s, d))
-        .select(col("source"), col("lang"), col("doc_id"),
-          size(TA.tokens(col("text"))).as("ntok"),
-          round(TA.qualityScore(col("text")) * 1e6).cast("long").as("qmicro"),
-          md5(col("text")).as("fp"))
-      val dupDocs = docs.groupBy(col("source"), col("fp"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1)
-        .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
-      docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ntok")).as("n_tokens"),
-          sum(col("qmicro")).as("q_micro_sum"),
-          countDistinct(col("lang")).as("n_langs"))
-        .join(dupDocs, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("q_micro_sum"), col("n_langs"),
-          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
-    },
-    Some(s"""
+  /** Full-recompute datacard SQL — t31's oracle, and t42's too: the
+    * incremental path must hash-match a from-scratch scan or the merge
+    * algebra lost something.
+    */
+  private lazy val datacardSql = s"""
       WITH t AS (SELECT doc_id, source, lang, text, $toksSql AS toks
                  FROM documents),
       m AS (SELECT doc_id, source, lang, ${OracleSql.qualityColsSql},
@@ -660,7 +642,131 @@ object CorpusQueries {
              CAST(coalesce(any_value(n_dup_docs), 0) AS BIGINT) AS n_dup_docs
       FROM pd LEFT JOIN dups USING (source)
       GROUP BY source
-    """))
+    """
+
+  /** Per-doc datacard attributes — shared by t31 (full scan) and t42
+    * (incremental maintenance): the two must measure identically or the
+    * merge-equals-recompute contract is vacuous.
+    */
+  private def datacardDocs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.documents(s, d))
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(TA.tokens(col("text"))).as("ntok"),
+        round(TA.qualityScore(col("text")) * 1e6).cast("long").as("qmicro"),
+        md5(col("text")).as("fp"))
+
+  private val t31 = Q(
+    "t31_corpus_datacard",
+    (s, d) => {
+      val docs = datacardDocs(s, d)
+      val dupDocs = docs.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("qmicro")).as("q_micro_sum"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(dupDocs, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("q_micro_sum"), col("n_langs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+    },
+    Some(datacardSql))
+
+  // ---- t42: incremental datacard maintenance --------------------------
+  //
+  // The materialized-view-maintenance shape: a 100 TB corpus datacard
+  // cannot be recomputed from raw text per ingest, so the release
+  // process keeps mergeable aggregation STATE and folds each day's
+  // batch in. countDistinct(lang) and dup detection are NOT additive at
+  // datacard grain — the standard fix is state one grain FINER, where
+  // every measure is a plain sum:
+  //
+  //   lang_state(source, lang,  n_docs, n_tokens, q_micro_sum)
+  //   fp_state  (source, fp,    c)
+  //
+  // The artifact is built by two APPEND ingests (t34's lifecycle verbs
+  // — additive measures make append ≡ re-aggregation), the query reads
+  // it, aggregates ONLY the new batch (doc_id ≡ 0 mod 10) from raw
+  // text, merges by union + re-sum, and rolls up. The oracle is the
+  // FULL-recompute SQL (t31's, verbatim): hash equality proves the
+  // merge algebra loses nothing. Cost per ingest: O(batch) raw work +
+  // a state-sized re-sum — the corpus text is never re-read.
+
+  private val t42Lock = new Object
+
+  def t42StatePath(s: SparkSession, d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_datacard_" +
+      s"${digest}_${ProcessHandle.current().pid()}"
+    val marker = new java.io.File(path + "_READY")
+    t42Lock.synchronized {
+      if (!marker.exists()) {
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+        }
+        deleteRec(new java.io.File(path))
+        val corpus = datacardDocs(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        def writeState(ingest: DataFrame, mode: String): Unit = {
+          ingest.groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+              sum(col("qmicro")).as("q_micro_sum"))
+            .write.mode(mode).parquet(path + "/lang")
+          ingest.groupBy(col("source"), col("fp"))
+            .agg(count(lit(1)).as("c"))
+            .write.mode(mode).parquet(path + "/fp")
+        }
+        // build (ingest 1) then append (ingest 2): additive state
+        writeState(corpus.filter(pmod(col("doc_id"), lit(2)) === 1), "overwrite")
+        writeState(corpus.filter(pmod(col("doc_id"), lit(2)) === 0), "append")
+        marker.createNewFile()
+        sys.addShutdownHook {
+          def deleteRec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+          }
+          deleteRec(new java.io.File(path)); marker.delete(); ()
+        }
+      }
+    }
+    path
+  }
+
+  private val t42 = Q(
+    "t42_incremental_datacard",
+    (s, d) => {
+      val path = t42StatePath(s, d)
+      val batch = datacardDocs(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+      val langAll = s.read.parquet(path + "/lang")
+        .unionByName(batch.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+            sum(col("qmicro")).as("q_micro_sum")))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("q_micro_sum")).as("q_micro_sum"))
+      val fpAll = s.read.parquet(path + "/fp")
+        .unionByName(batch.groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("c")))
+        .groupBy(col("source"), col("fp")).agg(sum(col("c")).as("c"))
+      val dups = fpAll.filter(col("c") > 1)
+        .groupBy(col("source")).agg(sum(col("c")).as("n_dup_docs"))
+      langAll.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("q_micro_sum")).as("q_micro_sum"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(dups, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("q_micro_sum"), col("n_langs"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+    },
+    Some(datacardSql))
 
   // ---- t36: BM25 retrieval (top-k docs per query) ----------------------
   //
@@ -767,5 +873,5 @@ object CorpusQueries {
     """ })
 
   def all: Seq[Q] =
-    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, q48)
+    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42, q48)
 }
