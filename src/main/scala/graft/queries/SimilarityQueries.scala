@@ -1435,7 +1435,122 @@ object SimilarityQueries {
       GROUP BY ex.qid
     """))
 
+  // ---- e19: persisted IVF index lifecycle (build → append → probe) ----
+  //
+  // t34 gave the LSH band table the "index as a table" contract; this
+  // is the same lifecycle for the VECTOR index — the production shape
+  // where the coarse quantizer is trained once and FROZEN, and every
+  // ingest appends its assignments without touching the existing
+  // postings (the standard IVF ingest rule: re-training centroids would
+  // invalidate the whole inverted file). Artifact layout:
+  //
+  //   <path>/cents    (cent_id, cen)        — frozen coarse quantizer
+  //   <path>/members  (cid, ce, cent_id)    — inverted file, APPEND per ingest
+  //
+  // Build draws centroids from the BUILD corpus only (vec_id % 10 ≠ 0)
+  // and assigns it; the batch ingest (vec_id % 10 = 0) assigns against
+  // the frozen cents and appends. The probe is e04's search plan
+  // reading the artifact: probe-side broadcast, corpus postings never
+  // shuffled. The oracle recomputes the same frozen-quantizer search
+  // from scratch — hash equality proves append ≡ whole-corpus build.
+
+  private val e19Lock = new Object
+
+  def e19IndexPath(s: SparkSession, d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfindex_" +
+      s"${digest}_${ProcessHandle.current().pid()}"
+    val marker = new java.io.File(path + "_READY")
+    e19Lock.synchronized {
+      if (!marker.exists()) {
+        def deleteRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+        }
+        deleteRec(new java.io.File(path))
+        val emb = normalizedEmb(s, d)
+        val cents = emb.filter(col("vec_id") % 10 =!= 0)
+          .filter(col("vec_id") < nCells)
+          .select(col("vec_id").as("cent_id"), col("en").as("cen"))
+        cents.write.mode("overwrite").parquet(path + "/cents")
+        def assign(part: DataFrame): DataFrame = {
+          val aff = part.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("en"), col("cent_id"),
+              Portable.dot(col("en"), col("cen")).as("cd"))
+          val ord = struct(col("cd"), (-col("cent_id")).as("_nc"))
+          aff.groupBy(col("vec_id"))
+            .agg(max_by(struct(col("cent_id"), col("en")), ord).as("b"))
+            .select(col("vec_id").as("cid"), col("b.en").as("ce"),
+              col("b.cent_id").as("cent_id"))
+        }
+        // build (the existing corpus), then APPEND (the new ingest)
+        assign(emb.filter(col("vec_id") % 10 =!= 0))
+          .write.mode("overwrite").parquet(path + "/members")
+        assign(emb.filter(col("vec_id") % 10 === 0))
+          .write.mode("append").parquet(path + "/members")
+        marker.createNewFile()
+        sys.addShutdownHook {
+          def deleteRec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+          }
+          deleteRec(new java.io.File(path)); marker.delete(); ()
+        }
+      }
+    }
+    path
+  }
+
+  private val e19 = Q(
+    "e19_persisted_ivf_index",
+    (s, d) => {
+      val path = e19IndexPath(s, d)
+      val cents = s.read.parquet(path + "/cents")
+      val members = s.read.parquet(path + "/members")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id").asc)
+      val probes = normalizedEmb(s, d).filter(col("vec_id") % 100 === 0)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("en"), col("cent_id"),
+          Portable.dot(col("en"), col("cen")).as("cd"))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= nProbe)
+        .select(col("vec_id").as("qid"), col("en").as("qe"), col("cent_id"))
+      val scored = broadcast(probes).join(members, Seq("cent_id"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      cents AS (SELECT vec_id AS cent_id, en AS cen FROM emb
+                WHERE vec_id % 10 <> 0 AND vec_id < $nCells),
+      affinity AS (
+        SELECT e.vec_id, e.en, c.cent_id, list_dot_product(e.en, c.cen) AS cd
+        FROM emb e CROSS JOIN cents c),
+      mx AS (SELECT vec_id, max(cd) AS mcd FROM affinity GROUP BY vec_id),
+      members AS (
+        SELECT a.vec_id AS cid,
+               arg_min(a.en, a.cent_id) AS ce,
+               min(a.cent_id) AS cent_id
+        FROM affinity a JOIN mx ON mx.vec_id = a.vec_id AND a.cd = mx.mcd
+        GROUP BY a.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cd DESC, cent_id ASC) AS crnk
+        FROM affinity WHERE vec_id % 100 = 0),
+      probes AS (SELECT vec_id AS qid, en AS qe, cent_id
+                 FROM ranked WHERE crnk <= $nProbe),
+      scored AS (
+        SELECT qid, cid, list_dot_product(qe, ce) AS cos
+        FROM probes JOIN members USING (cent_id)
+        WHERE qid <> cid),
+      ${OracleSql.knnTailSql(k)}
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18)
+      e14, e15, e16, e17, e18, e19)
 }
