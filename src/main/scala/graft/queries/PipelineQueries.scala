@@ -303,7 +303,73 @@ object PipelineQueries {
       GROUP BY lang
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47)
+  // ---- q49: small-file compaction planner -----------------------------
+  //
+  // The lake-maintenance twin of q43: a long-lived partitioned lake
+  // accumulates one small file per ingest per partition, and read
+  // amplification grows until a compaction job rewrites leaves into
+  // target-sized outputs. The layout here is two-level — priority ×
+  // ingest bucket (pmod(o_orderkey, 8) plays the per-ingest file),
+  // written once and rediscovered via hive partition discovery — and
+  // the PLANNER is metadata-sized work: rows per leaf (one agg), then
+  // next-fit span packing by cumulative size inside each top-level
+  // partition (the t17 seq_id shape: bin = cum_before div target).
+  // The bucket column is DATA-derived, so the oracle reproduces leaf
+  // stats from the base table and file-system state never leaks into
+  // the contract.
+  //
+  // At 100 TB swap the row-count proxy for `_metadata.file_size` over
+  // the real listing — same plan (one agg over the listing + one
+  // window); the output table is exactly what the rewrite job executes
+  // bin by bin.
+
+  private val compactTarget = 1000L
+
+  private def bucketedOrders(s: SparkSession, d: String): String = {
+    val out = tmp("orders_buckets", d)
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    partLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        Tables.orders(s, d)
+          .withColumn("ingest", pmod(col("o_orderkey"), lit(8)))
+          .write.partitionBy("o_orderpriority", "ingest")
+          .mode("overwrite").parquet(out)
+        marker.createNewFile()
+      }
+    }
+    out
+  }
+
+  private val q49 = Q(
+    "q49_compaction_plan",
+    (s, d) => {
+      val layout = bucketedOrders(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority")).orderBy(col("ingest"))
+      s.read.parquet(layout)
+        .groupBy(col("o_orderpriority"), col("ingest"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("cum_before", sum(col("n_rows")).over(w) - col("n_rows"))
+        .select(col("o_orderpriority"), col("ingest").cast("long").as("ingest"),
+          col("n_rows"), expr(s"cum_before div $compactTarget").as("bin"))
+    },
+    Some(s"""
+      WITH leaves AS (
+        SELECT o_orderpriority, o_orderkey % 8 AS ingest, count(*) AS n_rows
+        FROM orders GROUP BY 1, 2),
+      c AS (
+        SELECT o_orderpriority, ingest, n_rows,
+               sum(n_rows) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY ingest) - n_rows AS cum_before
+        FROM leaves)
+      SELECT o_orderpriority, CAST(ingest AS BIGINT) AS ingest,
+             CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(cum_before // $compactTarget AS BIGINT) AS bin
+      FROM c
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49)
 
   /** The partitioned layout + pruned scan, exposed for PlanAuditSpec's
     * partition-pruning assertion.

@@ -280,6 +280,34 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
+  /** Per-vector affine SQ8 codes — e05's audit and e20's search kernel
+    * share one definition (min/max → 0..255 codes as exact
+    * integer-valued longs).
+    */
+  private def sq8(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("mn", array_min(col("e")))
+      .withColumn("mx", array_max(col("e")))
+      .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("qv",
+        when(col("mx") > col("mn"),
+          transform(col("e"), x =>
+            least(lit(255.0), greatest(lit(0.0),
+              round((x - col("mn")) / col("sc")))).cast("long")))
+          .otherwise(transform(col("e"), _ => lit(0L))))
+
+  /** DuckDB mirror of [[sq8]] — CTE body producing (vec_id, e, mn, sc, qv). */
+  private val sq8Sql = s"""
+      raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      st AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM raw),
+      q AS (SELECT vec_id, e, mn, (mx - mn) / 255.0 AS sc,
+                   CASE WHEN mx > mn
+                     THEN list_transform(e, x -> CAST(least(255.0, greatest(0.0,
+                            round((x - mn) / ((mx - mn) / 255.0)))) AS BIGINT))
+                     ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM st)"""
+
   // ---- e05: per-vector int8 quantization ------------------------------
   //
   // The storage/bandwidth step of a 100 TB embedding pipeline: affine
@@ -293,17 +321,7 @@ object SimilarityQueries {
   private val e05 = Q(
     "e05_embed_quantize",
     (s, d) => {
-      val emb = Tables.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("mn", array_min(col("e")))
-        .withColumn("mx", array_max(col("e")))
-        .withColumn("sc", (col("mx") - col("mn")) / lit(255.0))
-        .withColumn("qv",
-          when(col("mx") > col("mn"),
-            transform(col("e"), x =>
-              least(lit(255.0), greatest(lit(0.0),
-                round((x - col("mn")) / col("sc")))).cast("long")))
-            .otherwise(transform(col("e"), _ => lit(0L))))
+      val emb = sq8(s, d)
       emb.select(col("vec_id"),
         round(col("mn"), 6).as("qmin"),
         round(col("sc"), 6).as("qscale"),
@@ -315,14 +333,7 @@ object SimilarityQueries {
           (q, x) => abs(x - (col("mn") + q * col("sc"))))), 6).as("max_err"))
     },
     Some(s"""
-      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      st AS (SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM raw),
-      q AS (SELECT vec_id, e, mn, (mx - mn) / 255.0 AS sc,
-                   CASE WHEN mx > mn
-                     THEN list_transform(e, x -> CAST(least(255.0, greatest(0.0,
-                            round((x - mn) / ((mx - mn) / 255.0)))) AS BIGINT))
-                     ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
-            FROM st)
+      WITH $sq8Sql
       SELECT vec_id,
              round(mn, 6) AS qmin,
              round(sc, 6) AS qscale,
@@ -1550,7 +1561,59 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
+  // ---- e20: SQ8 symmetric integer-dot search --------------------------
+  //
+  // The memory-bandwidth play that precedes any indexing decision:
+  // search directly over the e05 uint8 codes with INTEGER dot products
+  // — 4× less data moved per candidate than float vectors, and the
+  // arithmetic every SIMD unit does fastest. Products are ≤ 255²·64 ≈
+  // 4.2M per pair, so BIGINT scores are exact and the ranking is
+  // engine-exact with no float tolerance anywhere (contrast e01's
+  // double fold: correct but bandwidth-bound at 100 TB). Symmetric
+  // code-vs-code ranking approximates the true inner product modulo the
+  // per-vector affine terms — the e17-style caveat: measure (e09
+  // discipline vs e01) before shipping, rerank the shortlist with
+  // exact floats like e11 when it matters.
+  //
+  // Scale shape: e01's broadcast-queries plan over a corpus that is 4×
+  // smaller on the wire; composes with IVF (probe cells, then integer
+  // dots inside) exactly like e10's LUT kernel.
+
+  private val e20 = Q(
+    "e20_sq8_search",
+    (s, d) => {
+      val codes = sq8(s, d).select(col("vec_id"), col("qv"))
+      val queries = codes.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"))
+      val scored = broadcast(queries).crossJoin(
+          codes.select(col("vec_id").as("cid"), col("qv").as("qb")))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          aggregate(zip_with(col("qa"), col("qb"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("iscore"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("iscore"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), col("iscore"))
+    },
+    Some(s"""
+      WITH $sq8Sql,
+      qs AS (SELECT vec_id AS qid, qv AS qa FROM q WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, c.vec_id AS cid,
+               CAST(list_dot_product(
+                 list_transform(qa, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.qv, x -> CAST(x AS DOUBLE))) AS BIGINT)
+                 AS iscore
+        FROM qs CROSS JOIN q c
+        WHERE qid <> c.vec_id),
+      r AS (SELECT qid, cid, iscore,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY iscore DESC, cid ASC)
+                        AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, cid, rnk, iscore FROM r WHERE rnk <= $k
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19)
+      e14, e15, e16, e17, e18, e19, e20)
 }
