@@ -369,7 +369,158 @@ object PipelineQueries {
       FROM c
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49)
+  // ---- q50: bucketed co-located fact join (shuffle-free at read) ------
+  //
+  // Bucketing moves the join shuffle to WRITE time: both fact tables are
+  // written `bucketBy(nBuckets, orderkey)` + `sortBy`, so every later
+  // join on that key reads bucket-aligned, pre-sorted splits and the
+  // sort-merge join runs with NO exchange and NO per-query sort — the
+  // scale play for a join that production runs daily against 100 TB
+  // facts (pay one shuffle at ingest, amortize it over every downstream
+  // query). BucketingSpec asserts the exchange-free plan; this entry
+  // proves the RESULT is right against the un-bucketed oracle join.
+  //
+  // `hint("merge")` pins the sort-merge strategy so the bucketed layout
+  // is actually exercised (an auto-broadcast of the orders side would
+  // compute the same rows while silently skipping the layout under
+  // test). Money is summed in exact integer cents (q01's fixed-point
+  // rule) so the hash compare is engine-exact.
+
+  private val bktJoinLock = new Object
+  private val nJoinBuckets = 8
+
+  /** Write orders+lineitem as bucketed tables ONCE per (dataset,
+    * process); table names carry the dataset digest + pid so concurrent
+    * Verify/Bench JVMs and different sf dirs never collide in the
+    * session catalog or on disk.
+    */
+  private def bucketedFactTables(s: SparkSession, d: String): (String, String) = {
+    val tag = tmp("", d).replaceAll(".*graft__", "") // md5_pid suffix
+    val (tOrders, tLine) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    bktJoinLock.synchronized {
+      if (!s.catalog.tableExists(tOrders)) {
+        val pOrders = tmp("bkt_orders", d)
+        val pLine = tmp("bkt_lineitem", d)
+        deleteRecursively(pOrders); deleteRecursively(pLine)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.format("parquet")
+          .bucketBy(nJoinBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", pOrders).saveAsTable(tOrders)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+          .write.format("parquet")
+          .bucketBy(nJoinBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", pLine).saveAsTable(tLine)
+      }
+    }
+    (tOrders, tLine)
+  }
+
+  private val q50 = Q(
+    "q50_bucketed_join",
+    (s, d) => {
+      val (tOrders, tLine) = bucketedFactTables(s, d)
+      s.table(tOrders).hint("merge")
+        .join(s.table(tLine), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_cents")).as("revenue_cents"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1
+    """))
+
+  // ---- q51: Z-order layout zone-map skipping audit --------------------
+  //
+  // Linear sort layouts skip files on ONE column; a Z-order (Morton)
+  // layout interleaves the bits of two columns so files cluster in BOTH
+  // dimensions at once — the standard lake-layout answer to "my probes
+  // filter on (partkey, suppkey) but I can only sort by one of them".
+  // Production shape: compute z, `repartitionByRange(z)` +
+  // `sortWithinPartitions(z)` at write time; file zone maps (per-file
+  // min/max) then prune multi-dimensional probe boxes. This audit
+  // computes exactly those zone maps over deterministic equal-width
+  // z-cells and reports which cells a probe box would scan — the
+  // pruned/scanned ratio IS the layout's value, measured, not assumed.
+  //
+  // All math is integer (bit spread = 4 shift-mask steps, the classic
+  // Morton dilation), so the audit is engine-exact. The cell width
+  // derives from max(z) (one tiny agg joined back as a broadcast
+  // scalar), keeping the cell count ~[[nZCells]] at every scale factor.
+
+  private val nZCells = 64
+
+  /** Dilate the low 16 bits of `v` to even bit positions (Morton spread)
+    * in the given SQL dialect; `shl` renders a left shift.
+    */
+  private def mortonSpread(v: String, shl: (String, Int) => String): String = {
+    val a = s"((($v) | ${shl(s"($v)", 8)}) & 16711935)"
+    val b = s"((($a) | ${shl(a, 4)}) & 252645135)"
+    val c = s"((($b) | ${shl(b, 2)}) & 858993459)"
+    s"((($c) | ${shl(c, 1)}) & 1431655765)"
+  }
+
+  private def zExpr(x: String, y: String, shl: (String, Int) => String): String =
+    s"(${mortonSpread(x, shl)} | ${shl(mortonSpread(y, shl), 1)})"
+
+  private val shlSpark = (e: String, n: Int) => s"shiftleft($e, $n)"
+  private val shlDuck = (e: String, n: Int) => s"($e << $n)"
+
+  private val q51 = Q(
+    "q51_zorder_skipping",
+    (s, d) => {
+      val base = Tables.lineitem(s, d).select(
+        (col("l_partkey").cast("long") % 65536).as("x"),
+        (col("l_suppkey").cast("long") % 65536).as("y"))
+      val z = base.withColumn("z", expr(zExpr("x", "y", shlSpark)))
+      val stats = z.agg(max(col("z")).as("zmax"),
+        max(col("x")).as("xmax"), max(col("y")).as("ymax"))
+      val cells = z.crossJoin(broadcast(stats))
+        .withColumn("fid", expr(s"z div (zmax div $nZCells + 1)"))
+        .groupBy(col("fid"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          max(col("xmax")).as("_xm"), max(col("ymax")).as("_ym"))
+      // probe box = the lower quarter of each dimension's range: a cell
+      // is scanned iff its zone map overlaps the box (boxes start at 0,
+      // so only the min side matters)
+      cells.select(col("fid"), col("n_rows"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        (col("x_min") <= expr("_xm div 4") &&
+          col("y_min") <= expr("_ym div 4")).cast("int").as("scanned"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT CAST(l_partkey AS BIGINT) % 65536 AS x,
+               CAST(l_suppkey AS BIGINT) % 65536 AS y
+        FROM lineitem),
+      zt AS (SELECT x, y, ${zExpr("x", "y", shlDuck)} AS z FROM base),
+      st AS (SELECT max(z) AS zmax, max(x) AS xmax, max(y) AS ymax FROM zt),
+      cells AS (
+        SELECT z // (zmax // $nZCells + 1) AS fid,
+               count(*) AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max,
+               max(xmax) AS xm, max(ymax) AS ym
+        FROM zt, st GROUP BY 1)
+      SELECT fid, n_rows, x_min, x_max, y_min, y_max,
+             CAST(x_min <= xm // 4 AND y_min <= ym // 4 AS INTEGER) AS scanned
+      FROM cells
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51)
+
+  /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
+    * known-value checks.
+    */
+  def mortonZSqlForAudit(x: String, y: String): String = zExpr(x, y, shlSpark)
 
   /** The partitioned layout + pruned scan, exposed for PlanAuditSpec's
     * partition-pruning assertion.

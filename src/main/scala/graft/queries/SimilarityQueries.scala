@@ -1613,7 +1613,160 @@ object SimilarityQueries {
       SELECT qid, cid, rnk, iscore FROM r WHERE rnk <= $k
     """))
 
+  // ---- e21: binary sign quantization + Hamming prefilter search -------
+  //
+  // The most aggressive quantization on the memory-bandwidth axis e20
+  // started down: 1 bit per dimension (sign of each coordinate), so a
+  // 64-dim float vector becomes 8 BYTES — 32× less data than floats,
+  // 4× less than SQ8. Hamming distance between sign patterns is a
+  // monotone proxy for angular distance (random-projection theory: the
+  // probability two vectors disagree on a random hyperplane's side is
+  // θ/π), so rank-by-Hamming is a cheap recall stage whose shortlist an
+  // exact cosine rerank then orders correctly — same two-stage contract
+  // as e11 (coarse candidates → exact scoring), at the opposite extreme
+  // of the compression/recall trade.
+  //
+  // Scale shape: the full-corpus pass touches only (vec_id, two
+  // 32-bit-half signatures) — at 10⁹ vectors that is ~24 GB, streamable
+  // through any executor fleet; XOR+popcount is the cheapest distance
+  // any hardware computes. The float vectors are touched only for the
+  // |Q|×C shortlist (a broadcast-sized set), never corpus-wide. The
+  // signatures are packed as TWO 32-bit halves (not one 64-bit word):
+  // bit 63 via `1L << 63` would overflow DuckDB's checked BIGINT
+  // arithmetic in the oracle, and two bit_count(xor(...)) terms cost
+  // the same as one.
+  //
+  // Signs come from the RAW coordinates (sign is invariant under the
+  // positive per-vector norm scale, so raw avoids the zero-norm null
+  // special case until the rerank, where the e01 null contract applies).
+
+  private val hamShortlist = 50
+
+  /** Bits h*32 .. h*32+31 of the sign pattern, packed little-endian into
+    * one non-negative long (bit j set iff e[h*32+j] > 0).
+    */
+  private def signHalf(e: Column, h: Int): Column =
+    (0 until 32).map { j =>
+      when(element_at(e, h * 32 + j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def signHalfSql(e: String, h: Int): String =
+    (0 until 32).map { j =>
+      s"CASE WHEN $e[${h * 32 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** e21 core (qid, cid, rnk, cos) — reused by the e22 recall audit. */
+  private def binarySearch(s: SparkSession, d: String): DataFrame = {
+    val emb = normalizedEmb(s, d)
+    // corpus-wide pass carries ONLY the 16-byte signatures
+    val sigs = emb.select(col("vec_id"),
+      signHalf(col("e"), 0).as("s0"), signHalf(col("e"), 1).as("s1"))
+    val qs = sigs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("s0").as("q0"), col("s1").as("q1"))
+    val ham = broadcast(qs)
+      .crossJoin(sigs.select(col("vec_id").as("cid"),
+        col("s0").as("c0"), col("s1").as("c1")))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (bit_count(col("q0").bitwiseXOR(col("c0"))) +
+          bit_count(col("q1").bitwiseXOR(col("c1")))).as("ham"))
+    val shortlist = graft.etl.TopK
+      .perGroup(ham, Seq(col("qid")), Seq(col("ham").asc, col("cid").asc),
+        hamShortlist, "hrnk")
+      .select(col("qid"), col("cid"))
+    // floats only for the |Q|×C shortlist: broadcast it against the corpus
+    val withC = broadcast(shortlist)
+      .join(emb.select(col("vec_id").as("cid"), col("en").as("ce")), "cid")
+    val scored = withC
+      .join(broadcast(emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("en").as("qe"))), "qid")
+      .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
+    graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+  }
+
+  /** Shared DuckDB chain: signature pack → Hamming shortlist → exact
+    * rerank, mirroring [[binarySearch]] stage for stage.
+    */
+  private val binarySql = s"""
+      sig AS (SELECT vec_id, ${signHalfSql("e", 0)} AS s0,
+                     ${signHalfSql("e", 1)} AS s1 FROM raw),
+      bq AS (SELECT vec_id AS qid, s0 AS q0, s1 AS q1 FROM sig
+             WHERE vec_id % 100 = 0),
+      hams AS (
+        SELECT qid, c.vec_id AS cid,
+               bit_count(xor(q0, c.s0)) + bit_count(xor(q1, c.s1)) AS ham
+        FROM bq CROSS JOIN sig c WHERE qid <> c.vec_id),
+      short AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY ham ASC, cid ASC) AS hrnk
+          FROM hams)
+        WHERE hrnk <= $hamShortlist),
+      scored AS (
+        SELECT s.qid, s.cid, list_dot_product(q.en, c.en) AS cos
+        FROM short s
+        JOIN emb q ON q.vec_id = s.qid
+        JOIN emb c ON c.vec_id = s.cid)"""
+
+  private val e21 = Q(
+    "e21_binary_sign_search",
+    (s, d) => binarySearch(s, d)
+      .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim")),
+    Some(s"""
+      WITH $normalizedSql,
+      $binarySql,
+      ${OracleSql.knnTailSql(k)}
+    """))
+
+  // ---- e22: binary-search recall audit (vs exact) ---------------------
+  //
+  // e09's discipline applied to the 1-bit index: recall@k of e21 against
+  // the exact e01 top-k, per query — the number that decides whether
+  // 8 bytes/vector is enough signal for this corpus or the shortlist
+  // constant C must grow (the only knob: recall rises monotonically in
+  // C, cost is C exact dots per query). Pure integer output.
+
+  private val e22 = Q(
+    "e22_binary_recall",
+    (s, d) => {
+      val exact = knnBrute(s, d).select(col("qid"), col("cid"))
+      val approx = binarySearch(s, d).select(col("qid"), col("cid"))
+      val hits = exact.join(approx, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
+      scored_ex AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
+        WHERE qid <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ex),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k),
+      $binarySql,
+      rap AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored),
+      ap AS (SELECT qid, cid FROM rap WHERE rnk <= $k),
+      hits AS (SELECT ex.qid, count(*) AS n_hits
+               FROM ex JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
+               GROUP BY ex.qid)
+      SELECT ex.qid, count(*) AS n_exact,
+             coalesce(max(hits.n_hits), 0) AS n_hits
+      FROM ex LEFT JOIN hits ON hits.qid = ex.qid
+      GROUP BY ex.qid
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22)
 }

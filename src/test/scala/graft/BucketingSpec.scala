@@ -46,4 +46,17 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("q50's bucketed fact join reads bucket-aligned: no exchange below the join") {
+    val plan = graft.queries.Registry.queries("q50_bucketed_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the plan prints top-down: the final 5-key agg's exchange sits ABOVE
+    // the SortMergeJoin, so the join's subtree is everything after it —
+    // with bucketed inputs that subtree must be exchange-free
+    val atJoin = plan.indexOf("SortMergeJoin")
+    assert(atJoin >= 0, s"expected a SortMergeJoin (merge hint), plan:\n$plan")
+    val subtree = plan.substring(atJoin)
+    assert(!subtree.contains("Exchange"),
+      s"bucketed join inputs must not shuffle, plan:\n$plan")
+  }
 }
