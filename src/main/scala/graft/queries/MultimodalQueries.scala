@@ -448,5 +448,72 @@ object MultimodalQueries {
       FROM m
     """ })
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  // ---- m10: energy-threshold voice-activity segmentation --------------
+  //
+  // The audio-curation twin of m09's shot detection, with the OTHER
+  // canonical plan shape: where m09 keeps all frames row-local, VAD's
+  // deliverable is variable-length SEGMENTS (speech spans between
+  // silences), the classic gaps-and-islands computation — explode
+  // frames, keep the active ones, and group consecutive frame indices
+  // via the `f − row_number()` island key (consecutive actives share
+  // it; any silence gap shifts it). Frame energy = Σ bytes (exact
+  // integers); a real energy/VAD kernel drops in at the byte-extraction
+  // seam exactly like m04's decoder contract.
+  //
+  // Scale shape: explode is partition-local and bounded (frames/clip);
+  // the ONE shuffle is the island window keyed by clip id — state per
+  // clip is its own frames, never global. Only audio-bearing payloads
+  // (m01's format rule: first byte ≥ 128 → wav/mp4) enter the explode,
+  // so the filter prunes before the fan-out, not after.
+
+  private val vadThr = 1024L // Σ of 8 bytes > 8×128 ⇒ "speech"
+
+  private val m10 = Q(
+    "m10_audio_vad_segments",
+    (s, d) => {
+      val nFrames = mediaBytes / frameBytes
+      def frameEnergy(f: Int): Column =
+        (0 until frameBytes).map { i =>
+          hexByte(col("h"), f * frameBytes + i).cast("long")
+        }.reduce(_ + _)
+      val audio = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+        .filter(hexByte(col("h"), 0) >= 128)
+      val frames = audio.select(col("doc_id"),
+        posexplode(array((0 until nFrames).map(frameEnergy): _*))
+          .as(Seq("f", "energy")))
+        .select(col("doc_id"), col("f").cast("long").as("f"), col("energy"))
+      val speech = frames.filter(col("energy") > vadThr)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      speech.withColumn("island", col("f") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("f")).as("seg_start"), max(col("f")).as("seg_end"),
+          count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_frames"), col("energy_sum"))
+    },
+    Some {
+      val nFrames = mediaBytes / frameBytes
+      val energySql = (0 until frameBytes)
+        .map(i => hexByteSql("h", s"f*$frameBytes + $i"))
+        .mkString("(", " + ", ")")
+      s"""
+      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents),
+      a AS (SELECT doc_id, h FROM m WHERE ${hexByteSql("h", "0")} >= 128),
+      fr AS (SELECT doc_id, h, unnest(range(0, $nFrames)) AS f FROM a),
+      en AS (SELECT doc_id, f, CAST($energySql AS BIGINT) AS energy FROM fr),
+      sp AS (SELECT doc_id, f, energy FROM en WHERE energy > $vadThr),
+      isl AS (SELECT doc_id, f, energy,
+                     f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                       AS island
+              FROM sp)
+      SELECT doc_id, CAST(min(f) AS BIGINT) AS seg_start,
+             CAST(max(f) AS BIGINT) AS seg_end,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS energy_sum
+      FROM isl GROUP BY doc_id, island
+    """ })
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

@@ -515,7 +515,63 @@ object PipelineQueries {
       FROM cells
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51)
+  // ---- q52: JSONL interchange round-trip ------------------------------
+  //
+  // JSON-lines is the de-facto interchange format of training-data
+  // pipelines (every public corpus ships as .jsonl.zst); this entry
+  // proves the library's JSONL sink+source preserve content exactly:
+  // events → write JSONL → read back → aggregate, hash-checked against
+  // the same aggregate over the ORIGINAL parquet (the q15 round-trip
+  // oracle trick — no JSON support needed oracle-side).
+  //
+  // Scale rules encoded here: the read passes an EXPLICIT schema
+  // (schema inference is a full extra pass over 100 TB — never pay it
+  // in production); timestamps travel as integer epoch-micros, not
+  // formatted strings (exact, timezone-free); the nested `props` JSON
+  // string survives as an opaque field and is parsed AFTER the
+  // round-trip with get_json_object. JSONL files split by line, so
+  // scans parallelize like CSV; writes shard per partition.
+
+  private val jsonlLock = new Object
+
+  private def jsonlEvents(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("jsonl_events", d)
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    jsonlLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").json(out)
+        marker.createNewFile()
+      }
+    }
+    s.read.schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .json(out)
+  }
+
+  private val q52 = Q(
+    "q52_jsonl_roundtrip",
+    (s, d) => jsonlEvents(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        sum(get_json_object(col("props"), "$.k").try_cast("long")).as("k_sum"),
+        min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us")),
+    Some("""
+      SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                  AS BIGINT) AS k_sum,
+             min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+      FROM events GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.

@@ -1618,8 +1618,55 @@ object TextQueries {
       FROM n
     """))
 
+  // ---- t43: deterministic stratified eval-set sampler -----------------
+  //
+  // Exact k-per-stratum sampling, the eval/holdout-set construction
+  // step: per (source, lang) stratum keep the k docs with the SMALLEST
+  // portable hash draw — every engine, every re-run, every corpus
+  // superset picks the same docs (a doc's draw never changes, so a doc
+  // sampled yesterday stays sampled unless k new docs hash below it —
+  // the stability property rand()-sampling lacks; same determinism
+  // rationale as t14/t15, here with an EXACT size contract instead of a
+  // probabilistic one).
+  //
+  // Plan: one shuffle on the stratum key; row_number keeps k rows per
+  // stratum past the filter. Stratum count × k bounds the output. At
+  // 100 TB the window's per-stratum sort is the cost — the two-level
+  // refinement (per-partition top-k, then merge the partials) drops it
+  // to O(n log k) without changing the result; the single-window form
+  // here IS that result's definition.
+
+  private val kPerStratum = 10
+
+  private val t43 = Q(
+    "t43_stratified_sample",
+    (s, d) => {
+      val draw = Portable.hash60(col("doc_id").cast("string"), 19)
+      val ranked = graft.etl.TopK.perGroup(
+        Tables.spread(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"), col("lang"), draw.as("draw")),
+        Seq(col("source"), col("lang")),
+        Seq(col("draw").asc, col("doc_id").asc),
+        kPerStratum)
+      ranked.select(col("source"), col("lang"), col("doc_id"),
+        col("draw"), col("rnk"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source, lang,
+               ${hSql("CAST(doc_id AS VARCHAR)", 19)} AS draw
+        FROM documents),
+      r AS (
+        SELECT source, lang, doc_id, draw,
+               CAST(row_number() OVER (PARTITION BY source, lang
+                                       ORDER BY draw ASC, doc_id ASC)
+                    AS INTEGER) AS rnk
+        FROM h)
+      SELECT source, lang, doc_id, draw, rnk FROM r WHERE rnk <= $kPerStratum
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40)
+      t39, t40, t43)
 }
