@@ -43,14 +43,19 @@ object Graph {
     val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
     val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("coalesce(sc, 0L) * 85 div 100")).as("r"))
-        .localCheckpoint()
+      // lineage barrier every 3rd round, not every round: a 3-round-deep
+      // nested join plan is well inside Catalyst's comfort zone, and each
+      // eager checkpoint is a full job whose scheduling overhead exceeds
+      // the work at node-table sizes. Unbounded iteration counts still
+      // never nest more than 3 rounds of lineage.
+      if (round % 3 == 0 && round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }

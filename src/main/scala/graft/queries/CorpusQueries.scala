@@ -872,6 +872,95 @@ object CorpusQueries {
       SELECT qid, doc_id, rnk, score_micro FROM r WHERE rnk <= $bm25K
     """ })
 
+  // ---- t44: snapshot distribution drift -------------------------------
+  //
+  // The distribution-level complement to t24's row-level diff: "did this
+  // crawl CHANGE the corpus shape, not just its rows?" Compares the two
+  // snapshot overlays' per-source document-length distributions as an L1
+  // distance over fixed-width length buckets — the monitoring gate that
+  // catches a silently broken extractor (suddenly-truncated pages shift
+  // the histogram long before anyone reads a sample). Shares t24's
+  // overlay rule exactly (v1 drops ≡0 mod 7; v2 drops ≡0 mod 5 and
+  // edits ≡0 mod 3), so the two entries describe the same pair of
+  // snapshots at two granularities.
+  //
+  // All arithmetic is integer: bucket = length div 200 capped at 19,
+  // share = count·1000 div total (floor per-mille), drift = Σ|Δshare|.
+  // Scale shape: ONE corpus scan feeds both versions (each doc emits its
+  // memberships), one (ver, source, bucket) hash agg with map-side
+  // partials; everything after operates on sources × 20 bucket rows.
+
+  private val driftBucketW = 200
+  private val driftBuckets = 20
+
+  private val t44 = Q(
+    "t44_snapshot_drift",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("text"))
+      def bucketed(ver: Int, df: DataFrame): DataFrame = df
+        .select(lit(ver).as("ver"), col("source"),
+          least(expr(s"length(text) div $driftBucketW"),
+            lit((driftBuckets - 1).toLong)).as("bucket"))
+      val v1 = bucketed(1, docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
+      val v2 = bucketed(2, docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
+      val counts = v1.unionAll(v2)
+        .groupBy(col("ver"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wSrc = Window.partitionBy(col("ver"), col("source"))
+      val shares = counts
+        .withColumn("total", sum(col("n")).over(wSrc))
+        .select(col("ver"), col("source"), col("bucket"),
+          col("n"), expr("n * 1000 div total").as("share_pm"))
+      val s1 = shares.filter(col("ver") === 1)
+        .select(col("source"), col("bucket"),
+          col("n").as("n1"), col("share_pm").as("p1"))
+      val s2 = shares.filter(col("ver") === 2)
+        .select(col("source"), col("bucket"),
+          col("n").as("n2"), col("share_pm").as("p2"))
+      s1.join(s2, Seq("source", "bucket"), "full_outer")
+        .groupBy(col("source"))
+        .agg(sum(coalesce(col("n1"), lit(0L))).as("n_v1"),
+          sum(coalesce(col("n2"), lit(0L))).as("n_v2"),
+          sum(abs(coalesce(col("p1"), lit(0L))
+            - coalesce(col("p2"), lit(0L)))).as("l1_drift_pm"))
+    },
+    Some(s"""
+      WITH v1 AS (
+        SELECT 1 AS ver, source,
+               least(length(text) // $driftBucketW, ${driftBuckets - 1}) AS bucket
+        FROM documents WHERE doc_id % 7 <> 0),
+      v2 AS (
+        SELECT 2 AS ver, source,
+               least(length(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+                                 ELSE text END) // $driftBucketW,
+                     ${driftBuckets - 1}) AS bucket
+        FROM documents WHERE doc_id % 5 <> 0),
+      counts AS (
+        SELECT ver, source, bucket, count(*) AS n
+        FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        GROUP BY 1, 2, 3),
+      shares AS (
+        SELECT ver, source, bucket, n,
+               n * 1000 // sum(n) OVER (PARTITION BY ver, source) AS share_pm
+        FROM counts),
+      j AS (
+        SELECT coalesce(s1.source, s2.source) AS source,
+               coalesce(s1.n, 0) AS n1, coalesce(s2.n, 0) AS n2,
+               coalesce(s1.share_pm, 0) AS p1, coalesce(s2.share_pm, 0) AS p2
+        FROM (SELECT * FROM shares WHERE ver = 1) s1
+        FULL OUTER JOIN (SELECT * FROM shares WHERE ver = 2) s2
+          ON s1.source = s2.source AND s1.bucket = s2.bucket)
+      SELECT source, CAST(sum(n1) AS BIGINT) AS n_v1,
+             CAST(sum(n2) AS BIGINT) AS n_v2,
+             CAST(sum(abs(p1 - p2)) AS BIGINT) AS l1_drift_pm
+      FROM j GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42, q48)
+    Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
+      t44, q48)
 }

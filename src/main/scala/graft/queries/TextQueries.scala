@@ -1641,7 +1641,7 @@ object TextQueries {
   private val t43 = Q(
     "t43_stratified_sample",
     (s, d) => {
-      val draw = Portable.hash60(col("doc_id").cast("string"), 19)
+      val draw = Portable.hash60(col("doc_id").cast("string"), 29)
       val ranked = graft.etl.TopK.perGroup(
         Tables.spread(Tables.documents(s, d))
           .select(col("doc_id"), col("source"), col("lang"), draw.as("draw")),
@@ -1654,7 +1654,7 @@ object TextQueries {
     Some(s"""
       WITH h AS (
         SELECT doc_id, source, lang,
-               ${hSql("CAST(doc_id AS VARCHAR)", 19)} AS draw
+               ${hSql("CAST(doc_id AS VARCHAR)", 29)} AS draw
         FROM documents),
       r AS (
         SELECT source, lang, doc_id, draw,
