@@ -893,40 +893,49 @@ object CorpusQueries {
   private val driftBucketW = 200
   private val driftBuckets = 20
 
+  /** t44's core, exposed for DriftSpec's identity property (drift of a
+    * snapshot against itself is exactly 0): per-source L1 distance of
+    * the two inputs' length-bucket share distributions. Inputs need
+    * (source, text).
+    */
+  def lengthDriftForAudit(v1In: DataFrame, v2In: DataFrame): DataFrame = {
+    def bucketed(ver: Int, df: DataFrame): DataFrame = df
+      .select(lit(ver).as("ver"), col("source"),
+        least(expr(s"length(text) div $driftBucketW"),
+          lit((driftBuckets - 1).toLong)).as("bucket"))
+    val counts = bucketed(1, v1In).unionAll(bucketed(2, v2In))
+      .groupBy(col("ver"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("ver"), col("source"))
+    val shares = counts
+      .withColumn("total", sum(col("n")).over(wSrc))
+      .select(col("ver"), col("source"), col("bucket"),
+        col("n"), expr("n * 1000 div total").as("share_pm"))
+    val s1 = shares.filter(col("ver") === 1)
+      .select(col("source"), col("bucket"),
+        col("n").as("n1"), col("share_pm").as("p1"))
+    val s2 = shares.filter(col("ver") === 2)
+      .select(col("source"), col("bucket"),
+        col("n").as("n2"), col("share_pm").as("p2"))
+    s1.join(s2, Seq("source", "bucket"), "full_outer")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("n1"), lit(0L))).as("n_v1"),
+        sum(coalesce(col("n2"), lit(0L))).as("n_v2"),
+        sum(abs(coalesce(col("p1"), lit(0L))
+          - coalesce(col("p2"), lit(0L)))).as("l1_drift_pm"))
+  }
+
   private val t44 = Q(
     "t44_snapshot_drift",
     (s, d) => {
       val docs = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), col("text"))
-      def bucketed(ver: Int, df: DataFrame): DataFrame = df
-        .select(lit(ver).as("ver"), col("source"),
-          least(expr(s"length(text) div $driftBucketW"),
-            lit((driftBuckets - 1).toLong)).as("bucket"))
-      val v1 = bucketed(1, docs.filter(pmod(col("doc_id"), lit(7)) =!= 0))
-      val v2 = bucketed(2, docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         .withColumn("text",
           when(pmod(col("doc_id"), lit(3)) === 0,
-            concat(col("text"), lit(" rev2"))).otherwise(col("text"))))
-      val counts = v1.unionAll(v2)
-        .groupBy(col("ver"), col("source"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-      val wSrc = Window.partitionBy(col("ver"), col("source"))
-      val shares = counts
-        .withColumn("total", sum(col("n")).over(wSrc))
-        .select(col("ver"), col("source"), col("bucket"),
-          col("n"), expr("n * 1000 div total").as("share_pm"))
-      val s1 = shares.filter(col("ver") === 1)
-        .select(col("source"), col("bucket"),
-          col("n").as("n1"), col("share_pm").as("p1"))
-      val s2 = shares.filter(col("ver") === 2)
-        .select(col("source"), col("bucket"),
-          col("n").as("n2"), col("share_pm").as("p2"))
-      s1.join(s2, Seq("source", "bucket"), "full_outer")
-        .groupBy(col("source"))
-        .agg(sum(coalesce(col("n1"), lit(0L))).as("n_v1"),
-          sum(coalesce(col("n2"), lit(0L))).as("n_v2"),
-          sum(abs(coalesce(col("p1"), lit(0L))
-            - coalesce(col("p2"), lit(0L)))).as("l1_drift_pm"))
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      lengthDriftForAudit(v1, v2)
     },
     Some(s"""
       WITH v1 AS (
