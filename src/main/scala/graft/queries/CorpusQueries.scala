@@ -969,7 +969,65 @@ object CorpusQueries {
       FROM j GROUP BY 1
     """))
 
+  // ---- t45: frequency vocabulary + per-doc OOV rate -------------------
+  //
+  // The vocabulary-construction step the subword tokenizer (t01) sits
+  // on: build the top-V token vocabulary by global frequency (V fixed,
+  // ties broken by token text so the set is total-ordered and
+  // engine-exact) and score every doc's out-of-vocabulary rate — the
+  // coverage metric that decides V and flags domain-shifted docs before
+  // token budgets are planned on a vocab that can't cover them.
+  //
+  // Scale shape: token counts are one explode + one map-side-combined
+  // hash agg (the t19 discipline); the top-V selection is
+  // `orderBy.limit(V)` → TakeOrderedAndProject (per-partition partial
+  // top-k, NEVER a global sort of the vocabulary); the vocab is then
+  // broadcast-able BY CONSTRUCTION (exactly V rows — unlike t28's
+  // unbounded vocab join, which correctly shuffles). Per-doc scoring is
+  // one left join against the broadcast plus one doc-keyed agg.
+
+  private val vocabV = 256
+
+  private val t45 = Q(
+    "t45_vocab_oov",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      val tok = docs.select(col("doc_id"), explode(col("toks")).as("tk"))
+      val vocab = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tk").asc).limit(vocabV)
+        .select(col("tk"), lit(1).as("in_v"))
+      val per = tok.join(broadcast(vocab), Seq("tk"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(coalesce(col("n_toks"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("n_oov * 1000 div n_toks")).as("oov_pm"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      cnt AS (SELECT tk, count(*) AS n FROM tok GROUP BY 1),
+      v AS (SELECT tk FROM (
+              SELECT tk, row_number() OVER (ORDER BY n DESC, tk ASC) AS r
+              FROM cnt) WHERE r <= $vocabV),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(count(*) FILTER (WHERE v.tk IS NULL) AS BIGINT) AS n_oov
+        FROM tok LEFT JOIN v ON tok.tk = v.tk GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(n_toks, 0) AS n_toks,
+             coalesce(n_oov, 0) AS n_oov,
+             CASE WHEN coalesce(n_toks, 0) = 0 THEN 0
+                  ELSE n_oov * 1000 // n_toks END AS oov_pm
+      FROM t LEFT JOIN per ON per.doc_id = t.doc_id
+    """))
+
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, q48)
+      t44, t45, q48)
 }

@@ -537,7 +537,68 @@ object ParityQueries {
       FROM g
     """))
 
+  // ---- q53: multi-way star join (fact → fact → dims) ------------------
+  //
+  // The canonical warehouse query the suite's 2-way joins don't cover:
+  // lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with a selective date
+  // filter, revenue by (region, market segment). The plan is the star
+  // schema's textbook shape and exercises Catalyst's join composition:
+  // the date filter pushes to the orders SCAN (before its join, cutting
+  // the fact⋈fact shuffle to the filtered keys), nation/region broadcast
+  // explicitly, and customer is left to the planner (broadcast here;
+  // shuffle join at 100 TB when it outgrows the threshold — both are
+  // correct, which is the point of declaring rather than scheduling).
+  // The two fact joins shuffle on their keys — at 100 TB the q50
+  // bucketed layout removes the orderkey one for repeated runs.
+  //
+  // Money follows q01's fixed-point rule: rev_e4 = price_cents ×
+  // (100 − disc_cents) summed as BIGINT, rounded ONCE to cents with the
+  // (+50) div 100 half-up rule — engine-exact.
+
+  private val q53 = Q(
+    "q53_star_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+      val ord = Tables.orders(s, d)
+        .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND " +
+          "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val reg = Tables.region(s, d)
+        .select(col("r_regionkey"), col("r_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST((sum(rev_e4) + 50) div 100 AS BIGINT)").as("revenue_c"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem)
+      SELECT r_name, c_mktsegment, count(*) AS n_items,
+             CAST((sum(rev_e4) + 50) // 100 AS BIGINT) AS revenue_c
+      FROM li
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38, q40)
+      q38, q40, q53)
 }
