@@ -96,15 +96,16 @@ object SimilarityQueries {
     */
   private def normalizedEmb(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
       .withColumn("_n", Portable.norm(col("e")))
       .withColumn("en",
         when(col("_n") =!= 0.0, transform(col("e"), x => x / col("_n"))))
       .drop("_n")
 
   private val normalizedSql = s"""
-      raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      emb AS (SELECT vec_id, e,
+      raw AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      emb AS (SELECT vec_id, label, e,
                      CASE WHEN list_dot_product(e, e) > 0
                           THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
                           ELSE NULL END AS en
@@ -176,7 +177,7 @@ object SimilarityQueries {
   private val e03 = Q(
     "e03_embed_neardup",
     (s, d) => {
-      val raw = normalizedEmb(s, d)
+      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
       // doubled corpus → every vector has one exact duplicate (cos = 1)
       val emb = raw.unionAll(
         raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
@@ -448,7 +449,7 @@ object SimilarityQueries {
   private val e07 = Q(
     "e07_semantic_neardup",
     (s, d) => {
-      val raw = normalizedEmb(s, d)
+      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
       val emb = raw.unionAll(
         raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
         .withColumn("bkt", bucket(col("e")))
@@ -1007,7 +1008,7 @@ object SimilarityQueries {
   private val e13 = Q(
     "e13_lsh_geometry_audit",
     (s, d) => {
-      val raw = normalizedEmb(s, d)
+      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
       val emb = raw.unionAll(
         raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
       lshGeometryStats("hp8x1", Seq(0 until numPlanes), planeVec, emb)
@@ -1766,7 +1767,59 @@ object SimilarityQueries {
       GROUP BY ex.qid
     """))
 
+  // ---- e23: filtered vector search (predicate + top-k) ----------------
+  //
+  // Production vector search is almost never unfiltered: "nearest
+  // neighbors WHERE tenant/category/split = X" is the real query, and
+  // the correctness rule it forces is PRE-filtering — push the
+  // predicate INTO candidate generation. The tempting alternative
+  // (post-filter an unfiltered top-k) silently under-fills k whenever
+  // the predicate's matches aren't already in the unfiltered top-k —
+  // a wrong-results bug, not a performance choice.
+  //
+  // Here each query searches only its own label partition via an
+  // EQUI-join on label (queries broadcast): candidate volume drops by
+  // the label cardinality vs e01's cross join, and the plan stays a
+  // hash join (no cartesian). At 100 TB the same predicate composes
+  // with the index instead: label becomes a partition column of the
+  // e19 IVF artifact (probe reads one label's postings) or a prefix of
+  // the LSH bucket key — selective predicates flip to brute-forcing
+  // the survivors, which is exactly this plan.
+
+  private val e23 = Q(
+    "e23_filtered_knn",
+    (s, d) => {
+      val emb = normalizedEmb(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label"), col("en").as("qe"))
+      val cand = emb.select(col("vec_id").as("cid"), col("label"),
+        col("en").as("ce"))
+      val scored = broadcast(qs).join(cand, Seq("label"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("label"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("label"), col("cid"), col("rnk"),
+          round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      q AS (SELECT vec_id AS qid, label, en AS qe FROM emb
+            WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, q.label, c.vec_id AS cid,
+               list_dot_product(qe, c.en) AS cos
+        FROM q JOIN emb c ON c.label = q.label AND c.vec_id <> q.qid),
+      r AS (SELECT qid, label, cid, cos,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY cos DESC, cid ASC)
+                        AS INTEGER) AS rnk
+            FROM scored)
+      SELECT qid, label, cid, rnk, round(cos, 6) AS sim
+      FROM r WHERE rnk <= $k
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
 }

@@ -45,4 +45,18 @@ class PlanAuditSpec extends SparkSpec {
       "PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(scan).isDefined,
       s"o_orderpriority not pushed to partition pruning:\n$scan")
   }
+
+  test("q53's date filter reaches the orders scan; dims broadcast") {
+    val plan = Registry.queries("q53_star_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the selective filter must be pushed to the parquet reader, not
+    // evaluated above the join
+    assert(
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(plan).isDefined,
+      s"o_orderdate not pushed to the orders scan:\n$plan")
+    // nation/region (and at this scale customer) ride broadcast joins —
+    // the fact side must never shuffle for a dimension
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected the dimension joins to broadcast:\n$plan")
+  }
 }
