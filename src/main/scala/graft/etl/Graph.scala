@@ -59,4 +59,99 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to [[Dedup.resolveClusters]]'s
+    * min-label propagation, whose round count is O(component diameter).
+    * Near-dup chains that daisy-chain (A~B~C~… with no short-cut edges)
+    * have diameter ≈ length; at corpus scale a 1000-hop chain costs
+    * propagation 1000 rounds but this ~10, because each star operation
+    * HALVES path lengths instead of shrinking them by one.
+    *
+    * Per round, both operations are one keyed aggregation + one
+    * equi-join over the edge set — no neighbor lists are ever
+    * collected (the classic formulation reduces over Γ(u) as an
+    * in-memory list; a celebrity node would blow that up, while a
+    * groupBy-min + join-back stays map-side-partial and skew-free):
+    *   - large-star: m(u) = min(Γ(u) ∪ {u}) over the bidirected edge
+    *     set; every neighbor v > u re-attaches to m(u);
+    *   - small-star: orient edges (big, small); m(u) = min over the
+    *     smaller neighbors; they and u itself attach to m(u).
+    * The fixpoint is a forest of stars, every node pointing at its
+    * component's minimum id.
+    *
+    * Convergence is detected by comparing successive small-star outputs
+    * via (count, Σ xxhash64(u,v)) — one tiny agg per round instead of a
+    * two-sided anti-join (at 10⁹ edges the anti-join is another full
+    * shuffle per round; the checksum is map-side-partial and its
+    * false-convergence odds are ~2⁻⁶⁴ per round). Non-convergence
+    * within `maxIter` throws — same no-silent-partial-fixpoint contract
+    * as [[Dedup.resolveClusters]].
+    *
+    * Returns `(doc_id, cluster_rep)` for every node in `pairs`, the
+    * exact output shape of [[Dedup.resolveClusters]].
+    */
+  def connectedComponentsLSS(pairs: DataFrame, aCol: String = "a",
+                             bCol: String = "b", maxIter: Int = 15): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bi.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      bi.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nb = or.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      nb.unionAll(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent like sum but can't overflow
+      // under ANSI mode (the edge set is distinct, so xor never
+      // self-cancels a duplicate pair)
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var prev = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // localCheckpoint per round: iterative self-joins otherwise nest
+      // the whole round history into one Catalyst plan
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsLSS did not converge in $maxIter rounds — " +
+          "pathological component structure; raise maxIter")
+    // fixpoint = stars oriented (member, center): every non-center node
+    // has exactly one outgoing edge; centers appear only on the v side
+    val members = edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+    val centers = edges.select(col("v").as("doc_id")).distinct()
+      .withColumn("cluster_rep", col("doc_id"))
+    members.unionAll(centers)
+      .groupBy(col("doc_id")).agg(min(col("cluster_rep")).as("cluster_rep"))
+  }
 }

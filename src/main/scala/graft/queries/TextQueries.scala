@@ -407,6 +407,35 @@ object TextQueries {
   // distributed min-label propagation (Dedup.resolveClusters); the
   // oracle computes the same fixpoint with a recursive CTE.
 
+  /** Shared oracle for t09/t46: exact transitive closure over the t06
+    * pair set via a recursive CTE, each node labeled with its
+    * component's min id. Two independent Spark algorithms (min-label
+    * propagation and large-star/small-star) hash-match against this one
+    * fixpoint.
+    */
+  private lazy val neardupResolveSql: String = {
+    val pairsSql = lshPairsSql(
+      s"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks
+              FROM $doubledSql AS documents(doc_id, text))
+        WHERE len(toks) >= 3""",
+      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+      threshold = 0.8)
+    s"""
+    WITH RECURSIVE pairs AS ($pairsSql),
+    ud(src, dst) AS (
+      SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    r(node, root) AS (
+      SELECT src, src FROM ud
+      UNION
+      SELECT ud.src, r.root FROM ud JOIN r ON r.node = ud.dst)
+    SELECT node AS doc_id, min(root) AS cluster_rep FROM r GROUP BY node
+    """
+  }
+
   private val t09 = Q(
     "t09_neardup_resolve",
     (s, d) => {
@@ -414,28 +443,25 @@ object TextQueries {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       Dedup.resolveClusters(pairs)
     },
-    Some {
-      val pairsSql = lshPairsSql(
-        s"""
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(toks) - 1),
-                   i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
-          FROM (SELECT doc_id, $toksSql AS toks
-                FROM $doubledSql AS documents(doc_id, text))
-          WHERE len(toks) >= 3""",
-        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-        threshold = 0.8)
-      s"""
-      WITH RECURSIVE pairs AS ($pairsSql),
-      ud(src, dst) AS (
-        SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-      r(node, root) AS (
-        SELECT src, src FROM ud
-        UNION
-        SELECT ud.src, r.root FROM ud JOIN r ON r.node = ud.dst)
-      SELECT node AS doc_id, min(root) AS cluster_rep FROM r GROUP BY node
-      """
-    })
+    Some(neardupResolveSql))
+
+  // ---- t46: connected components via large-star/small-star -----------
+  //
+  // Same clusters as t09, different distributed algorithm: alternating
+  // star contractions converge in O(log n) rounds where min-label
+  // propagation needs O(diameter) — the difference between 10 and 1000
+  // shuffle rounds on a daisy-chained near-dup cluster at corpus scale.
+  // Both implementations hash-match the one recursive-CTE oracle, which
+  // cross-checks them against each other as a free side effect.
+
+  private val t46 = Q(
+    "t46_cc_star_contraction",
+    (s, d) => {
+      val pairs = sharedTokenLshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.etl.Graph.connectedComponentsLSS(pairs)
+    },
+    Some(neardupResolveSql))
 
   // ---- t10: end-to-end curation pipeline -----------------------------
   //
@@ -1668,5 +1694,5 @@ object TextQueries {
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43)
+      t39, t40, t43, t46)
 }

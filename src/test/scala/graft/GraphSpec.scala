@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Dedup, Graph}
+
+/** Connected-components cross-check: large-star/small-star
+  * ([[Graph.connectedComponentsLSS]]) must produce the exact labeling of
+  * min-label propagation ([[Dedup.resolveClusters]]) on structures
+  * chosen to stress each algorithm's weak spot — long chains (diameter
+  * >> log n, where propagation is slow) and celebrity stars (hub degree
+  * = component size, where neighbor-list formulations blow up).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)],
+                       f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+    f(pairs.toDF("a", "b"))
+      .select(col("doc_id"), col("cluster_rep"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+  private def crossCheck(pairs: Seq[(Long, Long)]): Unit = {
+    val lss = labelsOf(pairs, Graph.connectedComponentsLSS(_))
+    val prop = labelsOf(pairs, Dedup.resolveClusters(_, maxIter = 200))
+    assert(lss == prop, s"LSS vs propagation disagree on $pairs")
+    // every node labeled, label = component min ≤ node id
+    assert(lss.forall { case (id, rep) => rep <= id })
+  }
+
+  test("long chain: 60-hop path resolves to one cluster in O(log n) rounds") {
+    // path 0-1-2-…-60: diameter 60; LSS must converge well inside its
+    // default 15-round budget (propagation needs 60+ rounds)
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val lss = labelsOf(chain, Graph.connectedComponentsLSS(_))
+    assert(lss.forall(_._2 == 0L), s"chain must collapse to rep 0: $lss")
+    val prop = labelsOf(chain, Dedup.resolveClusters(_, maxIter = 200))
+    assert(lss == prop)
+  }
+
+  test("mixed structures: star, triangle+tail, isolated pair, two chains") {
+    val star = (1L to 20L).map(i => (100L, 100L + i)) // celebrity hub
+    val tri = Seq((200L, 201L), (201L, 202L), (200L, 202L), (202L, 203L))
+    val pair = Seq((300L, 301L))
+    val chainA = (400L until 410L).map(i => (i, i + 1))
+    val chainB = (500L until 520L).map(i => (i + 1, i)) // reversed order
+    crossCheck(star ++ tri ++ pair ++ chainA ++ chainB)
+  }
+
+  test("duplicate and reversed edges don't change the labeling") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ base // dups both directions
+    assert(labelsOf(noisy, Graph.connectedComponentsLSS(_)) ==
+      labelsOf(base, Graph.connectedComponentsLSS(_)))
+  }
+}
