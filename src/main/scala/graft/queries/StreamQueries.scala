@@ -480,6 +480,103 @@ object StreamQueries {
       GROUP BY 1
     """))
 
+  // ---- q54: ordered funnel (view → click → purchase) -----------------
+  //
+  // First-touch funnel: a user's earliest view anchors the funnel; the
+  // earliest click AFTER that view (within the horizon) advances it; the
+  // earliest purchase after that click completes it. Order matters — a
+  // purchase before the click does NOT count, which is what separates a
+  // funnel from three independent existence checks.
+  //
+  // Scale shape: each step is a groupBy(user) min-agg (map-side partial)
+  // over a type-filtered slice, joined back on user_id — the step frames
+  // are USER-dimension-sized, orders of magnitude smaller than the event
+  // log, and every join is an equi-join on user_id. No windows over the
+  // full log, no per-user sort.
+
+  private val funnelHorizonUs = 72L * 3600L * 1000000L
+
+  private val q54 = Q(
+    "q54_funnel",
+    (s, d) => {
+      val ev = Tables.spread(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_ts_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("view_ts_us") &&
+          col("ts_us") <= col("view_ts_us") + funnelHorizonUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_ts_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("click_ts_us") &&
+          col("ts_us") <= col("click_ts_us") + funnelHorizonUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_ts_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts_us"), col("click_ts_us"),
+          col("purchase_ts_us"),
+          (lit(1) + when(col("click_ts_us").isNotNull, 1).otherwise(0)
+            + when(col("purchase_ts_us").isNotNull, 1).otherwise(0))
+            .as("funnel_step"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      v AS (SELECT user_id, min(ts_us) AS view_ts_us
+            FROM ev WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(ts_us) AS click_ts_us
+            FROM ev e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click'
+              AND ts_us > view_ts_us AND ts_us <= view_ts_us + $funnelHorizonUs
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(ts_us) AS purchase_ts_us
+            FROM ev e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND ts_us > click_ts_us AND ts_us <= click_ts_us + $funnelHorizonUs
+            GROUP BY 1)
+      SELECT v.user_id, view_ts_us, click_ts_us, purchase_ts_us,
+             CAST(1 + (click_ts_us IS NOT NULL)::INT
+                    + (purchase_ts_us IS NOT NULL)::INT AS INTEGER) AS funnel_step
+      FROM v LEFT JOIN c ON c.user_id = v.user_id
+             LEFT JOIN p ON p.user_id = v.user_id
+    """))
+
+  // ---- q55: retention cohorts (signup day × activity offset) ---------
+  //
+  // The classic cohort triangle: users grouped by signup day, counted on
+  // each subsequent day they were active. ONE distinct-activity agg over
+  // the log + a user-sized cohort join; output is cohorts × offsets —
+  // report-sized regardless of corpus scale. countDistinct shuffles
+  // (cohort_day, offset, user) once; no windows, no self-joins.
+
+  private val q55 = Q(
+    "q55_retention_cohorts",
+    (s, d) => {
+      val ev = Tables.spread(Tables.events(s, d))
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val act = ev.select(col("user_id"), col("day")).distinct()
+      act.join(cohort, Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("offset_days"), col("n_users"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day
+                 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, day FROM ev)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             CAST(day - cohort_day AS INTEGER) AS offset_days,
+             count(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN cohort c ON c.user_id = a.user_id
+      WHERE day >= cohort_day
+      GROUP BY cohort_day, day - cohort_day
+    """))
+
   def all: Seq[Q] =
-    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46)
+    Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
+      q54, q55)
 }
