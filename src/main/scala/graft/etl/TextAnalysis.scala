@@ -20,6 +20,20 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
 
+  /** Deletion neighborhood of a string: the string itself plus every
+    * one-char-deleted variant, deduplicated — the SymSpell blocking key
+    * set. Two strings with levenshtein ≤ 1 ALWAYS share at least one
+    * key (substitution → both delete-at-i keys collide; insert/delete →
+    * the longer side's deletion equals the shorter side), so an
+    * equi-join on these keys has exact recall at edit distance 1. Key
+    * fan-out is len+1 per string — linear, never a metric cross join.
+    */
+  def deletionKeys(c: Column): Column =
+    array_union(array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - lit(1)),
+          c.substr(i + lit(1), length(c)))))
+
   /** Real subword token count: greedy longest-match over the compiled-in
     * merge vocabulary ([[graft.functions.SubwordCount.vocab]]), one
     * native codegen'd expression per row (no UDF). This is the token

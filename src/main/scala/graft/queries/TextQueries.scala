@@ -1691,8 +1691,60 @@ object TextQueries {
       SELECT source, lang, doc_id, draw, rnk FROM r WHERE rnk <= $kPerStratum
     """))
 
+  // ---- t47: fuzzy string match via deletion-neighborhood blocking ----
+  //
+  // Edit-distance joins (typo-tolerant entity resolution, OCR cleanup,
+  // vocab canonicalization) CANNOT be equi-joins on the raw string — but
+  // they CAN on the deletion neighborhood (the SymSpell insight): if
+  // lev(a,b) ≤ 1 then a and b share at least one key among {s} ∪
+  // {s minus one char}. Substitution at i → both sides' delete-at-i keys
+  // collide; insertion/deletion → the longer side's deletion equals the
+  // shorter side itself. So explode each side into ≤ len+1 keys,
+  // equi-join, and verify with exact levenshtein — EXACT recall at d ≤ 1
+  // (the blocking is lossless, unlike LSH), never an all-pairs metric
+  // join. The oracle is the clean quadratic definition (brute-force
+  // lev ≤ 1 over the cross product) precisely BECAUSE the blocking has
+  // no semantic effect: the scalable plan must hash-match the textbook
+  // one. Probe strings are deterministic corruptions of the vocab (drop
+  // last char / replace first with 'z') so the fixture needs no RNG.
+
+  private val t47 = Q(
+    "t47_fuzzy_match",
+    (s, d) => {
+      val vocab = Tables.spread(Tables.documents(s, d))
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 4)
+        .distinct()
+      val typos = vocab
+        .select(concat(lit("z"), expr("substring(w, 2)")).as("typo"))
+        .unionAll(vocab.select(expr("substring(w, 1, length(w)-1)").as("typo")))
+        .distinct()
+      val probe = typos.select(col("typo"),
+        explode(TA.deletionKeys(col("typo"))).as("k"))
+      val index = vocab.select(col("w"),
+        explode(TA.deletionKeys(col("w"))).as("k"))
+      probe.join(index, Seq("k"))
+        .select(col("typo"), col("w").as("word")).distinct()
+        .filter(levenshtein(col("typo"), col("word")) <= 1)
+        .select(col("typo"), col("word"),
+          levenshtein(col("typo"), col("word")).as("dist"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT DISTINCT t AS w
+        FROM (SELECT unnest($toksSql) AS t FROM documents)
+        WHERE length(t) >= 4),
+      typos AS (SELECT DISTINCT typo FROM (
+        SELECT 'z' || substr(w, 2) AS typo FROM toks
+        UNION ALL SELECT substr(w, 1, length(w) - 1) FROM toks))
+      SELECT DISTINCT typo, w AS word,
+             CAST(levenshtein(typo, w) AS INTEGER) AS dist
+      FROM typos, toks
+      WHERE levenshtein(typo, w) <= 1
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46)
+      t39, t40, t43, t46, t47)
 }
