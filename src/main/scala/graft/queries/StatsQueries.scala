@@ -142,5 +142,60 @@ object StatsQueries {
       GROUP BY 1, 2
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44)
+  // ---- q57: winsorized robust mean -----------------------------------
+  //
+  // Outlier-robust aggregation: clamp to the per-group [p01, p99] before
+  // averaging — the standard guard before feeding metrics into drift
+  // monitors or reward models. Two passes: an exact-percentile agg
+  // (4 bound rows) broadcast back over the fact scan, then one clamped
+  // agg. At 100 TB pass one switches to q33's mergeable
+  // approx_percentile sketch and the shape is unchanged — bounds are a
+  // tiny broadcast either way.
+  //
+  // Numeric determinism: values are quantized to integer cents FIRST,
+  // and the interpolated percentile bounds are rounded back to integer
+  // cents, so the clamp and the sum run entirely in BIGINT (one double
+  // division at the end). Winsorizing against cent-quantized bounds is
+  // semantically identical at money precision and sidesteps the
+  // order-dependent double-sum flake entirely.
+
+  private val q57 = Q(
+    "q57_winsorized_stats",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val bounds = li.groupBy(col("flag"))
+        .agg(expr("percentile(c, array(0.01, 0.99))").as("p"))
+        .select(col("flag"),
+          round(element_at(col("p"), 1)).cast("long").as("lo_c"),
+          round(element_at(col("p"), 2)).cast("long").as("hi_c"))
+      li.join(broadcast(bounds), Seq("flag"))
+        .groupBy(col("flag"), col("lo_c"), col("hi_c"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") < col("lo_c"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("c") > col("hi_c"), 1L).otherwise(0L)).as("n_hi"),
+          sum(least(greatest(col("c"), col("lo_c")), col("hi_c"))).as("_sw"))
+        .select(col("flag"), col("lo_c"), col("hi_c"), col("n"),
+          col("n_lo"), col("n_hi"),
+          round(col("_sw").cast("double") / col("n") / 100, 4).as("w_mean"))
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                  FROM lineitem),
+      b AS (SELECT flag,
+                   CAST(round(quantile_cont(c, 0.01)) AS BIGINT) AS lo_c,
+                   CAST(round(quantile_cont(c, 0.99)) AS BIGINT) AS hi_c
+            FROM li GROUP BY 1)
+      SELECT li.flag, lo_c, hi_c, count(*) AS n,
+             CAST(sum(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             CAST(sum(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             round(CAST(sum(least(greatest(c, lo_c), hi_c)) AS DOUBLE)
+                   / count(*) / 100, 4) AS w_mean
+      FROM li JOIN b ON b.flag = li.flag
+      GROUP BY 1, 2, 3
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57)
 }

@@ -576,7 +576,40 @@ object StreamQueries {
       GROUP BY cohort_day, day - cohort_day
     """))
 
+  // ---- q56: event-type transition matrix -----------------------------
+  //
+  // First-order Markov transitions per user (what follows what): one
+  // lead() window partitioned by user — per-task state is one user's
+  // events, the sort is within-partition — then a 5×5-output hash agg
+  // with map-side partials. Ties at identical microseconds are pinned by
+  // event_id so both engines see the same sequence.
+
+  private val q56 = Q(
+    "q56_event_transitions",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.spread(Tables.events(s, d))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
     Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
-      q54, q55)
+      q54, q55, q56)
 }
