@@ -502,25 +502,28 @@ object CorpusQueries {
   // and the second window is sort-only on the same partitioning. The
   // shuffle carries one row per CHANGE (same bound as t26).
 
-  private val q48 = Q(
-    "q48_scd2_history",
-    (s, d) => {
-      val wc = Window.partitionBy(col("doc_id"))
-        .orderBy(col("version"), col("op")) // 'delete' < 'upsert'
-      val wn = Window.partitionBy(col("doc_id")).orderBy(col("version"))
-      changelog(s, d)
-        .withColumn("prev_v", lag(col("version"), 1).over(wc))
-        .filter(col("prev_v").isNull || col("prev_v") =!= col("version"))
-        .withColumn("next_v", lead(col("version"), 1).over(wn))
-        .filter(col("op") === "upsert")
-        .select(col("doc_id"),
-          col("version").as("valid_from"),
-          (col("next_v") - 1).as("valid_to"),
-          when(col("next_v").isNull, 1L).otherwise(0L).as("is_current"),
-          md5(col("text")).as("fp"))
-    },
-    Some(s"""
-      WITH log AS ($changelogSql),
+  /** The SCD-2 history frame shared by q48 (which emits it) and q58
+    * (which probes it at event time).
+    */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val wc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("version"), col("op")) // 'delete' < 'upsert'
+    val wn = Window.partitionBy(col("doc_id")).orderBy(col("version"))
+    changelog(s, d)
+      .withColumn("prev_v", lag(col("version"), 1).over(wc))
+      .filter(col("prev_v").isNull || col("prev_v") =!= col("version"))
+      .withColumn("next_v", lead(col("version"), 1).over(wn))
+      .filter(col("op") === "upsert")
+      .select(col("doc_id"),
+        col("version").as("valid_from"),
+        (col("next_v") - 1).as("valid_to"),
+        when(col("next_v").isNull, 1L).otherwise(0L).as("is_current"),
+        md5(col("text")).as("fp"))
+  }
+
+  /** DuckDB CTE chain ending in `hist` = the [[scd2History]] frame. */
+  private val scd2HistCtes = s"""
+      log AS ($changelogSql),
       c AS (
         SELECT doc_id, version, op, text,
                lag(version) OVER (PARTITION BY doc_id
@@ -530,14 +533,65 @@ object CorpusQueries {
         SELECT doc_id, version, op, text,
                lead(version) OVER (PARTITION BY doc_id
                                    ORDER BY version) AS next_v
-        FROM c WHERE prev_v IS NULL OR prev_v <> version)
-      SELECT doc_id,
-             CAST(version AS BIGINT) AS valid_from,
-             CAST(next_v - 1 AS BIGINT) AS valid_to,
-             CAST(CASE WHEN next_v IS NULL THEN 1 ELSE 0 END AS BIGINT)
-               AS is_current,
-             md5(text) AS fp
-      FROM k WHERE op = 'upsert'
+        FROM c WHERE prev_v IS NULL OR prev_v <> version),
+      hist AS (
+        SELECT doc_id,
+               CAST(version AS BIGINT) AS valid_from,
+               CAST(next_v - 1 AS BIGINT) AS valid_to,
+               CAST(CASE WHEN next_v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS is_current,
+               md5(text) AS fp
+        FROM k WHERE op = 'upsert')"""
+
+  private val q48 = Q(
+    "q48_scd2_history",
+    (s, d) => scd2History(s, d),
+    Some(s"""
+      WITH $scd2HistCtes
+      SELECT doc_id, valid_from, valid_to, is_current, fp FROM hist
+    """))
+
+  // ---- q58: temporal dimension lookup (as-of over SCD-2 intervals) ----
+  //
+  // The most common warehouse join there is: enrich a fact row with the
+  // dimension version valid AT its event time. Phrased naively it's an
+  // interval join (valid_from <= v AND v <= valid_to); phrased for scale
+  // it's a BACKWARD AS-OF on valid_from (intervals are disjoint per key,
+  // so the latest version starting at-or-before v is the only candidate)
+  // + a residual valid_to filter that turns deleted-at-v keys into
+  // nulls. One shuffle + one window via [[graft.etl.AsOf]] — against the
+  // oracle's textbook BETWEEN left join. Probes are every doc at
+  // versions 1 and 2, so the fixture exercises live, edited, deleted,
+  // and delete-after-write keys at both times.
+
+  private val q58 = Q(
+    "q58_temporal_dim_join",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d)).select(col("doc_id"))
+      val probes = docs.select(col("doc_id"), lit(1L).as("v"))
+        .unionAll(docs.select(col("doc_id"), lit(2L).as("v")))
+      val h = scd2History(s, d)
+        .select(col("doc_id"), col("valid_from").as("v"),
+          col("valid_from").as("vf"), col("valid_to"), col("fp"))
+      val valid = col("_match").isNotNull &&
+        (col("_match.valid_to").isNull || col("_match.valid_to") >= col("v"))
+      graft.etl.AsOf.joinBackward(probes, h,
+          keyCols = Seq("doc_id"), tsCol = "v",
+          payloadCols = Seq("vf", "valid_to", "fp"),
+          tieBreak = col("vf"))
+        .select(col("doc_id"), col("v").as("probe_v"),
+          when(valid, col("_match.vf")).as("valid_from"),
+          when(valid, col("_match.fp")).as("fp"))
+    },
+    Some(s"""
+      WITH $scd2HistCtes,
+      probes AS (SELECT doc_id, CAST(1 AS BIGINT) AS v FROM documents
+                 UNION ALL
+                 SELECT doc_id, CAST(2 AS BIGINT) AS v FROM documents)
+      SELECT p.doc_id, p.v AS probe_v, h.valid_from, h.fp
+      FROM probes p LEFT JOIN hist h
+        ON h.doc_id = p.doc_id AND h.valid_from <= p.v
+        AND (h.valid_to IS NULL OR h.valid_to >= p.v)
     """))
 
   // ---- t41: link-graph PageRank (source-quality propagation) ----------
@@ -1029,5 +1083,5 @@ object CorpusQueries {
 
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, q48)
+      t44, t45, q48, q58)
 }
