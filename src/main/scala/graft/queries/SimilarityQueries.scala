@@ -1819,7 +1819,75 @@ object SimilarityQueries {
       FROM r WHERE rnk <= $k
     """))
 
+  // ---- e24: tombstone-aware probe of the persisted IVF index ----------
+  //
+  // The delete half of the e19 lifecycle: vectors leave a corpus
+  // (takedowns, dedup rewrites, retention policy) far more often than an
+  // inverted file can afford a rebuild, so production indexes carry a
+  // TOMBSTONE set and probes exclude it at read time. The tombstone
+  // table is deletion-sized — a broadcast anti-join on the posting id,
+  // applied BEFORE scoring (scoring then discarding deleted candidates
+  // wastes the dominant cost, and worse, under-fills k the way e23's
+  // post-filter bug would). Postings stay append-only; a compaction
+  // rewrite is only worth it when the tombstone fraction materially
+  // inflates probe cost. The oracle recomputes the search with the
+  // deleted ids excluded by predicate — hash equality proves
+  // tombstone-masking ≡ physical deletion.
+
+  private val e24 = Q(
+    "e24_ivf_tombstone_search",
+    (s, d) => {
+      val path = e19IndexPath(s, d)
+      val cents = s.read.parquet(path + "/cents")
+      val members = s.read.parquet(path + "/members")
+      val tomb = normalizedEmb(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("cid"))
+      val live = members.join(broadcast(tomb), Seq("cid"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id").asc)
+      val probes = normalizedEmb(s, d).filter(col("vec_id") % 100 === 0)
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("en"), col("cent_id"),
+          Portable.dot(col("en"), col("cen")).as("cd"))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= nProbe)
+        .select(col("vec_id").as("qid"), col("en").as("qe"), col("cent_id"))
+      val scored = broadcast(probes).join(live, Seq("cent_id"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("cos"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      cents AS (SELECT vec_id AS cent_id, en AS cen FROM emb
+                WHERE vec_id % 10 <> 0 AND vec_id < $nCells),
+      affinity AS (
+        SELECT e.vec_id, e.en, c.cent_id, list_dot_product(e.en, c.cen) AS cd
+        FROM emb e CROSS JOIN cents c),
+      mx AS (SELECT vec_id, max(cd) AS mcd FROM affinity GROUP BY vec_id),
+      members AS (
+        SELECT a.vec_id AS cid,
+               arg_min(a.en, a.cent_id) AS ce,
+               min(a.cent_id) AS cent_id
+        FROM affinity a JOIN mx ON mx.vec_id = a.vec_id AND a.cd = mx.mcd
+        GROUP BY a.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cd DESC, cent_id ASC) AS crnk
+        FROM affinity WHERE vec_id % 100 = 0),
+      probes AS (SELECT vec_id AS qid, en AS qe, cent_id
+                 FROM ranked WHERE crnk <= $nProbe),
+      scored AS (
+        SELECT qid, cid, list_dot_product(qe, ce) AS cos
+        FROM probes JOIN members USING (cent_id)
+        WHERE qid <> cid AND cid % 7 <> 3),
+      ${OracleSql.knnTailSql(k)}
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }
