@@ -57,19 +57,8 @@ object CorpusQueries {
           // coalesce: NULL-text parity with the oracle's LEFT JOIN + 0
           coalesce(TA.subwordCount(TA.tokens(col("text"))), lit(0L))
             .as("n_tokens"))
-        .withColumn("bucket", floor(col("doc_id") / bucketW).cast("long"))
-      val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val inBucket =
-        docs.withColumn("pre", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      val wB = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val bucketOffsets = docs.groupBy(col("bucket"))
-        .agg(sum(col("n_tokens")).as("btot"))
-        .withColumn("boff", coalesce(sum(col("btot")).over(wB), lit(0L)))
-        .select(col("bucket"), col("boff"))
-      inBucket.join(broadcast(bucketOffsets), Seq("bucket"))
-        .withColumn("start_off", col("boff") + col("pre"))
+      graft.etl.PrefixSum
+        .exclusive(docs, "doc_id", "n_tokens", "start_off", bucketW)
         .select(col("doc_id"), col("n_tokens"), col("start_off"),
           floor(col("start_off") / seqLen).cast("long").as("seq_id"),
           pmod(col("start_off"), lit(seqLen)).as("seq_pos"))

@@ -515,5 +515,60 @@ object MultimodalQueries {
       FROM isl GROUP BY doc_id, island
     """ })
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  // ---- m11: shard manifest (WebDataset-style size-targeted shards) ----
+  //
+  // Multimodal training data ships as size-targeted archive shards
+  // (tar/rec files a data loader streams sequentially); building them
+  // starts with a MANIFEST: each item's byte offset in corpus order and
+  // the shard it starts in. Byte sizes vary per item (fabricated
+  // width×height here), so this is the t17 packing problem over BYTES —
+  // the same [[graft.etl.PrefixSum]] two-level decomposition, never a
+  // single-partition cumsum window. Items are assigned by START offset
+  // (shards are approximately sized — the WebDataset convention), and
+  // the output is the per-shard manifest an archiver consumes: item
+  // count, exact byte total, and the [first,last] doc range, which is
+  // CONTIGUOUS by construction because assignment follows doc order.
+
+  private val shardBytes = 500000L
+  private val manifestBucketW = 500L
+
+  private val m11 = Q(
+    "m11_shard_manifest",
+    (s, d) => {
+      val sizes = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id"), hexm(col("text")).as("h"))
+        .select(col("doc_id"),
+          ((hexByte(col("h"), 1) + 1) * (hexByte(col("h"), 2) + 1))
+            .cast("long").as("n_bytes"))
+      graft.etl.PrefixSum
+        .exclusive(sizes, "doc_id", "n_bytes", "start_off", manifestBucketW)
+        .withColumn("shard_id", floor(col("start_off") / shardBytes).cast("long"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST((${hexByteSql("h", "1")} + 1) * (${hexByteSql("h", "2")} + 1)
+                    AS BIGINT) AS n_bytes
+        FROM (SELECT doc_id, $hexmSql AS h FROM documents)),
+      o AS (
+        SELECT doc_id, n_bytes,
+               CAST(coalesce(sum(n_bytes) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_off
+        FROM m)
+      SELECT start_off // $shardBytes AS shard_id,
+             count(*) AS n_items,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc
+      FROM o GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }
