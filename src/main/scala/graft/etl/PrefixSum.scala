@@ -44,4 +44,29 @@ object PrefixSum {
       .withColumn(offCol, col("_boff") + col("_psp"))
       .drop("_psb", "_psp", "_boff")
   }
+
+  /** Exclusive prefix sum over an ARBITRARY total order: `bucketCol` must
+    * be an ascending coarsening of `orderCols` (every row in bucket b
+    * sorts before every row in bucket b+1 — the caller's contract; e.g.
+    * bucket = −floor(quality·20) for a quality-descending order). Same
+    * two-level shape as [[exclusive]], which is the special case
+    * bucket = id / bucketW.
+    */
+  def exclusiveBy(df: DataFrame, bucketCol: String,
+                  orderCols: Seq[org.apache.spark.sql.Column],
+                  valueCol: String, offCol: String): DataFrame = {
+    val wIn = Window.partitionBy(col(bucketCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = df.withColumn("_psp",
+      coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
+    val wB = Window.orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(col(bucketCol))
+      .agg(sum(col(valueCol)).as("_btot"))
+      .withColumn("_boff", coalesce(sum(col("_btot")).over(wB), lit(0L)))
+      .select(col(bucketCol), col("_boff"))
+    inBucket.join(broadcast(offsets), Seq(bucketCol))
+      .withColumn(offCol, col("_boff") + col("_psp"))
+      .drop("_psp", "_boff")
+  }
 }

@@ -1743,8 +1743,58 @@ object TextQueries {
       WHERE levenshtein(typo, w) <= 1
     """))
 
+  // ---- t48: quality-ranked token-budget selection ---------------------
+  //
+  // "Give me the best B tokens": rank the corpus by quality and keep
+  // docs until the token budget fills — the greedy coreset selection
+  // every data-constrained training run performs. The cumulative token
+  // count over the quality-DESC order is a prefix sum over an ARBITRARY
+  // total order, which [[graft.etl.PrefixSum.exclusiveBy]] handles with
+  // value-range buckets (bucket = −floor(quality·20), an ascending
+  // coarsening of the quality-descending order) — same two-level shape,
+  // no single-partition window even though the order is a computed
+  // score. Inclusion rule: a doc is kept iff the budget wasn't already
+  // full when it starts (cum_before < B) — the boundary doc overflows
+  // slightly, the m11 start-offset convention.
+
+  private val tokenBudget = 5000L
+
+  private val t48 = Q(
+    "t48_budget_selection",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          TA.qualityScoreFromToks(col("text"), col("_toks")).as("quality"),
+          size(col("_toks")).cast("long").as("n_tokens"))
+        .withColumn("_qb", -floor(col("quality") * 20).cast("long"))
+      graft.etl.PrefixSum.exclusiveBy(docs, "_qb",
+          Seq(col("quality").desc, col("doc_id").asc),
+          "n_tokens", "cum_before")
+        .filter(col("cum_before") < tokenBudget)
+        .select(col("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_before"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+      m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   ${OracleSql.qualityColsSql}
+            FROM t),
+      q AS (SELECT doc_id, n_tokens,
+                   ${OracleSql.qualityExprSql} AS quality
+            FROM m),
+      o AS (SELECT doc_id, quality, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                     ORDER BY quality DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM q)
+      SELECT doc_id, quality, n_tokens, cum_before
+      FROM o WHERE cum_before < $tokenBudget
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47)
+      t39, t40, t43, t46, t47, t48)
 }
