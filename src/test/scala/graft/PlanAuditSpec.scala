@@ -46,6 +46,26 @@ class PlanAuditSpec extends SparkSpec {
       s"o_orderpriority not pushed to partition pruning:\n$scan")
   }
 
+  test("e24's tombstone exclusion is a broadcast ANTI-join before scoring") {
+    val plan = Registry.queries("e24_ivf_tombstone_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // deletion-sized set → broadcast; anti semantics → LeftAnti. A
+    // shuffled anti-join (corpus repartitioned to subtract a tiny set)
+    // or a post-scoring filter would both be scale regressions.
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"tombstone mask is not a broadcast anti-join:\n$plan")
+  }
+
+  test("q54's funnel plans zero window operators (anchored aggs, not sorts)") {
+    val plan = Registry.queries("q54_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the funnel must stay three filtered min-aggs + user-keyed joins; a
+    // Window here would mean someone rephrased it as a per-user ordered
+    // scan of the whole log
+    assert(!plan.contains("Window"),
+      s"funnel plan acquired a window operator:\n$plan")
+  }
+
   test("q53's date filter reaches the orders scan; dims broadcast") {
     val plan = Registry.queries("q53_star_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
