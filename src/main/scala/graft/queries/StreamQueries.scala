@@ -586,18 +586,10 @@ object StreamQueries {
 
   private val q56 = Q(
     "q56_event_transitions",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      Tables.spread(Tables.events(s, d))
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n"))
-    },
+    (s, d) =>
+      StreamOps.transitionsBatch(Tables.spread(Tables.events(s, d)))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n")),
     Some("""
       WITH seq AS (
         SELECT user_id, event_type,

@@ -207,6 +207,82 @@ object StreamOps {
   /** [[Ev]] plus the timestamp column the watermark rides on. */
   final case class EvT(user_id: Long, ts_us: Long, value: Double, ts: Timestamp)
 
+  /** One event in a user's transition chain (public: Spark's codegen
+    * instantiates encoder projections for it).
+    */
+  final case class PendEv(ts_us: Long, event_id: Long, event_type: String)
+
+  /** Transition state: the last watermark-closed event (the boundary a
+    * future event will pair with) + the not-yet-closed buffer.
+    */
+  final case class TransState(last: Option[PendEv], buf: List[PendEv])
+
+  /** Input row for [[transitionsStream]]. */
+  final case class TransEv(user_id: Long, ts_us: Long, event_id: Long,
+                           event_type: String, ts: Timestamp)
+
+  final case class Transition(user_id: Long, from_ts_us: Long,
+                              from_type: String, to_type: String)
+
+  /** Per-user consecutive-event transitions, batch form: one lead()
+    * window partitioned by user (ties pinned by event_id). The q56
+    * transition matrix is this frame grouped by (from, to).
+    */
+  def transitionsBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .select(col("user_id"), col("ts_us").as("from_ts_us"),
+        col("event_type").as("from_type"), col("next_type").as("to_type"))
+  }
+
+  /** Streaming twin of [[transitionsBatch]]: a transition can only be
+    * emitted once no future arrival can land BETWEEN its endpoints, so
+    * events buffer per user until the watermark passes them; each
+    * trigger sorts the closed prefix into the chain and emits its
+    * pairs. The last closed event stays in state as the boundary — its
+    * outgoing transition is emitted when its successor closes. State is
+    * O(events inside the watermark window) per user + one boundary row;
+    * emission is append-only and row-identical to the batch twin once
+    * the watermark passes the data (StreamingSpec proves it).
+    */
+  def transitionsStream(
+      spark: SparkSession,
+      events: Dataset[TransEv],
+      watermarkDelay: String = "10 minutes"): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[TransState]) =>
+          val st = state.getOption.getOrElse(TransState(None, Nil))
+          val buf = st.buf ++
+            rows.map(r => PendEv(r.ts_us, r.event_id, r.event_type))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // an event strictly before the watermark can never gain a new
+          // predecessor or in-between arrival — its chain position is
+          // final (micro-batch rows are unordered: sort before closing)
+          val (ripe, open) = buf.sortBy(e => (e.ts_us, e.event_id))
+            .partition(_.ts_us < wmUs)
+          val chain = st.last.toList ++ ripe
+          val out = chain.zip(chain.drop(1)).map { case (a, b) =>
+            Transition(uid, a.ts_us, a.event_type, b.event_type)
+          }
+          state.update(TransState(chain.lastOption.orElse(st.last), open))
+          if (open.nonEmpty)
+            // flush the buffer on the next watermark advance (a past
+            // timestamp is rejected, so clamp just above the watermark)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }
+  }
+
   /** Batch sessionization: gap > `gapMinutes` starts a new session.
     * Classic two-window formulation — lag per user to flag session
     * starts, running sum of flags as the session index, then one

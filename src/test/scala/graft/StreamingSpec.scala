@@ -575,4 +575,51 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("transitionsStream emits the batch transition chain, late events included") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{TransEv, Transition}
+    val base = 1700000000L * US
+    def ev(uid: Long, m: Long, id: Long, t: String): TransEv =
+      TransEv(uid, base + m * MIN, id, t,
+        new java.sql.Timestamp((base + m * MIN) / 1000L))
+    // user 1: view → click → purchase with the click arriving LATE (a
+    // correct stream must pair view→click→purchase, not view→purchase);
+    // user 2: two events in one batch, unordered
+    val e10 = ev(1, 0, 10, "view"); val e11 = ev(1, 5, 11, "click")
+    val e12 = ev(1, 9, 12, "purchase")
+    val e20 = ev(2, 1, 20, "signup"); val e21 = ev(2, 2, 21, "error")
+
+    val input = MemoryStream[TransEv]
+    val out = StreamOps.transitionsStream(spark, input.toDS(),
+      watermarkDelay = "30 minutes")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = out.writeStream.format("memory").queryName("trans_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(e10, e12, e21, e20) // click missing, batch unordered
+      q.processAllAvailable()
+      input.addData(e11) // late by event time, within the watermark
+      q.processAllAvailable()
+      input.addData(ev(9, 2000, 99, "view")) // push watermark past all
+      q.processAllAvailable()
+
+      val streamed = spark.table("trans_out").as[Transition].collect()
+        .filter(_.user_id != 9)
+        .sortBy(t => (t.user_id, t.from_ts_us)).toSeq
+      val batch = StreamOps.transitionsBatch(
+          Seq(e10, e11, e12, e20, e21)
+            .toDF("user_id", "ts_us", "event_id", "event_type", "ts")
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts")))
+        .select(col("user_id"), col("from_ts_us"), col("from_type"),
+          col("to_type"))
+        .as[Transition].collect()
+        .sortBy(t => (t.user_id, t.from_ts_us)).toSeq
+
+      assert(batch.map(t => (t.from_type, t.to_type)) ==
+        Seq(("view", "click"), ("click", "purchase"), ("signup", "error")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
