@@ -1793,8 +1793,107 @@ object TextQueries {
       FROM o WHERE cum_before < $tokenBudget
     """))
 
+  // ---- t49: curation gate funnel (per-source survivorship) ------------
+  //
+  // The report a curation pipeline publishes with every corpus release:
+  // how many docs survive each gate, per source, with gates applied
+  // CUMULATIVELY in pipeline order (language → quality → length →
+  // exact-dedup) so the numbers read as a funnel, not four independent
+  // filters. One corpus scan computes every gate attribute; the only
+  // extra shuffle is the fingerprint window for the dedup
+  // representative; the final agg is sources × 1 rows of conditional
+  // sums (map-side partial). The gates reuse the exact t02/t03/t05
+  // primitives, so the funnel always agrees with the individual gate
+  // queries.
+
+  // thresholds picked to BITE on this corpus (quality median ≈ .75,
+  // ntok 10–99): a funnel whose later gates never reject is a fixture
+  // bug, not a pipeline
+  private val funnelQualMin = 0.7
+  private val funnelTokMin = 20L
+  private val funnelTokMax = 80L
+
+  private val t49 = Q(
+    "t49_gate_funnel",
+    (s, d) => {
+      // doubled corpus WITH source carried (the dedup-family fixture
+      // convention): every doc gains one exact duplicate, so the dedup
+      // gate demonstrably rejects half of what reaches it
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = Tables.spread(docs.unionAll(
+          docs.select((col("doc_id") + dupShift).as("doc_id"), col("source"),
+            col("text"))))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("_cjk", TA.cjkRatio(col("text")))
+      val scored = t.select(Seq(col("doc_id"), col("source"), col("text"),
+        col("_toks"), col("_cjk")) ++
+        TA.langStopwords.map { case (l, sw) =>
+          TA.stopwordHits(col("_toks"), sw).as(s"s_$l")
+        }: _*)
+      val attrs = scored.select(col("doc_id"), col("source"),
+        TA.langIdFromScores(col("_cjk"),
+          TA.langStopwords.map { case (l, _) => l -> col(s"s_$l") })
+          .as("pred_lang"),
+        TA.qualityScoreFromToks(col("text"), col("_toks")).as("quality"),
+        size(col("_toks")).cast("long").as("ntok"),
+        TA.md5Fingerprint(col("text")).as("fp"))
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val gated = attrs
+        .withColumn("_rep", min(col("doc_id")).over(wFp))
+        .withColumn("g1", col("pred_lang") =!= "und")
+        .withColumn("g2", col("g1") && col("quality") >= funnelQualMin)
+        .withColumn("g3", col("g2") &&
+          col("ntok").between(funnelTokMin, funnelTokMax))
+        .withColumn("g4", col("g3") && col("doc_id") === col("_rep"))
+      gated.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("g1").cast("long")).as("n_lang"),
+        sum(col("g2").cast("long")).as("n_quality"),
+        sum(col("g3").cast("long")).as("n_length"),
+        sum(col("g4").cast("long")).as("n_dedup"))
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, text, $toksSql AS toks
+        FROM (SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + $dupShift, source, text FROM documents)
+             AS documents(doc_id, source, text)),
+      sc AS (
+        SELECT doc_id, source, text, toks,
+               ${OracleSql.cjkSql} AS cjk,
+               ${OracleSql.langScoreSelSql}
+        FROM t),
+      b AS (SELECT *, ${OracleSql.langBestSql} AS best FROM sc),
+      g AS (SELECT doc_id, source, md5(text) AS fp,
+                   ${OracleSql.langCaseSql} AS pred_lang,
+                   ${OracleSql.qualityColsSql}
+            FROM b),
+      q AS (SELECT doc_id, source, fp, pred_lang,
+                   CAST(ntok AS BIGINT) AS ntokl,
+                   ${OracleSql.qualityExprSql} AS quality
+            FROM g),
+      r AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS rep FROM q),
+      f AS (SELECT source,
+                   (pred_lang <> 'und') AS g1,
+                   (pred_lang <> 'und' AND quality >= $funnelQualMin) AS g2,
+                   (pred_lang <> 'und' AND quality >= $funnelQualMin
+                    AND ntokl BETWEEN $funnelTokMin AND $funnelTokMax) AS g3,
+                   (pred_lang <> 'und' AND quality >= $funnelQualMin
+                    AND ntokl BETWEEN $funnelTokMin AND $funnelTokMax
+                    AND doc_id = rep) AS g4
+            FROM r)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+             CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+             CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+             CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup
+      FROM f GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48)
+      t39, t40, t43, t46, t47, t48, t49)
 }
