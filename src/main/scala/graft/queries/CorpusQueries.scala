@@ -1070,7 +1070,58 @@ object CorpusQueries {
       FROM t LEFT JOIN per ON per.doc_id = t.doc_id
     """))
 
+  // ---- t50: overlapping passage chunking (RAG/embedding prep) ---------
+  //
+  // Split every document into fixed-size token windows with overlap —
+  // the passage extraction step before embedding a corpus for
+  // retrieval. stride < chunkSize makes consecutive chunks share
+  // (chunkSize − stride) tokens, so a fact straddling a boundary still
+  // lands whole in some chunk. The explode is PARTITION-LOCAL (fan-out
+  // ≈ ntok/stride per doc, no shuffle anywhere — the scale shape of
+  // m02's frame sampler); chunk identity is (doc_id, chunk_idx) and the
+  // content fingerprint makes chunk-level dedup/provenance downstream a
+  // plain equi-join.
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  private val t50 = Q(
+    "t50_passage_chunks",
+    (s, d) => {
+      val t = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      t.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n") - 1, lit(chunkStride)))
+            .as("start_tok"))
+        .withColumn("sub",
+          slice(col("toks"), col("start_tok") + 1, lit(chunkSize)))
+        .select(col("doc_id"),
+          (col("start_tok") / chunkStride).cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          size(col("sub")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("sub"))).as("chunk_fp"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      c AS (SELECT doc_id, toks,
+                   unnest(range(0, n, $chunkStride)) AS start_tok
+            FROM s),
+      x AS (SELECT doc_id, start_tok,
+                   list_slice(toks, start_tok + 1, start_tok + $chunkSize)
+                     AS sub
+            FROM c)
+      SELECT doc_id,
+             CAST(start_tok // $chunkStride AS BIGINT) AS chunk_idx,
+             CAST(start_tok AS BIGINT) AS start_tok,
+             CAST(len(sub) AS BIGINT) AS n_toks,
+             md5(array_to_string(sub, ' ')) AS chunk_fp
+      FROM x
+    """))
+
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, q48, q58)
+      t44, t45, t50, q48, q58)
 }
