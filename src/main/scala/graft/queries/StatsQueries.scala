@@ -197,5 +197,35 @@ object StatsQueries {
       GROUP BY 1, 2, 3
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57)
+  // ---- q59: approximate distinct with a checkable envelope ------------
+  //
+  // countDistinct is the scale trap hiding inside every datacard: exact
+  // needs a (group, value) de-dup shuffle; HLL++ sketches merge
+  // register-wise (max is associative+commutative → the result is
+  // deterministic under ANY partitioning) and cost O(groups × 2^p)
+  // state. The q33 lesson applied better: sketch values aren't
+  // hash-comparable across engines, but the ENVELOPE is — the query
+  // emits the exact count and a boolean |approx−exact| ≤ 5%·exact, and
+  // the oracle asserts the boolean TRUE with the exact count it
+  // computes itself. A drifting sketch fails the gate instead of
+  // silently downgrading to rows-only.
+
+  private val q59 = Q(
+    "q59_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("_approx") - col("n_exact"))
+          <= col("n_exact") * 0.05).as("within_5pct")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_exact,
+             TRUE AS within_5pct
+      FROM lineitem
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59)
 }
