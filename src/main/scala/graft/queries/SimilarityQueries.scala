@@ -1887,7 +1887,117 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
+  // ---- e25: IVF recall-vs-nProbe tuning sweep -------------------------
+  //
+  // The missing member of the audit family: e13/e15 sweep the LSH knobs,
+  // e09/e12 measure one fixed geometry — this sweeps nProbe ∈ {1,2,4}
+  // over the IVF flat index and reports aggregate recall@k per setting,
+  // the curve an operator reads to pick the probe budget BEFORE trusting
+  // the index (recall rises with probes, cost rises linearly — the knee
+  // is the setting you ship). One affinity relation feeds every sweep
+  // point (cells, members, and probe rankings are computed once); each
+  // point differs only in the crnk filter, and a (qid,cid) pair can
+  // never double-count because a candidate lives in exactly ONE cell.
+  // Recall is integer per-mille — engine-exact, no float tolerance.
+
+  private val sweepProbes = Seq(1, 2, 4)
+
+  private val e25 = Q(
+    "e25_ivf_nprobe_sweep",
+    (s, d) => {
+      val fx = fxVectors(s, d)
+      val cents = fx.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("q").as("c"))
+      val affIvf = fx.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cent_id"),
+          (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
+            - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
+      val members = affIvf.groupBy(col("vec_id"))
+        .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id").asc)
+      val ranked = affIvf.filter(col("vec_id") % 100 === 0)
+        .withColumn("crnk", row_number().over(w))
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("cent_id"), col("crnk"))
+      val corpus = fx.select(col("vec_id").as("cid"), col("q").as("cq"))
+        .join(members.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      val exact = knnExactL2(s, d).select(col("qid"), col("cid"))
+      val exactTot = exact.agg(count(lit(1)).as("n_exact"))
+      val perP = sweepProbes.map { p =>
+        val probes = ranked.filter(col("crnk") <= p)
+          .select(col("qid"), col("qq"), col("cent_id"))
+        val scored = broadcast(probes).join(corpus, Seq("cent_id"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            (Portable.dot(col("qq"), col("qq")) + Portable.dot(col("cq"), col("cq"))
+              - lit(2.0) * Portable.dot(col("qq"), col("cq"))).cast("long").as("dist"))
+        graft.etl.TopK.bottomK(scored, Seq(col("qid")), col("dist"), col("cid"), k)
+          .select(col("qid"), col("cid"))
+          .join(exact, Seq("qid", "cid"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p.toLong).as("nprobe"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      perP.crossJoin(broadcast(exactTot))
+        .select(col("nprobe"), col("n_hits"), col("n_exact"),
+          expr("n_hits * 1000 div n_exact").as("recall_pm"))
+    },
+    Some {
+      def l2(a: String, b: String) =
+        s"""CAST(list_dot_product($a, $a) + list_dot_product($b, $b)
+                 - 2 * list_dot_product($a, $b) AS BIGINT)"""
+      val perP = sweepProbes.map { p =>
+        s"""
+        sc$p AS (
+          SELECT r.vec_id AS qid, m.vec_id AS cid, ${l2("q.q", "c.q")} AS dist
+          FROM iranked r JOIN members m USING (cent_id)
+               JOIN fx q ON q.vec_id = r.vec_id
+               JOIN fx c ON c.vec_id = m.vec_id
+          WHERE r.crnk <= $p AND r.vec_id <> m.vec_id),
+        tk$p AS (SELECT qid, cid FROM (
+                   SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                        ORDER BY dist ASC, cid ASC) AS rnk
+                   FROM sc$p) WHERE rnk <= $k),
+        h$p AS (SELECT CAST($p AS BIGINT) AS nprobe,
+                       CAST(count(*) AS BIGINT) AS n_hits
+                FROM tk$p JOIN ex USING (qid, cid))"""
+      }.mkString(",")
+      val unionAllP = sweepProbes.map(p => s"SELECT * FROM h$p")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      fx AS (SELECT vec_id, list_transform(e, x -> round(x * $fxScale)) AS q FROM raw),
+      icents AS (SELECT vec_id AS cent_id, q AS c FROM fx WHERE vec_id < $nCells),
+      iaff AS (
+        SELECT f.vec_id, c.cent_id, ${l2("f.q", "c.c")} AS dist
+        FROM fx f CROSS JOIN icents c),
+      imn AS (SELECT vec_id, min(dist) AS md FROM iaff GROUP BY 1),
+      members AS (
+        SELECT a.vec_id, min(a.cent_id) AS cent_id
+        FROM iaff a JOIN imn ON imn.vec_id = a.vec_id AND a.dist = imn.md
+        GROUP BY 1),
+      iranked AS (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, cent_id ASC) AS crnk
+        FROM iaff WHERE vec_id % 100 = 0),
+      ex_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, ${l2("q.q", "c.q")} AS dist
+        FROM fx q CROSS JOIN fx c
+        WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, cid ASC) AS rnk
+              FROM ex_scored),
+      ex AS (SELECT qid, cid FROM rex WHERE rnk <= $k),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+      $perP
+      SELECT nprobe, n_hits, n_exact, n_hits * 1000 // n_exact AS recall_pm
+      FROM ($unionAllP) CROSS JOIN tot
+      """
+    })
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }
