@@ -1121,7 +1121,85 @@ object CorpusQueries {
       FROM x
     """))
 
+  // ---- t51: token-budget water-filling across sources -----------------
+  //
+  // Source mixing under a global token budget: every source gets an
+  // equal share, a source with less than its share contributes what it
+  // has, and the leftover redistributes equally among the uncapped —
+  // the water-filling allocation behind "balanced" mixture specs
+  // (companion to t31's fixed quotas and t48's quality-greedy fill).
+  // Three rounds unrolled (each redistribution strictly reduces the
+  // uncapped set, and with this corpus's ~20 sources the fixpoint lands
+  // in ≤ 3); ALL integer division, so both engines land on identical
+  // allocations with no tolerance. Scale shape: the per-source
+  // availability agg is the only corpus-sized shuffle — every
+  // water-fill round operates on the sources × 1 report frame
+  // (broadcast scalar joins), so rounds cost nothing at any corpus
+  // size.
+
+  private val fillBudget = 20000L
+
+  private val t51 = Q(
+    "t51_quota_waterfill",
+    (s, d) => {
+      val avail = Tables.spread(Tables.documents(s, d))
+        .select(col("source"), TA.tokens(col("text")).as("_toks"))
+        .groupBy(col("source"))
+        .agg(sum(size(col("_toks")).cast("long")).as("avail"))
+      def round2(cur: DataFrame): DataFrame = {
+        // cur: (source, avail, fair) → next fair after one redistribution
+        val tot = cur.agg(
+          sum(least(col("avail"), col("fair"))).as("_spent"),
+          sum(when(col("avail") > col("fair"), 1L).otherwise(0L)).as("_u"))
+        cur.crossJoin(broadcast(tot))
+          .withColumn("fair",
+            when(col("_u") > 0,
+              // div, not '/': long / long is DOUBLE division in Spark
+              col("fair") + expr(s"($fillBudget - _spent) div _u"))
+              .otherwise(col("fair")))
+          .drop("_spent", "_u")
+      }
+      val n = avail.agg(count(lit(1)).as("_n"))
+      val r0 = avail.crossJoin(broadcast(n))
+        .withColumn("fair", expr(s"$fillBudget div _n"))
+        .drop("_n")
+      val fixed = round2(round2(r0))
+      fixed.select(col("source"), col("avail"),
+        least(col("avail"), col("fair")).as("alloc"),
+        (col("avail") <= col("fair")).as("capped"))
+    },
+    Some(s"""
+      WITH av AS (
+        SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS avail
+        FROM documents GROUP BY 1),
+      r0 AS (SELECT source, avail,
+                    $fillBudget // (SELECT count(*) FROM av) AS fair
+             FROM av),
+      a0 AS (SELECT CAST(sum(least(avail, fair)) AS BIGINT) AS spent,
+                    CAST(sum(CASE WHEN avail > fair THEN 1 ELSE 0 END)
+                         AS BIGINT) AS u
+             FROM r0),
+      r1 AS (SELECT source, avail,
+                    CASE WHEN a0.u > 0
+                         THEN fair + ($fillBudget - a0.spent) // a0.u
+                         ELSE fair END AS fair
+             FROM r0, a0),
+      a1 AS (SELECT CAST(sum(least(avail, fair)) AS BIGINT) AS spent,
+                    CAST(sum(CASE WHEN avail > fair THEN 1 ELSE 0 END)
+                         AS BIGINT) AS u
+             FROM r1),
+      r2 AS (SELECT source, avail,
+                    CASE WHEN a1.u > 0
+                         THEN fair + ($fillBudget - a1.spent) // a1.u
+                         ELSE fair END AS fair
+             FROM r1, a1)
+      SELECT source, avail,
+             CAST(least(avail, fair) AS BIGINT) AS alloc,
+             (avail <= fair) AS capped
+      FROM r2
+    """))
+
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, t50, q48, q58)
+      t44, t45, t50, t51, q48, q58)
 }
