@@ -413,7 +413,7 @@ object TextQueries {
     * propagation and large-star/small-star) hash-match against this one
     * fixpoint.
     */
-  private lazy val neardupResolveSql: String = {
+  private lazy val neardupResolveCtes: String = {
     val pairsSql = lshPairsSql(
       s"""
         SELECT doc_id,
@@ -431,10 +431,13 @@ object TextQueries {
     r(node, root) AS (
       SELECT src, src FROM ud
       UNION
-      SELECT ud.src, r.root FROM ud JOIN r ON r.node = ud.dst)
-    SELECT node AS doc_id, min(root) AS cluster_rep FROM r GROUP BY node
-    """
+      SELECT ud.src, r.root FROM ud JOIN r ON r.node = ud.dst),
+    resolved AS (
+      SELECT node AS doc_id, min(root) AS cluster_rep FROM r GROUP BY node)"""
   }
+
+  private lazy val neardupResolveSql: String =
+    s"$neardupResolveCtes SELECT doc_id, cluster_rep FROM resolved"
 
   private val t09 = Q(
     "t09_neardup_resolve",
@@ -1892,8 +1895,145 @@ object TextQueries {
       FROM f GROUP BY 1
     """))
 
+  // ---- t52: EXACT set-similarity join via prefix filtering (AllPairs) --
+  //
+  // The exact complement to the LSH families (t06/t08): every pair with
+  // shingle-set Jaccard >= 0.8 is found and none are missed — no
+  // probabilistic recall, no band geometry to tune. Candidates come from
+  // the AllPairs/PPJoin prefix filter: order each doc's distinct
+  // 3-token shingles (the same universe the LSH pipeline hashes) by
+  // ascending global document frequency (ties by shingle string — a
+  // total order both engines agree on); a doc with n shingles keeps its
+  // first n - ceil(0.8n) + 1 as the prefix; any pair at J >= t shares at
+  // least one prefix shingle, so candidate generation is an equi-join on
+  // prefix shingles. Verification is an exact intersection count with
+  // the integer threshold 9*i >= 4*(na+nb)  (== i/(na+nb-i) >= 0.8), so
+  // no doubles appear anywhere in the operator.
+  //
+  // Scale shape: df is one shingle shuffle with map-side partials;
+  // prefix ranking is a per-doc window (partition = one doc's
+  // shingles); the join keys are by construction each doc's RAREST
+  // shingles, so bucket sizes track low df values — the frequency order
+  // IS the load balancer, not a nicety. Verification explodes only
+  // candidate pairs. At 100 TB, PPJoin's positional and length filters
+  // cut candidates further; the prefix filter alone carries the
+  // exactness guarantee. Versus t06 on the same corpus: identical pair
+  // semantics, exact recall, at the price of shuffling raw shingle
+  // strings instead of 15 minhash longs — the classic exactness/IO
+  // trade a pipeline picks per corpus size.
+
+  private val t52 = Q(
+    "t52_ppjoin_exact",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .persist()
+      val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val ranked = tok.join(dfreq, "tok")
+        .select(col("doc_id"), col("tok"),
+          row_number().over(
+            w.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))).as("rn"),
+          count(lit(1)).over(w.partitionBy(col("doc_id"))).as("n"))
+      val prefix = ranked
+        .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
+        .select(col("doc_id"), col("tok"))
+      val cand = prefix.as("x")
+        .join(prefix.as("y"),
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val inter = cand
+        .join(tok.as("p"), col("a") === col("p.doc_id"))
+        .join(tok.as("q"),
+          col("b") === col("q.doc_id") && col("p.tok") === col("q.tok"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_n"))
+      val sizes = base.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+      inter
+        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+        .filter(lit(9L) * col("inter_n") >= lit(4L) * (col("sa.n") + col("sb.n")))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_n"),
+          (col("sa.n") + col("sb.n") - col("inter_n")).as("union_n"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, sh AS toks FROM ($tokenLshBaseSql)),
+      base2 AS (SELECT doc_id, toks FROM base WHERE len(toks) > 0),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM base2),
+      dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+      ranked AS (
+        SELECT t.doc_id, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+               count(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM tok t JOIN dfreq d USING (tok)),
+      prefix AS (SELECT doc_id, tok FROM ranked
+                 WHERE rn <= n - (4*n + 4)//5 + 1),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM prefix x JOIN prefix y
+               ON x.tok = y.tok AND x.doc_id < y.doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter_n
+                FROM cand c
+                JOIN tok p ON p.doc_id = c.a
+                JOIN tok q ON q.doc_id = c.b AND q.tok = p.tok
+                GROUP BY 1, 2),
+      sz AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM base2)
+      SELECT i.a AS doc_a, i.b AS doc_b,
+             CAST(i.inter_n AS BIGINT) AS inter_n,
+             CAST(sa.n + sb.n - i.inter_n AS BIGINT) AS union_n
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.a
+      JOIN sz sb ON sb.doc_id = i.b
+      WHERE 9*i.inter_n >= 4*(sa.n + sb.n)
+    """))
+
+  // ---- t53: near-dup cluster representative selection (keep best) ----
+  //
+  // t09 labels each member with the cluster's min doc_id; production
+  // dedup does NOT keep the min id — it keeps the best document and
+  // drops the rest. One integer ordering key (n_chars*1e7 - doc_id:
+  // longest wins, ties break to the smaller id; unique because
+  // doc_id < 1e7) makes the choice total and bit-exact in both engines,
+  // and keep = arg-max of that key (max_by / arg_max — no window sort).
+  // Cost on top of t09: one join of cluster labels to member lengths
+  // and one per-cluster agg — both shuffle O(cluster members), never
+  // the corpus.
+
+  private val t53 = Q(
+    "t53_cluster_keep_best",
+    (s, d) => {
+      val pairs = sharedTokenLshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val clusters = Dedup.resolveClusters(pairs)
+      val lens = doubledCorpus(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("nch"))
+      val m = clusters.join(lens, "doc_id")
+        .withColumn("ord", col("nch") * lit(10000000L) - col("doc_id"))
+      val keep = m.groupBy(col("cluster_rep"))
+        .agg(max_by(col("doc_id"), col("ord")).as("keep_id"))
+      m.join(keep, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"))
+    },
+    Some(s"""
+      $neardupResolveCtes,
+      lens AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nch
+               FROM $doubledSql AS documents(doc_id, text)),
+      m AS (SELECT r.doc_id, r.cluster_rep,
+                   l.nch*10000000 - r.doc_id AS ord
+            FROM resolved r JOIN lens l USING (doc_id)),
+      keep AS (SELECT cluster_rep, arg_max(doc_id, ord) AS keep_id
+               FROM m GROUP BY 1)
+      SELECT m.doc_id, m.cluster_rep, k.keep_id,
+             (m.doc_id = k.keep_id) AS kept
+      FROM m JOIN keep k USING (cluster_rep)
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48, t49)
+      t39, t40, t43, t46, t47, t48, t49, t52, t53)
 }
