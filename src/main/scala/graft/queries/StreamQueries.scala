@@ -601,7 +601,50 @@ object StreamQueries {
       GROUP BY 1, 2
     """))
 
+  // ---- q60: sliding-window distinct users (exact 7-day actives) ------
+  //
+  // Exact rolling distinct counts — the one windowed metric that does
+  // NOT decompose into mergeable per-day partials (distinct isn't a
+  // sum), so the plan states the honest cost: pre-dedup the log to
+  // (day, user) pairs ONCE (the only corpus-sized shuffle), replicate
+  // each pair into the <=7 windows it can close (explode of a 7-element
+  // sequence — map-side, no join), and count distinct per window end.
+  // Data volume after pre-dedup is active-pairs x 7, independent of raw
+  // event count. At 1000x, the approximate alternative is per-day HLL
+  // sketches merged across the window (q59's machinery) — this operator
+  // is the exact baseline those sketches are audited against. u1 (same-
+  // day actives) rides along via a conditional distinct in the same agg.
+
+  private val q60 = Q(
+    "q60_sliding_distinct_users",
+    (s, d) => {
+      val du = Tables.spread(Tables.events(s, d))
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val spine = du.select(col("day").as("win_end")).distinct()
+      val contrib = du
+        .select(col("day"), col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("win_end"))
+        .join(spine, Seq("win_end"))
+      contrib.groupBy(col("win_end"))
+        .agg(
+          countDistinct(when(col("day") === col("win_end"), col("user_id")))
+            .as("u1"),
+          countDistinct(col("user_id")).as("u7"))
+        .select(date_format(col("win_end"), "yyyy-MM-dd").as("win_end"),
+          col("u1"), col("u7"))
+    },
+    Some("""
+      WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      spine AS (SELECT DISTINCT day AS win_end FROM du),
+      contrib AS (SELECT du.day, s.win_end, du.user_id
+                  FROM du JOIN spine s ON s.win_end BETWEEN du.day AND du.day + 6)
+      SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
+             count(DISTINCT CASE WHEN day = win_end THEN user_id END) AS u1,
+             count(DISTINCT user_id) AS u7
+      FROM contrib GROUP BY win_end
+    """))
+
   def all: Seq[Q] =
     Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
-      q54, q55, q56)
+      q54, q55, q56, q60)
 }

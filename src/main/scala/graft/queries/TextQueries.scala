@@ -2032,8 +2032,86 @@ object TextQueries {
       FROM m JOIN keep k USING (cluster_rep)
     """))
 
+  // ---- t54: encoding-damage gate (mojibake / replacement / control) --
+  //
+  // Web-crawl corpora carry three classes of encoding damage a curation
+  // pipeline must gate on: U+FFFD replacement characters (decoder
+  // already gave up), UTF-8-read-as-Latin-1 mojibake digraphs ("cafÃ©",
+  // "â€™"), and stray C0 control bytes. The corpus is clean synthetic
+  // text, so damage is OVERLAID deterministically by doc_id (same
+  // fixture pattern as t11/q31). Char counts use length-minus-replace —
+  // no regex dialect to reconcile — except the C0 class, which uses the
+  // established Java∩RE2 '[\x..-\x..]' form (t11 precedent). The score
+  // is integer per-mille of damaged chars; everything is a pure column
+  // map over one corpus pass, no shuffle at all.
+
+  private val t54 = Q(
+    "t54_encoding_gate",
+    (s, d) => {
+      val moji1 = "\u00c3\u00a9"       // mojibake digraph for e-acute
+      val smart = "\u00e2\u0080\u0099" // mojibake triple for right-quote
+      val moji2 = "\u00e2\u0080"       // the counted smart-quote digraph
+      val repl = "\ufffd"              // U+FFFD replacement char
+      val injected = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), concat(col("text"),
+          when(pmod(col("doc_id"), lit(6)) === 1,
+            lit(s" caf$moji1 men${smart}u")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 2,
+            lit(s" data${repl}${repl}log")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(9)) === 4,
+            lit(" x\u0007y")).otherwise(lit(""))).as("text"))
+      // length-diff counting (no regex dialect involved); width-2
+      // needles always remove an even char count, so the division by
+      // width is exact even through Column./ double semantics
+      def nOccur(needle: String, width: Int): Column =
+        ((length(col("text")) -
+          length(replace(col("text"), lit(needle), lit("")))) / width)
+          .cast("long")
+      injected
+        .withColumn("n_repl", nOccur(repl, 1))
+        .withColumn("n_moji", nOccur(moji1, 2) + nOccur(moji2, 2))
+        .withColumn("n_ctrl",
+          regexp_count(col("text"),
+            lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")).cast("long"))
+        .withColumn("score_pm",
+          expr("(1000 * (n_repl + 2*n_moji + n_ctrl)) div greatest(length(text), 1)"))
+        .select(col("doc_id"), col("n_repl"), col("n_moji"), col("n_ctrl"),
+          col("score_pm"), (col("score_pm") === 0).as("clean"))
+    },
+    Some("""
+      WITH injected AS (
+        SELECT doc_id,
+               text
+                 || CASE WHEN doc_id % 6 = 1
+                    THEN ' caf' || chr(195) || chr(169)
+                         || ' men' || chr(226) || chr(128) || chr(153) || 'u'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 13 = 2
+                    THEN ' data' || chr(65533) || chr(65533) || 'log'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 9 = 4
+                    THEN ' x' || chr(7) || 'y' ELSE '' END AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id, text,
+               CAST(length(text) - length(replace(text, chr(65533), ''))
+                    AS BIGINT) AS n_repl,
+               CAST((length(text) - length(replace(text, chr(195)||chr(169), '')))//2
+                  + (length(text) - length(replace(text, chr(226)||chr(128), '')))//2
+                    AS BIGINT) AS n_moji,
+               CAST(len(regexp_extract_all(text,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl
+        FROM injected)
+      SELECT doc_id, n_repl, n_moji, n_ctrl,
+             (1000 * (n_repl + 2*n_moji + n_ctrl))
+               // greatest(length(text), 1) AS score_pm,
+             ((1000 * (n_repl + 2*n_moji + n_ctrl))
+               // greatest(length(text), 1) = 0) AS clean
+      FROM c
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48, t49, t52, t53)
+      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54)
 }
