@@ -1997,7 +1997,89 @@ object SimilarityQueries {
       """
     })
 
+  // ---- e26: max-inner-product search via norm augmentation (ALSH) ----
+  //
+  // Retrieval scoring is often raw INNER PRODUCT (recommender factors,
+  // un-normalized contrastive embeddings) — not cosine — and none of
+  // the angular machinery above applies directly because inner product
+  // favors long vectors, not close directions. The standard reduction
+  // (Neyshabur & Srebro's asymmetric transform) restores it: corpus
+  // x -> [x; sqrt(M^2 - |x|^2)] (M = max corpus norm, so every
+  // augmented vector has length exactly M), query q -> [q; 0]; then
+  // <[q;0], [x;a]> = <q,x> while all corpus vectors sit on one sphere —
+  // angular order for a fixed query IS inner-product order, and every
+  // sign-hyperplane trick from e02..e22 applies verbatim on the
+  // augmented space. The asymmetry lives in the bucket computation: the
+  // corpus hashes 65-dim augmented vectors, the query hashes with the
+  // SAME planes truncated to 64 coords (equivalent to [q;0] against the
+  // full plane — the augmented coordinate contributes 0).
+  //
+  // Scale shape: M^2 is one scalar agg broadcast back; bucketing adds
+  // one map pass; candidates come from the bucket equi-join (never a
+  // cross join); the exact <q,x> rerank touches only candidates.
+  // Geometry (8 planes here) tunes exactly like e13/e25 — the point of
+  // the reduction is that those audits carry over unchanged.
+
+  private val dimA = dim + 1
+
+  /** Avalanche-mixed ±1 planes over the 65-dim AUGMENTED space (stride
+    * dimA, so the family is independent of [[planeVecMix]]'s).
+    */
+  private def planeVecAug(p: Int): Seq[Double] =
+    (0 until dimA).map { i =>
+      var z = (p * dimA + i).toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (((z >>> 33) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  private val e26 = Q(
+    "e26_mips_search",
+    (s, d) => {
+      val emb = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val withN2 = emb.withColumn("n2", Portable.dot(col("e"), col("e")))
+      val m2 = withN2.agg(max(col("n2")).as("m2"))
+      val aug = withN2.crossJoin(broadcast(m2))
+        .select(col("vec_id"), col("e"),
+          concat(col("e"), array(sqrt(col("m2") - col("n2")))).as("ea"))
+      val corpus = aug.select(col("vec_id").as("cid"), col("e").as("ce"),
+        bucketOf(0 until numPlanes, planeVecAug)(col("ea")).as("bk"))
+      val qs = aug.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"),
+          bucketOf(0 until numPlanes, p => planeVecAug(p).take(dim))(col("e"))
+            .as("bk"))
+      val scored = broadcast(qs).join(corpus, Seq("bk"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("ip"))
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("ip"), col("cid"), k)
+    },
+    Some(s"""
+      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      wn AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM raw),
+      m AS (SELECT max(n2) AS m2 FROM wn),
+      aug AS (SELECT vec_id, e,
+                     list_concat(e, [sqrt(m.m2 - n2)]) AS ea
+              FROM wn, m),
+      corpus AS (SELECT vec_id AS cid, e AS ce,
+                        ${bucketSqlOf(0 until numPlanes, planeVecAug, "ea")} AS bk
+                 FROM aug),
+      qs AS (SELECT vec_id AS qid, e AS qe,
+                    ${bucketSqlOf(0 until numPlanes, p => planeVecAug(p).take(dim), "e")} AS bk
+             FROM aug WHERE vec_id % 100 = 0),
+      scored AS (SELECT qid, cid, list_dot_product(qe, ce) AS ip
+                 FROM qs JOIN corpus USING (bk)
+                 WHERE qid <> cid),
+      rk AS (SELECT qid, cid, ip,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY ip DESC, cid ASC) AS rnk
+             FROM scored)
+      SELECT qid, cid, ip, rnk FROM rk WHERE rnk <= $k
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 }
