@@ -598,7 +598,56 @@ object ParityQueries {
       GROUP BY 1, 2
     """))
 
+  // ---- q61: ordered string aggregation (LISTAGG) ---------------------
+  //
+  // The one relational reducer BI exports lean on that no other query
+  // exercises: collapse a group to a single delimited string in a
+  // DECLARED order (SQL:2016 LISTAGG ... WITHIN GROUP). Spark has no
+  // ordered string_agg aggregate, and relying on collect_list's arrival
+  // order is a nondeterminism bug at any scale — so the order is made
+  // data-borne: collect structs, array_sort by the embedded rank, then
+  // project + join. Composed here with a per-group top-k (top-3
+  // customers per nation by balance, custkey tie-break) so the row
+  // count stays report-sized. One window shuffle on nationkey + one
+  // agg; the collected arrays are k-bounded, never group-sized.
+
+  private val q61 = Q(
+    "q61_nation_top_listagg",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val top3 = TopK.perGroup(cust, Seq(col("c_nationkey")),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+      top3
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("rnk"), col("c_name")))),
+              x => x.getField("c_name")),
+            ",").as("top_names"),
+          // integer-cents sum (q38/q45 rule): 3-element double sums are
+          // engine-order-dependent; cents are exact and order-free
+          sum(round(col("c_acctbal") * 100).cast("long")).as("top_cents"))
+        .select(col("n_name"), col("top_names"),
+          (col("top_cents") / 100.0).as("top_bal"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_nationkey, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        FROM customer),
+      top3 AS (SELECT * FROM ranked WHERE rnk <= 3)
+      SELECT n_name,
+             string_agg(c_name, ',' ORDER BY rnk) AS top_names,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS top_bal
+      FROM top3 JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    """))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38, q40, q53)
+      q38, q40, q53, q61)
 }

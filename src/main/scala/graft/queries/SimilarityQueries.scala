@@ -2079,7 +2079,73 @@ object SimilarityQueries {
       SELECT qid, cid, ip, rnk FROM rk WHERE rnk <= $k
     """))
 
+  // ---- e27: cell-balanced diversity sampling ---------------------------
+  //
+  // Down-sampling an embedding corpus UNIFORMLY keeps the density of the
+  // original distribution — dense regions (boilerplate clusters, dominant
+  // modes) dominate the sample. The diversity-aware alternative (the
+  // selection step SemDeDup-style pipelines run after dedup): partition
+  // the space by the IVF coarse quantizer (e04's cells — same centroids,
+  // same argmax assignment) and take a per-cell quota, so every region
+  // contributes equally regardless of its population. Within a cell the
+  // pick is a deterministic pseudo-random rank (portable hash of the
+  // vec_id — unbiased, reproducible, engine-agreed), i.e. "shuffle then
+  // take quota" without any randomness source.
+  //
+  // Scale shape: identical to e04's assignment pass (broadcast
+  // centroids, max_by argmax — no window over the corpus), then ONE
+  // window partitioned by cell over (cell-count)-sized groups to rank
+  // and cut. n_cell rides along from the same window partition, so the
+  // output also documents how unbalanced the original density was.
+
+  private val cellQuota = 8
+
+  private val e27 = Q(
+    "e27_cell_balanced_sample",
+    (s, d) => {
+      val emb = normalizedEmb(s, d)
+      val cents = emb.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("en").as("cen"))
+      val affinity = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          Portable.dot(col("en"), col("cen")).as("cd"))
+      val ord = struct(col("cd"), (-col("cent_id")).as("_nc"))
+      val members = affinity.groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), ord).as("cent_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cent_id"))
+      val ranked = members
+        .withColumn("draw", Portable.hash60(col("vec_id").cast("string"), 47))
+        .withColumn("pick_rnk", row_number().over(
+          w.orderBy(col("draw").asc, col("vec_id").asc)))
+        .withColumn("n_cell", count(lit(1)).over(w))
+      ranked.filter(col("pick_rnk") <= cellQuota)
+        .select(col("cent_id"), col("vec_id"), col("pick_rnk"), col("n_cell"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      cents AS (SELECT vec_id AS cent_id, en AS cen FROM emb WHERE vec_id < $nCells),
+      affinity AS (
+        SELECT e.vec_id, c.cent_id, list_dot_product(e.en, c.cen) AS cd
+        FROM emb e CROSS JOIN cents c),
+      mx AS (SELECT vec_id, max(cd) AS mcd FROM affinity GROUP BY vec_id),
+      members AS (
+        SELECT a.vec_id, min(a.cent_id) AS cent_id
+        FROM affinity a JOIN mx ON mx.vec_id = a.vec_id AND a.cd = mx.mcd
+        GROUP BY a.vec_id),
+      ranked AS (
+        SELECT cent_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY cent_id
+                 ORDER BY ${OracleSql.hSql("CAST(vec_id AS VARCHAR)", 47)} ASC,
+                          vec_id ASC) AS pick_rnk,
+               count(*) OVER (PARTITION BY cent_id) AS n_cell
+        FROM members)
+      SELECT cent_id, vec_id, pick_rnk, n_cell
+      FROM ranked WHERE pick_rnk <= $cellQuota
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
 }

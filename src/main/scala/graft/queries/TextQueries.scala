@@ -2110,8 +2110,179 @@ object TextQueries {
       FROM c
     """))
 
+  // ---- t55: split-leakage REPAIR (quarantine the lower-priority side) --
+  //
+  // t33 finds cross-split near-dup pairs; this closes the loop with the
+  // standard repair: eval splits outrank train (test > val > train), and
+  // for every leaking pair the member in the LOWER-priority split is
+  // quarantined (dropped from its split) — i.e., train sheds near-dups
+  // of eval docs, val sheds near-dups of test docs, eval sets are never
+  // touched. Quarantining the loser of EVERY leaking pair independently
+  // is sound without transitive reasoning: any surviving cross-split
+  // pair would have to have kept its loser. Output is the full repaired
+  // assignment table; cost on top of the shared pair table is
+  // O(|pairs|) + one left join onto the corpus ids.
+
+  private def splitRank(c: Column): Column =
+    when(c === "test", lit(3)).when(c === "val", lit(2)).otherwise(lit(1))
+
+  private val t55 = Q(
+    "t55_split_repair",
+    (s, d) => {
+      val sp = sharedTokenLshPairs(s, d)
+        .select(col("doc_a"), col("doc_b"),
+          splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+        .filter(col("sa") =!= col("sb"))
+      val losers = sp
+        .select(when(splitRank(col("sa")) < splitRank(col("sb")),
+          col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+        .distinct()
+        .withColumn("_q", lit(true))
+      doubledCorpus(s, d).select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left")
+        .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+          coalesce(col("_q"), lit(false)).as("quarantined"))
+    },
+    Some(s"""
+      WITH pairs AS (${lshPairsSql(tokenLshBaseSql,
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+        threshold = 0.8)}),
+      sp AS (SELECT doc_a, doc_b,
+                    ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb
+             FROM pairs),
+      leak AS (SELECT * FROM sp WHERE sa <> sb),
+      losers AS (
+        SELECT DISTINCT CASE WHEN
+          (CASE sa WHEN 'test' THEN 3 WHEN 'val' THEN 2 ELSE 1 END) <
+          (CASE sb WHEN 'test' THEN 3 WHEN 'val' THEN 2 ELSE 1 END)
+          THEN doc_a ELSE doc_b END AS doc_id
+        FROM leak),
+      docs AS (SELECT doc_id FROM $doubledSql AS documents(doc_id, text))
+      SELECT d.doc_id, ${splitSql("d.doc_id")} AS split,
+             (l.doc_id IS NOT NULL) AS quarantined
+      FROM docs d LEFT JOIN losers l ON l.doc_id = d.doc_id
+    """))
+
+  // ---- t56: classifier calibration sweep (threshold → precision/recall) --
+  //
+  // The audit that decides a quality-classifier's operating point: sweep
+  // the decision threshold and report the confusion counts and integer
+  // per-mille precision/recall at each step. Scale shape is the whole
+  // point: the corpus is scanned ONCE to build a (score_bucket, gold)
+  // sufficient-statistics histogram (scores bucketed at the sweep
+  // granularity, so bucket→threshold assignment is exact for aligned
+  // thresholds); the sweep itself runs on that report-sized histogram ×
+  // 11 thresholds — re-scanning 100 TB per threshold is the anti-
+  // pattern this shape exists to avoid. The gold label is a fixture
+  // (n_chars >= 300 — deterministic and engine-agreed); a production
+  // run joins held-out human labels into the same histogram.
+
+  private val calStep = 100L
+
+  private val t56 = Q(
+    "t56_calibration_sweep",
+    (s, d) => {
+      val scored = Tables.spread(Tables.documents(s, d))
+        .withColumn("_fs", coalesce(
+          array_distinct(transform(
+            array_distinct(TA.tokens(col("text"))),
+            t => pmod(Portable.hash60(t, clfSeedFeat), lit(clfDim.toLong)))),
+          array().cast("array<long>")))
+        .select(
+          aggregate(col("_fs"), lit(0L), (acc, b) =>
+            acc + (pmod(Portable.hash60(b.cast("string"), clfSeedW),
+              lit(2001L)) - lit(1000L))).as("score_micro"),
+          (col("n_chars") >= 300L).as("gold"))
+      // sufficient statistics: one corpus pass -> tiny histogram
+      val hist = scored
+        .groupBy((floor(col("score_micro") / calStep) * calStep).as("sb"),
+          col("gold"))
+        .agg(count(lit(1)).as("n"))
+      val thresholds = spark_range(s, -500L, 501L, calStep)
+      hist.crossJoin(broadcast(thresholds))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("sb") >= col("threshold") && col("gold"), col("n"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("sb") >= col("threshold") && !col("gold"), col("n"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("sb") < col("threshold") && col("gold"), col("n"))
+            .otherwise(0L)).as("fn"),
+          sum(when(col("sb") < col("threshold") && !col("gold"), col("n"))
+            .otherwise(0L)).as("tn"))
+        .withColumn("precision_pm",
+          expr("(1000 * tp) div greatest(tp + fp, 1)"))
+        .withColumn("recall_pm",
+          expr("(1000 * tp) div greatest(tp + fn, 1)"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT CAST(coalesce(list_sum(list_transform(
+                 coalesce(list_distinct(list_transform(list_distinct($toksSql),
+                   t -> ${hSql("t", clfSeedFeat)} % $clfDim)),
+                   CAST([] AS BIGINT[])),
+                 b -> ${hSql("CAST(b AS VARCHAR)", clfSeedW)} % 2001 - 1000)), 0)
+               AS BIGINT) AS score_micro,
+               (n_chars >= 300) AS gold
+        FROM documents),
+      hist AS (
+        SELECT CAST(floor(score_micro / $calStep.0) * $calStep AS BIGINT) AS sb,
+               gold, count(*) AS n
+        FROM scored GROUP BY 1, 2),
+      th AS (SELECT CAST(range AS BIGINT) AS threshold
+             FROM range(-500, 501, $calStep)),
+      cm AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN sb >= threshold AND gold THEN n ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN sb >= threshold AND NOT gold THEN n ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN sb < threshold AND gold THEN n ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN sb < threshold AND NOT gold THEN n ELSE 0 END) AS BIGINT) AS tn
+        FROM hist CROSS JOIN th GROUP BY 1)
+      SELECT threshold, tp, fp, fn, tn,
+             (1000 * tp) // greatest(tp + fp, 1) AS precision_pm,
+             (1000 * tp) // greatest(tp + fn, 1) AS recall_pm
+      FROM cm
+    """))
+
+  /** Inclusive-start exclusive-end integer range frame named `threshold`. */
+  private def spark_range(s: SparkSession, from: Long, until: Long,
+                          step: Long): DataFrame =
+    s.range(from, until, step).toDF("threshold")
+
+  // ---- t57: near-dup cluster size histogram ---------------------------
+  //
+  // The datacard panel a dedup run reports: how big are the duplicate
+  // clusters (how much of the corpus is 2-way vs pathological 1000-way
+  // duplication)? Two report-sized aggs over t09's cluster labels —
+  // sizes per cluster, then clusters per size — both with map-side
+  // partials; the pair table is the shared checkpoint, so the marginal
+  // cost of this audit is near zero. At 100 TB the size histogram is
+  // the early-warning signal for boilerplate explosions (a single
+  // 10⁷-member cluster shows up here long before it wrecks a training
+  // run).
+
+  private val t57 = Q(
+    "t57_cluster_size_hist",
+    (s, d) => {
+      val pairs = sharedTokenLshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      Dedup.resolveClusters(pairs)
+        .groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"))
+    },
+    Some(s"""
+      $neardupResolveCtes,
+      sz AS (SELECT cluster_rep, count(*) AS csize
+             FROM resolved GROUP BY 1)
+      SELECT csize, count(*) AS n_clusters,
+             CAST(sum(csize) AS BIGINT) AS n_docs
+      FROM sz GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54)
+      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57)
 }
