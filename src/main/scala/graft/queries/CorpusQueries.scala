@@ -1142,10 +1142,14 @@ object CorpusQueries {
   private val t51 = Q(
     "t51_quota_waterfill",
     (s, d) => {
+      // persist: every water-fill round references its input twice
+      // (scalar agg + join), so without this the corpus tokenization
+      // re-runs ~2^rounds times
       val avail = Tables.spread(Tables.documents(s, d))
         .select(col("source"), TA.tokens(col("text")).as("_toks"))
         .groupBy(col("source"))
         .agg(sum(size(col("_toks")).cast("long")).as("avail"))
+        .persist()
       def round2(cur: DataFrame): DataFrame = {
         // cur: (source, avail, fair) → next fair after one redistribution
         val tot = cur.agg(

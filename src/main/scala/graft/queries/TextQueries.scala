@@ -284,24 +284,22 @@ object TextQueries {
     */
   private val lshCacheLock = new Object
 
-  private def sharedTokenLshPairs(s: SparkSession, d: String): DataFrame = {
-    // key the cache on a collision-free digest of the dataset path (an
-    // Int hashCode can collide across paths within one process) + pid
-    // (cross-process isolation)
+  /** Generic per-(dataset, process) parquet artifact: build once under
+    * the lock, every later consumer reads the table back from storage.
+    * Cache key = collision-free digest of the dataset path (an Int
+    * hashCode can collide across paths within one process) + pid
+    * (cross-process isolation) + tag.
+    */
+  private def sharedArtifact(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_lshpairs_" +
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"${digest}_${ProcessHandle.current().pid()}"
     lshCacheLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
-        val base = doubledCorpus(s, d)
-          .withColumn("_toks", TA.tokens(col("text")))
-          .select(col("doc_id"),
-            Portable.tokenShingles(col("_toks"), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-        lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
-          .write.mode("overwrite").parquet(path)
+        build.write.mode("overwrite").parquet(path)
         // per-process artifact: clean up on JVM exit (same hygiene as
         // the t34 index — repeated runs must not accumulate in tmpdir)
         sys.addShutdownHook {
@@ -314,6 +312,29 @@ object TextQueries {
     }
     s.read.parquet(path)
   }
+
+  private def sharedTokenLshPairs(s: SparkSession, d: String): DataFrame =
+    sharedArtifact(s, d, "lshpairs") {
+      val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      lshPairs(base, k = 15, bands = 3, rows = 5, threshold = 0.8)
+    }
+
+  /** t09's resolved cluster labels, materialized once and shared by its
+    * consumers (t53 keep-best, t57 size histogram) — the same
+    * checkpoint-the-expensive-stage contract as [[sharedTokenLshPairs]],
+    * one level further down the pipeline. t09 itself reads this table
+    * (it IS the operator run), while t46 recomputes the same fixpoint
+    * with an independent algorithm on purpose (cross-check).
+    */
+  private def sharedResolvedClusters(s: SparkSession, d: String): DataFrame =
+    sharedArtifact(s, d, "clusters") {
+      Dedup.resolveClusters(sharedTokenLshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    }
 
   /** (doc_id, sh) base over the doubled corpus — t06's index side, also
     * the pair source for the t33 leakage audit.
@@ -441,11 +462,7 @@ object TextQueries {
 
   private val t09 = Q(
     "t09_neardup_resolve",
-    (s, d) => {
-      val pairs = sharedTokenLshPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      Dedup.resolveClusters(pairs)
-    },
+    (s, d) => sharedResolvedClusters(s, d),
     Some(neardupResolveSql))
 
   // ---- t46: connected components via large-star/small-star -----------
@@ -1940,10 +1957,15 @@ object TextQueries {
           count(lit(1)).over(w.partitionBy(col("doc_id"))).as("n"))
       val prefix = ranked
         .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
-        .select(col("doc_id"), col("tok"))
+        .select(col("doc_id"), col("tok"), col("n"))
+      // length filter (PPJoin): J >= 0.8 forces 5*min(na,nb) >= 4*max —
+      // prunes candidates before the expensive verify without changing
+      // the verified output
       val cand = prefix.as("x")
         .join(prefix.as("y"),
-          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+            lit(5L) * col("y.n") >= lit(4L) * col("x.n") &&
+            lit(5L) * col("x.n") >= lit(4L) * col("y.n"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
       val inter = cand
@@ -1970,11 +1992,12 @@ object TextQueries {
                row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
                count(*) OVER (PARTITION BY t.doc_id) AS n
         FROM tok t JOIN dfreq d USING (tok)),
-      prefix AS (SELECT doc_id, tok FROM ranked
+      prefix AS (SELECT doc_id, tok, n FROM ranked
                  WHERE rn <= n - (4*n + 4)//5 + 1),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                FROM prefix x JOIN prefix y
-               ON x.tok = y.tok AND x.doc_id < y.doc_id),
+               ON x.tok = y.tok AND x.doc_id < y.doc_id
+                  AND 5*y.n >= 4*x.n AND 5*x.n >= 4*y.n),
       inter AS (SELECT c.a, c.b, count(*) AS inter_n
                 FROM cand c
                 JOIN tok p ON p.doc_id = c.a
@@ -2005,9 +2028,7 @@ object TextQueries {
   private val t53 = Q(
     "t53_cluster_keep_best",
     (s, d) => {
-      val pairs = sharedTokenLshPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val clusters = Dedup.resolveClusters(pairs)
+      val clusters = sharedResolvedClusters(s, d)
       val lens = doubledCorpus(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("nch"))
       val m = clusters.join(lens, "doc_id")
@@ -2264,9 +2285,7 @@ object TextQueries {
   private val t57 = Q(
     "t57_cluster_size_hist",
     (s, d) => {
-      val pairs = sharedTokenLshPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      Dedup.resolveClusters(pairs)
+      sharedResolvedClusters(s, d)
         .groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize"))
         .agg(count(lit(1)).as("n_clusters"),
