@@ -841,9 +841,10 @@ object CorpusQueries {
     2L -> "stream", 2L -> "window", 2L -> "agg",
     3L -> "vector", 3L -> "scan")
 
-  private val t36 = Q(
-    "t36_bm25_search",
-    (s, d) => {
+  /** BM25 top-k per query — t36's operator body, shared with the t58
+    * RRF fusion (one definition, two consumers).
+    */
+  private def bm25Ranked(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val qdf = bm25Queries.toDF("qid", "term")
       val qTerms = bm25Queries.map(_._2).distinct
@@ -876,11 +877,18 @@ object CorpusQueries {
       graft.etl.TopK.topK(scored, Seq(col("qid")), col("score_micro"),
           col("doc_id"), bm25K)
         .select(col("qid"), col("doc_id"), col("rnk"), col("score_micro"))
-    },
-    Some {
+  }
+
+  private val t36 = Q(
+    "t36_bm25_search",
+    (s, d) => bm25Ranked(s, d),
+    Some(s"WITH $bm25Ctes SELECT qid, doc_id, rnk, score_micro FROM r WHERE rnk <= $bm25K"))
+
+  /** The BM25 CTE chain (through ranked `r`), shared by t36 and t58. */
+  private lazy val bm25Ctes: String = {
       val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       s"""
-      WITH qs(qid, term) AS (VALUES $qvals),
+      qs(qid, term) AS (VALUES $qvals),
       docs AS (
         SELECT doc_id, $toksSql AS toks FROM documents),
       dl AS (
@@ -911,9 +919,8 @@ object CorpusQueries {
       r AS (SELECT qid, doc_id, score_micro,
                    CAST(row_number() OVER (PARTITION BY qid
                         ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS rnk
-            FROM scored)
-      SELECT qid, doc_id, rnk, score_micro FROM r WHERE rnk <= $bm25K
-    """ })
+            FROM scored)"""
+  }
 
   // ---- t44: snapshot distribution drift -------------------------------
   //
@@ -1203,7 +1210,122 @@ object CorpusQueries {
       FROM r2
     """))
 
+  // ---- t58: hybrid retrieval via reciprocal-rank fusion ---------------
+  //
+  // Production retrieval rarely ships one ranker: BM25 (t36) and a
+  // query-likelihood language model with Dirichlet smoothing rank by
+  // different evidence, and reciprocal-rank fusion (RRF, k=60) merges
+  // their top-k lists with no score calibration at all — the fusion
+  // reads only RANKS, so it composes rankers whose scores live on
+  // incomparable scales (the reason RRF is the default hybrid in real
+  // engines). Contributions are integer micro-units (1e6 div (60+rnk)),
+  // so fusion and tie-breaks are bit-exact.
+  //
+  // The QL ranker keeps the t36 numeric discipline: each libm ln is
+  // rounded ONCE to micro-units, docs sum integers. Missing-term
+  // smoothing folds into a rank-safe form: dropping the per-query
+  // constant Σ_t ln(μ p_c(t)) leaves score = Σ_present ln(1 +
+  // tf·C/(μ·cf)) − |q|·ln(len+μ), computable from postings + doc
+  // length only — no corpus×queries cross join for absent terms.
+  //
+  // Scale shape: both rankers share the same broadcast-query-pruned
+  // postings pattern; fusion touches 2×|Q|×k rank rows — nothing.
+
+  private val dirichletMu = 2000.0
+
+  /** Dirichlet query-likelihood top-k per query (qid, doc_id, rnk). */
+  private def qlRanked(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qdf = bm25Queries.toDF("qid", "term")
+    val qTerms = bm25Queries.map(_._2).distinct
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    val ctotal = docs.agg(sum(col("len")).as("ctot"))
+    val exploded = docs
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+    val cf = exploded.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val postings = exploded
+      .groupBy(col("doc_id"), col("len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nqdf = qdf.groupBy(col("qid")).agg(count(lit(1)).as("nq"))
+    val present = postings
+      .join(broadcast(qdf), Seq("term"))
+      .join(broadcast(cf), Seq("term"))
+      .crossJoin(broadcast(ctotal))
+      .withColumn("part_micro",
+        round(log(lit(1.0) + (col("tf") * col("ctot")).cast("double")
+          / (lit(dirichletMu) * col("cf"))) * 1e6).cast("long"))
+      .groupBy(col("qid"), col("doc_id"), col("len"))
+      .agg(sum(col("part_micro")).as("match_micro"))
+    val scored = present.join(broadcast(nqdf), Seq("qid"))
+      .withColumn("score_micro",
+        col("match_micro") - col("nq")
+          * round(log(col("len") + lit(dirichletMu)) * 1e6).cast("long"))
+    graft.etl.TopK.topK(scored, Seq(col("qid")), col("score_micro"),
+      col("doc_id"), bm25K)
+  }
+
+  private val t58 = Q(
+    "t58_rrf_hybrid",
+    (s, d) => {
+      val a = bm25Ranked(s, d).select(col("qid"), col("doc_id"),
+        expr("CAST(1000000 div (60 + rnk) AS BIGINT)").as("c"))
+      val b = qlRanked(s, d).select(col("qid"), col("doc_id"),
+        expr("CAST(1000000 div (60 + rnk) AS BIGINT)").as("c"))
+      val fused = a.unionAll(b)
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("c")).as("rrf_micro"))
+      graft.etl.TopK.topK(fused, Seq(col("qid")), col("rrf_micro"),
+          col("doc_id"), bm25K)
+        .select(col("qid"), col("doc_id"), col("rnk"), col("rrf_micro"))
+    },
+    Some(s"""
+      WITH $bm25Ctes,
+      ql_ct AS (SELECT CAST(sum(len) AS BIGINT) AS ctot FROM dl),
+      ql_cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+                FROM (SELECT unnest(toks) AS term FROM dl)
+                WHERE term IN (SELECT DISTINCT term FROM qs)
+                GROUP BY 1),
+      ql_present AS (
+        SELECT q.qid, p.doc_id, p.len,
+               CAST(sum(CAST(round(ln(1.0
+                 + CAST(p.tf * ct.ctot AS DOUBLE) / ($dirichletMu * f.cf))
+                 * 1e6) AS BIGINT)) AS BIGINT) AS match_micro
+        FROM postings p
+          JOIN qs q ON q.term = p.term
+          JOIN ql_cf f ON f.term = p.term
+          CROSS JOIN ql_ct ct
+        GROUP BY 1, 2, 3),
+      ql_nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS nq FROM qs GROUP BY 1),
+      ql_scored AS (
+        SELECT pr.qid, pr.doc_id,
+               pr.match_micro - n.nq
+                 * CAST(round(ln(pr.len + $dirichletMu) * 1e6) AS BIGINT)
+                 AS score_micro
+        FROM ql_present pr JOIN ql_nq n ON n.qid = pr.qid),
+      ql_r AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY score_micro DESC, doc_id ASC) AS rnk
+               FROM ql_scored),
+      contrib AS (
+        SELECT qid, doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) AS c
+        FROM r WHERE rnk <= $bm25K
+        UNION ALL
+        SELECT qid, doc_id, CAST(1000000 // (60 + rnk) AS BIGINT) AS c
+        FROM ql_r WHERE rnk <= $bm25K),
+      fused AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+                FROM contrib GROUP BY 1, 2),
+      fr AS (SELECT qid, doc_id, rrf_micro,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY rrf_micro DESC, doc_id ASC) AS rnk
+             FROM fused)
+      SELECT qid, doc_id, rnk, rrf_micro FROM fr WHERE rnk <= $bm25K
+    """))
+
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, t50, t51, q48, q58)
+      t44, t45, t50, t51, t58, q48, q58)
 }
