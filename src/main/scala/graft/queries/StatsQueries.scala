@@ -227,5 +227,62 @@ object StatsQueries {
       GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59)
+  // ---- q62: robust outlier gate via median absolute deviation ---------
+  //
+  // The robust-statistics complement to q57's winsorizing: flag rows
+  // whose |x − median| exceeds 3σ̂ where σ̂ = 1.4826·MAD — the estimator
+  // that doesn't move when the outliers it hunts get bigger (mean/stddev
+  // gates famously chase their own tail). Two exact-percentile passes
+  // (median, then median of absolute deviations), each producing a
+  // per-type bound row broadcast back over the fact scan; at 100 TB both
+  // passes switch to q33's mergeable sketch with the same plan shape.
+  //
+  // Numeric determinism (q57's recipe): cents first, percentile bounds
+  // rounded back to integer cents, and the 3·1.4826 factor applied as
+  // the integer ratio 44478/10000 — the flag comparison runs entirely
+  // in BIGINT.
+
+  private val q62 = Q(
+    "q62_mad_outliers",
+    (s, d) => {
+      val ev = Tables.spread(Tables.events(s, d))
+        .select(col("event_type").as("etype"),
+          round(col("value") * 100).cast("long").as("c"))
+      val med = ev.groupBy(col("etype"))
+        .agg(expr("percentile(c, 0.5)").as("m"))
+        .select(col("etype"), round(col("m")).cast("long").as("med_c"))
+      val dev = ev.join(broadcast(med), Seq("etype"))
+        .withColumn("ad", abs(col("c") - col("med_c")))
+      val madf = dev.groupBy(col("etype"))
+        .agg(expr("percentile(ad, 0.5)").as("mm"))
+        .select(col("etype"), round(col("mm")).cast("long").as("mad_c"))
+      dev.join(broadcast(madf), Seq("etype"))
+        .withColumn("thr_c", expr("(44478 * mad_c) div 10000"))
+        .groupBy(col("etype"), col("med_c"), col("mad_c"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ad") > col("thr_c"), 1L).otherwise(0L)).as("n_out"))
+        .withColumn("out_pm", expr("(1000 * n_out) div n"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type AS etype,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events),
+      med AS (SELECT etype,
+                     CAST(round(quantile_cont(c, 0.5)) AS BIGINT) AS med_c
+              FROM ev GROUP BY 1),
+      dev AS (SELECT ev.etype, med_c, abs(c - med_c) AS ad
+              FROM ev JOIN med ON med.etype = ev.etype),
+      madf AS (SELECT etype,
+                      CAST(round(quantile_cont(ad, 0.5)) AS BIGINT) AS mad_c
+               FROM dev GROUP BY 1)
+      SELECT d.etype, d.med_c, m.mad_c, count(*) AS n,
+             CAST(sum(CASE WHEN d.ad > (44478 * m.mad_c) // 10000
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             (1000 * CAST(sum(CASE WHEN d.ad > (44478 * m.mad_c) // 10000
+                      THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS out_pm
+      FROM dev d JOIN madf m ON m.etype = d.etype
+      GROUP BY 1, 2, 3
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62)
 }
