@@ -644,7 +644,30 @@ object StreamQueries {
       FROM contrib GROUP BY win_end
     """))
 
+  // ---- q63: distinct users per tumbling window (streaming-twin form) --
+  //
+  // q60's exact sliding distinct phrased as the operator pair that runs
+  // unchanged on a stream: dedup keyed on (window, user) feeding a
+  // windowed count — StreamingSpec proves the CHAINED-stateful streaming
+  // twin (dropDuplicates → windowed agg in append mode) emits the same
+  // rows per closed window. Epoch-aligned 6h tumbling windows (q24's
+  // alignment rule).
+
+  private val q63 = Q(
+    "q63_window_distinct_users",
+    (s, d) => StreamOps.distinctUsersBatch(
+        Tables.spread(Tables.events(s, d)), "6 hours")
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm").as("w_start"),
+        col("n_users")),
+    Some("""
+      SELECT strftime(make_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600 * 1000000),
+                      '%Y-%m-%d %H:%M') AS w_start,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
-      q54, q55, q56, q60)
+      q54, q55, q56, q60, q63)
 }

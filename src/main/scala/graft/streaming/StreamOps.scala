@@ -338,6 +338,35 @@ object StreamOps {
     docs.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Distinct users per tumbling event-time window, batch form: window
+    * the events, de-dup (window, user), count per window — countDistinct
+    * expressed as dedup + count so the STREAMING twin below is the same
+    * two operators chained.
+    */
+  def distinctUsersBatch(events: DataFrame, windowDur: String): DataFrame =
+    events.select(window(col("ts"), windowDur).as("w"), col("user_id"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_users"))
+
+  /** Streaming twin: CHAINED stateful operators — dropDuplicates keyed
+    * on (window, user) feeding a windowed count in append mode. The
+    * dedup key embeds the event-time window, so its state expires with
+    * the watermark (O(active users per open window), not O(stream)),
+    * and the downstream count emits once per window when the watermark
+    * closes it — the exact-distinct streaming shape; at higher
+    * cardinalities the mergeable-HLL panel (q59) replaces the dedup.
+    */
+  def distinctUsersStream(
+      events: DataFrame,
+      windowDur: String,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), windowDur).as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_users"))
+
   /** All of one user's not-yet-watermark-closed sessions (public: Spark's
     * codegen instantiates encoder projections for it).
     */

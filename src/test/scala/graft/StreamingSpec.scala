@@ -622,4 +622,46 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("distinctUsersStream (chained dedup→count) matches batch per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L * US
+    // window = 1 hour; user 1 appears 3× in hour 0 (counts once), user 2
+    // twice across hours 0 and 1 (counts in both), user 3 once in hour 1
+    val evs = Seq(
+      Ev(1, base, 1.0), Ev(1, base + 10 * MIN, 1.0), Ev(1, base + 50 * MIN, 1.0),
+      Ev(2, base + 20 * MIN, 1.0), Ev(2, base + 70 * MIN, 1.0),
+      Ev(3, base + 80 * MIN, 1.0))
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(col("ts_us")))
+
+    val input = MemoryStream[Ev]
+    val out = StreamOps.distinctUsersStream(withTs(input.toDF()), "1 hour",
+      watermark = "30 minutes")
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = out.writeStream.format("memory").queryName("du_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      // duplicates split across micro-batches: the dedup state must
+      // carry over, and the count must emit only on watermark close
+      input.addData(evs(0), evs(3), evs(1))
+      q.processAllAvailable()
+      input.addData(evs(2), evs(4), evs(5))
+      q.processAllAvailable()
+      input.addData(Ev(99, base + 1000 * MIN, 0.0)) // close all windows
+      q.processAllAvailable()
+
+      val streamed = spark.table("du_out")
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      val batch = StreamOps.distinctUsersBatch(
+          withTs(evs.toDF("user_id", "ts_us", "value")), "1 hour")
+        .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime).toSeq
+      // sentinel's window is still open in the stream → compare only the
+      // batch windows that the stream closed. Windows are EPOCH-aligned
+      // (base sits 800s into its hour), so the +50min event rolls into
+      // the second window: w0 = {u1, u2}, w1 = {u1, u2, u3}
+      assert(batch.map(_._2) == Seq(2L, 3L))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }
