@@ -2009,16 +2009,29 @@ object SimilarityQueries {
   // <[q;0], [x;a]> = <q,x> while all corpus vectors sit on one sphere —
   // angular order for a fixed query IS inner-product order, and every
   // sign-hyperplane trick from e02..e22 applies verbatim on the
-  // augmented space. The asymmetry lives in the bucket computation: the
-  // corpus hashes 65-dim augmented vectors, the query hashes with the
-  // SAME planes truncated to 64 coords (equivalent to [q;0] against the
-  // full plane — the augmented coordinate contributes 0).
+  // augmented space. The asymmetry lives in the signature computation:
+  // the corpus hashes 65-dim augmented vectors, the query hashes with
+  // the SAME planes truncated to 64 coords (equivalent to [q;0] against
+  // the full plane — the augmented coordinate contributes 0).
   //
-  // Scale shape: M^2 is one scalar agg broadcast back; bucketing adds
-  // one map pass; candidates come from the bucket equi-join (never a
-  // cross join); the exact <q,x> rerank touches only candidates.
-  // Geometry (8 planes here) tunes exactly like e13/e25 — the point of
-  // the reduction is that those audits carry over unchanged.
+  // Candidate generation is the e21 Hamming-shortlist shape, NOT a
+  // single-bucket equi-join: ALSH angles are intrinsically large (the
+  // query's augmented coordinate is 0 while the corpus's is a real
+  // fraction of M), so all-planes-agree bucketing collapses to ~zero
+  // recall — the e28 audit measured exactly that on an earlier
+  // geometry. Ranking by 64-plane sign agreement instead recovers it
+  // while still touching only (vec_id, two packed signature longs) on
+  // the corpus-wide pass; exact <q,x> rerank touches the |Q|×C
+  // shortlist. M^2 is one scalar agg broadcast back; signatures are one
+  // map pass; e28 is the recall gate that tunes plane count/shortlist
+  // (measured on this corpus: 32 planes/C=50 → 6/25, 64/50 → 12/25,
+  // 64/100 → 15/25 — the expected ALSH profile on isotropic data, where
+  // the augmentation compresses all angles into a narrow band and the
+  // sketch has to separate them; real retrieval corpora are clustered,
+  // which widens the gaps the sketch ranks on).
+
+  private val mipsPlanes = 64
+  private val mipsShortlist = 100
 
   private val dimA = dim + 1
 
@@ -2034,9 +2047,27 @@ object SimilarityQueries {
       if (((z >>> 33) & 1L) == 0L) 1.0 else -1.0
     }
 
-  private val e26 = Q(
-    "e26_mips_search",
-    (s, d) => {
+  /** e26's operator body (qid, cid, ip, rnk) — shared with the e28
+    * recall audit.
+    */
+  /** Half `h` (32 bits) of the 64-plane augmented sign signature, packed
+    * into one non-negative long (bit j set iff dot(v, augPlane_{32h+j})
+    * > 0; two halves for the same reason as e21 — `1L << 63` would
+    * overflow DuckDB's checked BIGINT). `fam` lets the query side use
+    * the truncated planes (asymmetric hashing).
+    */
+  private def mipsSig(fam: Int => Seq[Double], h: Int)(v: Column): Column =
+    (0 until 32).map { j =>
+      when(Portable.dot(v, planeLit(fam(32 * h + j))) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def mipsSigSql(fam: Int => Seq[Double], h: Int, v: String): String =
+    (0 until 32).map { j =>
+      s"CASE WHEN list_dot_product($v, ${planeSql(fam(32 * h + j))}) > 0.0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def mipsRanked(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val withN2 = emb.withColumn("n2", Portable.dot(col("e"), col("e")))
@@ -2044,39 +2075,126 @@ object SimilarityQueries {
       val aug = withN2.crossJoin(broadcast(m2))
         .select(col("vec_id"), col("e"),
           concat(col("e"), array(sqrt(col("m2") - col("n2")))).as("ea"))
-      val corpus = aug.select(col("vec_id").as("cid"), col("e").as("ce"),
-        bucketOf(0 until numPlanes, planeVecAug)(col("ea")).as("bk"))
+      // corpus-wide pass carries ONLY (cid, two packed signature longs)
+      val qtrunc = (p: Int) => planeVecAug(p).take(dim)
+      val sigs = aug.select(col("vec_id").as("cid"),
+        mipsSig(planeVecAug, 0)(col("ea")).as("c0"),
+        mipsSig(planeVecAug, 1)(col("ea")).as("c1"))
       val qs = aug.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("e").as("qe"),
-          bucketOf(0 until numPlanes, p => planeVecAug(p).take(dim))(col("e"))
-            .as("bk"))
-      val scored = broadcast(qs).join(corpus, Seq("bk"))
+        .select(col("vec_id").as("qid"),
+          mipsSig(qtrunc, 0)(col("e")).as("q0"),
+          mipsSig(qtrunc, 1)(col("e")).as("q1"))
+      val ham = broadcast(qs).crossJoin(sigs)
         .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (bit_count(col("q0").bitwiseXOR(col("c0"))) +
+            bit_count(col("q1").bitwiseXOR(col("c1")))).as("ham"))
+      val shortlist = graft.etl.TopK
+        .perGroup(ham, Seq(col("qid")), Seq(col("ham").asc, col("cid").asc),
+          mipsShortlist, "hrnk")
+        .select(col("qid"), col("cid"))
+      val withC = broadcast(shortlist)
+        .join(emb.select(col("vec_id").as("cid"), col("e").as("ce")), "cid")
+      val scored = withC
+        .join(broadcast(emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("e").as("qe"))), "qid")
         .select(col("qid"), col("cid"),
           Portable.dot(col("qe"), col("ce")).as("ip"))
       graft.etl.TopK.topK(scored, Seq(col("qid")), col("ip"), col("cid"), k)
-    },
-    Some(s"""
-      WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  }
+
+  /** e26's CTE chain through ranked `rk`; also used by e28. */
+  private lazy val mipsCtes: String = s"""
+      raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       wn AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM raw),
       m AS (SELECT max(n2) AS m2 FROM wn),
       aug AS (SELECT vec_id, e,
                      list_concat(e, [sqrt(m.m2 - n2)]) AS ea
               FROM wn, m),
-      corpus AS (SELECT vec_id AS cid, e AS ce,
-                        ${bucketSqlOf(0 until numPlanes, planeVecAug, "ea")} AS bk
-                 FROM aug),
-      qs AS (SELECT vec_id AS qid, e AS qe,
-                    ${bucketSqlOf(0 until numPlanes, p => planeVecAug(p).take(dim), "e")} AS bk
+      sigs AS (SELECT vec_id AS cid,
+                      ${mipsSigSql(planeVecAug, 0, "ea")} AS c0,
+                      ${mipsSigSql(planeVecAug, 1, "ea")} AS c1
+               FROM aug),
+      mq AS (SELECT vec_id AS qid,
+                    ${mipsSigSql(p => planeVecAug(p).take(dim), 0, "e")} AS q0,
+                    ${mipsSigSql(p => planeVecAug(p).take(dim), 1, "e")} AS q1
              FROM aug WHERE vec_id % 100 = 0),
-      scored AS (SELECT qid, cid, list_dot_product(qe, ce) AS ip
-                 FROM qs JOIN corpus USING (bk)
-                 WHERE qid <> cid),
+      hams AS (SELECT qid, cid,
+                      bit_count(xor(q0, c0)) + bit_count(xor(q1, c1)) AS ham
+               FROM mq CROSS JOIN sigs WHERE qid <> cid),
+      short AS (SELECT qid, cid FROM (
+                  SELECT qid, cid,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY ham ASC, cid ASC) AS hrnk
+                  FROM hams)
+                WHERE hrnk <= $mipsShortlist),
+      scored AS (
+        SELECT s.qid, s.cid, list_dot_product(q.e, c.e) AS ip
+        FROM short s
+          JOIN raw c ON c.vec_id = s.cid
+          JOIN raw q ON q.vec_id = s.qid),
       rk AS (SELECT qid, cid, ip,
                     row_number() OVER (PARTITION BY qid
                                        ORDER BY ip DESC, cid ASC) AS rnk
-             FROM scored)
-      SELECT qid, cid, ip, rnk FROM rk WHERE rnk <= $k
+             FROM scored)"""
+
+  private val e26 = Q(
+    "e26_mips_search",
+    (s, d) => mipsRanked(s, d),
+    Some(s"WITH $mipsCtes SELECT qid, cid, ip, rnk FROM rk WHERE rnk <= $k"))
+
+  // ---- e28: MIPS recall audit (augmented-LSH vs exact inner product) --
+  //
+  // e26's quality gate, closing the audit discipline (every approximate
+  // path ships with its recall audit: e09/e12/e15/e17/e22/e25): exact
+  // inner-product top-k by brute force over the broadcast query subset,
+  // joined against e26's bucketed result — integer hits of k per query,
+  // engine-exact. This is the number that decides whether the 8-plane
+  // augmented geometry suffices or needs the e13/e14 banding treatment
+  // (which carries over to the augmented space unchanged).
+
+  private val e28 = Q(
+    "e28_mips_recall",
+    (s, d) => {
+      val emb = Tables.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val scored = broadcast(qs)
+        .crossJoin(emb.select(col("vec_id").as("cid"), col("e").as("ce")))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("ip"))
+      val exact = graft.etl.TopK
+        .topK(scored, Seq(col("qid")), col("ip"), col("cid"), k)
+        .select(col("qid"), col("cid"))
+      val approx = mipsRanked(s, d).select(col("qid"), col("cid"))
+      val hits = exact.join(approx, Seq("qid", "cid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    },
+    Some(s"""
+      WITH $mipsCtes,
+      ex_scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, list_dot_product(q.e, c.e) AS ip
+        FROM (SELECT vec_id, e FROM raw WHERE vec_id % 100 = 0) q
+        CROSS JOIN raw c
+        WHERE q.vec_id <> c.vec_id),
+      ex_r AS (SELECT qid, cid,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY ip DESC, cid ASC) AS rnk
+               FROM ex_scored),
+      ex AS (SELECT qid, cid FROM ex_r WHERE rnk <= $k),
+      ap AS (SELECT qid, cid FROM rk WHERE rnk <= $k),
+      hits AS (SELECT qid, count(*) AS n_hits
+               FROM ex JOIN ap USING (qid, cid) GROUP BY 1)
+      SELECT qid, count(*) AS n_exact,
+             CAST(coalesce(any_value(n_hits), 0) AS BIGINT) AS n_hits
+      FROM ex LEFT JOIN hits USING (qid)
+      GROUP BY qid
     """))
 
   // ---- e27: cell-balanced diversity sampling ---------------------------
@@ -2147,5 +2265,6 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
-      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
+      e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
+      e28)
 }
