@@ -647,7 +647,39 @@ object ParityQueries {
       GROUP BY n_name
     """))
 
+  // ---- q64: set operators (INTERSECT / EXCEPT) -----------------------
+  //
+  // The two relational set operators no other query exercises (q13
+  // covers UNION): segment overlap via INTERSECT and one-sided
+  // remainders via EXCEPT, both with SQL set semantics (implicit
+  // distinct — Spark's Dataset.intersect/except match). Catalyst plans
+  // both as aggregate-free semi/anti joins after de-dup; at scale each
+  // is one shuffle on the compared key, same as the anti-join q08.
+
+  private val q64 = Q(
+    "q64_segment_set_ops",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val a = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = cust.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      a.intersect(b).select(lit("both").as("tag"), col("c_custkey"))
+        .unionAll(a.except(b)
+          .select(lit("building_only").as("tag"), col("c_custkey")))
+        .unionAll(b.except(a)
+          .select(lit("rich_only").as("tag"), col("c_custkey")))
+    },
+    Some("""
+      WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      SELECT 'both' AS tag, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      UNION ALL
+      SELECT 'building_only' AS tag, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      UNION ALL
+      SELECT 'rich_only' AS tag, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38, q40, q53, q61)
+      q38, q40, q53, q61, q64)
 }

@@ -2300,8 +2300,56 @@ object TextQueries {
       FROM sz GROUP BY 1
     """))
 
+  // ---- t59: tokenizer fertility audit (per-language cost) ------------
+  //
+  // The tokenizer-economics panel: how many subword pieces a character
+  // of each language costs (fertility = pieces per whitespace word,
+  // compression = chars per piece). High fertility on a language means
+  // its documents burn token budget faster and its effective context
+  // shrinks — the number that decides whether a tokenizer needs vocab
+  // rebalancing before a multilingual run. One pass over the corpus
+  // through the REAL greedy longest-match subword expression (t01's
+  // codegen'd SubwordCount), then a per-language report agg; ratios in
+  // integer per-mille, sums in BIGINT — engine-exact.
+
+  private val t59 = Q(
+    "t59_tokenizer_fertility",
+    (s, d) => {
+      Tables.spread(Tables.documents(s, d))
+        .select(col("lang"),
+          size(TA.tokens(col("text"))).cast("long").as("ws"),
+          coalesce(TA.subwordCount(TA.tokens(col("text"))), lit(0L)).as("bpe"),
+          length(col("text")).cast("long").as("nch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"), sum(col("nch")).as("n_chars"))
+        .withColumn("fertility_pm",
+          expr("(1000 * bpe_tokens) div greatest(ws_tokens, 1)"))
+        .withColumn("chars_per_piece_pm",
+          expr("(1000 * n_chars) div greatest(bpe_tokens, 1)"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${OracleSql.subwordCountCtes},
+      per AS (
+        SELECT d.lang,
+               CAST(len($toksSql) AS BIGINT) AS ws,
+               CAST(coalesce(subwc.bpe, 0) AS BIGINT) AS bpe,
+               CAST(length(text) AS BIGINT) AS nch
+        FROM documents d LEFT JOIN subwc USING (doc_id)),
+      agg AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(nch) AS BIGINT) AS n_chars
+        FROM per GROUP BY 1)
+      SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+             (1000 * bpe_tokens) // greatest(ws_tokens, 1) AS fertility_pm,
+             (1000 * n_chars) // greatest(bpe_tokens, 1) AS chars_per_piece_pm
+      FROM agg
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57)
+      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59)
 }
