@@ -679,7 +679,42 @@ object ParityQueries {
       SELECT 'rich_only' AS tag, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
     """))
 
+  // ---- q65: UNPIVOT (wide → long melt) -------------------------------
+  //
+  // The inverse of A3's pivot, and the missing half of report-shape
+  // interop: BI exports arrive wide (one column per metric) and every
+  // downstream long-format consumer (metric stores, plotting, generic
+  // gates) needs (key, metric, value) rows. Spark's `stack(n, ...)`
+  // expression is the codegen'd melt — a partition-local projection
+  // that multiplies rows by n_metrics with ZERO shuffle (verify with
+  // .explain: no Exchange). Nulls are kept (a missing metric is a fact
+  // worth a row in a monitoring sink); money goes through integer
+  // cents.
+
+  private val q65 = Q(
+    "q65_unpivot_metrics",
+    (s, d) => {
+      val wide = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_nationkey").cast("long").as("nation"),
+          length(col("c_name")).cast("long").as("name_len"))
+      wide.select(col("c_custkey"),
+        expr("""stack(3, 'acctbal_c', acctbal_c,
+                         'nation', nation,
+                         'name_len', name_len) AS (metric, value)"""))
+    },
+    Some("""
+      SELECT c_custkey, metric, value FROM (
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(length(c_name) AS BIGINT) AS name_len
+        FROM customer)
+      UNPIVOT INCLUDE NULLS (value FOR metric IN (acctbal_c, nation, name_len))
+    """))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38, q40, q53, q61, q64)
+      q38, q40, q53, q61, q64, q65)
 }
