@@ -284,5 +284,50 @@ object StatsQueries {
       GROUP BY 1, 2, 3
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62)
+  // ---- q67: Spearman rank correlation (integer-exact) -----------------
+  //
+  // Monotone-association monitoring (does value drift with time within
+  // each event type?) via Spearman's ρ — computed entirely in integers:
+  // ranks are row_numbers over (metric, event_id)-pinned total orders
+  // (tie-break ranking is the DECLARED semantics — average-rank ties
+  // would reintroduce doubles), d² sums in BIGINT, and
+  // ρ_pm = 1000 − (6000·Σd²) div (n(n²−1)) keeps every division on
+  // non-negative operands so truncation agrees across engines. Two
+  // windows over the same per-type partition = one shuffle; the output
+  // is one row per type.
+
+  private val q67 = Q(
+    "q67_spearman_drift",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("etype"))
+      val ranked = Tables.spread(Tables.events(s, d))
+        .select(col("event_type").as("etype"), col("event_id"),
+          col("ts"), round(col("value") * 100).cast("long").as("c"))
+        .select(col("etype"),
+          row_number().over(w.orderBy(col("c"), col("event_id")))
+            .cast("long").as("rv"),
+          row_number().over(w.orderBy(col("ts"), col("event_id")))
+            .cast("long").as("rt"))
+      ranked.groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rv") - col("rt")) * (col("rv") - col("rt"))).as("sd2"))
+        .withColumn("rho_pm",
+          lit(1000L) - expr("(6000 * sd2) div (n * (n*n - 1))"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type AS etype,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY round(value * 100), event_id) AS BIGINT) AS rv,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rt
+        FROM events)
+      SELECT etype, count(*) AS n,
+             CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS sd2,
+             1000 - (6000 * CAST(sum((rv - rt) * (rv - rt)) AS BIGINT))
+               // (count(*) * (count(*)*count(*) - 1)) AS rho_pm
+      FROM ranked GROUP BY 1
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67)
 }

@@ -667,7 +667,43 @@ object StreamQueries {
       GROUP BY 1
     """))
 
+  // ---- q66: forward fill (last observation carried forward) ----------
+  //
+  // The sparse-metric window op every sessionized feature pipeline
+  // needs: carry each user's latest purchase amount onto every
+  // subsequent event (null until the first purchase). One window
+  // partitioned by user over the (ts, event_id)-pinned total order —
+  // a single shuffle on user_id, per-task state is one user's events;
+  // the ignore-nulls running `last` is the codegen'd LOCF. Money rides
+  // in integer cents (the fill copies values verbatim, so cents keep
+  // the copy bit-exact).
+
+  private val q66 = Q(
+    "q66_forward_fill",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.spread(Tables.events(s, d))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).as("obs_c"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(col("obs_c"), ignoreNulls = true).over(w).as("last_purchase_c"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_c
+      FROM events
+    """))
+
   def all: Seq[Q] =
     Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
-      q54, q55, q56, q60, q63)
+      q54, q55, q56, q60, q63, q66)
 }
