@@ -251,4 +251,65 @@ object Dedup {
         round(Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT set-similarity self-join via AllPairs/PPJoin prefix
+    * filtering: every (a < b) pair with Jaccard(setA, setB) >= num/den
+    * is returned with its exact intersection and union sizes — no
+    * probabilistic recall (the LSH family's trade), no doubles anywhere
+    * (the threshold runs as (den+num)·i >= num·(na+nb)).
+    *
+    * Exactness argument: order all distinct elements by ascending
+    * global frequency (ties by value — a total order); a set of n
+    * elements keeps its first n − ceil(t·n) + 1 as the prefix. If
+    * J(A,B) >= t then |A∩B| >= t·max(|A|,|B|), and removing the
+    * non-prefix (last ceil(t·n) − 1) elements of each side cannot erase
+    * an overlap that large — the pair shares at least one PREFIX
+    * element, so the equi-join on prefix elements finds it. The length
+    * filter (den·min >= num·max, implied by J >= t) prunes candidates
+    * without touching results. TextDedupSpec pins the exactness against
+    * the brute-force definition.
+    *
+    * Scale shape: element frequency is one shuffle with map-side
+    * partials; prefix ranking is a per-set window; join keys are by
+    * construction each set's RAREST elements (the frequency order IS
+    * the load balancer); verification explodes candidate pairs only.
+    */
+  def ppJoinPairs(base: DataFrame, idCol: String, shCol: String,
+                  num: Int, den: Int): DataFrame = {
+    require(0 < num && num <= den, s"threshold $num/$den outside (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+    val sets = base.select(col(idCol).as("_id"), col(shCol).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("_id"), explode(col("_sh")).as("_tok"))
+    val dfreq = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val ranked = tok.join(dfreq, "_tok")
+      .select(col("_id"), col("_tok"),
+        row_number().over(
+          w.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))).as("_rn"),
+        count(lit(1)).over(w.partitionBy(col("_id"))).as("_n"))
+    val prefix = ranked
+      .filter(col("_rn") <= col("_n") - expr(s"($num*_n + ${den - 1}) div $den") + 1)
+      .select(col("_id"), col("_tok"), col("_n"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x._tok") === col("y._tok") && col("x._id") < col("y._id") &&
+          lit(den.toLong) * col("y._n") >= lit(num.toLong) * col("x._n") &&
+          lit(den.toLong) * col("x._n") >= lit(num.toLong) * col("y._n"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("_id").as("a"), col("_tok")), Seq("a"))
+      .join(tok.select(col("_id").as("_idb"), col("_tok").as("_tok2")),
+        col("b") === col("_idb") && col("_tok") === col("_tok2"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_n"))
+    val sizes = sets.select(col("_id"), size(col("_sh")).cast("long").as("_n"))
+    inter
+      .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), Seq("a"))
+      .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), Seq("b"))
+      .filter(lit((den + num).toLong) * col("inter_n") >=
+        lit(num.toLong) * (col("_na") + col("_nb")))
+      .select(col("a"), col("b"), col("inter_n"),
+        (col("_na") + col("_nb") - col("inter_n")).as("union_n"))
+  }
 }

@@ -1942,44 +1942,12 @@ object TextQueries {
   private val t52 = Q(
     "t52_ppjoin_exact",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
       val base = doubledCorpus(s, d)
         .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .persist()
-      val tok = base.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val ranked = tok.join(dfreq, "tok")
-        .select(col("doc_id"), col("tok"),
-          row_number().over(
-            w.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))).as("rn"),
-          count(lit(1)).over(w.partitionBy(col("doc_id"))).as("n"))
-      val prefix = ranked
-        .filter(col("rn") <= col("n") - expr("(4*n + 4) div 5") + 1)
-        .select(col("doc_id"), col("tok"), col("n"))
-      // length filter (PPJoin): J >= 0.8 forces 5*min(na,nb) >= 4*max —
-      // prunes candidates before the expensive verify without changing
-      // the verified output
-      val cand = prefix.as("x")
-        .join(prefix.as("y"),
-          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-            lit(5L) * col("y.n") >= lit(4L) * col("x.n") &&
-            lit(5L) * col("x.n") >= lit(4L) * col("y.n"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      val inter = cand
-        .join(tok.as("p"), col("a") === col("p.doc_id"))
-        .join(tok.as("q"),
-          col("b") === col("q.doc_id") && col("p.tok") === col("q.tok"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_n"))
-      val sizes = base.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
-      inter
-        .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
-        .filter(lit(9L) * col("inter_n") >= lit(4L) * (col("sa.n") + col("sb.n")))
-        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter_n"),
-          (col("sa.n") + col("sb.n") - col("inter_n")).as("union_n"))
+      Dedup.ppJoinPairs(base, "doc_id", "toks", 4, 5)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("inter_n"), col("union_n"))
     },
     Some(s"""
       WITH base AS (

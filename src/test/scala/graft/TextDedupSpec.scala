@@ -177,4 +177,34 @@ class TextDedupSpec extends SparkSpec {
     val r = df.collect()(0)
     assert(r.getInt(1) == 64 && r.getDouble(2) == math.rint(f(0) * 1e6) / 1e6)
   }
+
+  test("ppJoinPairs is EXACT: equals brute force on seeded random sets") {
+    // 60 random sets over a small universe (forced overlaps), plus
+    // handcrafted edge pairs: identical sets, a pair at exactly J = 0.8
+    // (|A|=|B|=9, i=8 → 8/10), and one just below (7/9 ≈ 0.78)
+    val rnd = new scala.util.Random(42)
+    val universe = (0 until 40).map(i => s"w$i")
+    val sets: Seq[(Long, Seq[String])] =
+      (0L until 60L).map { id =>
+        val n = 3 + rnd.nextInt(10)
+        id -> rnd.shuffle(universe).take(n).sorted
+      } ++ Seq(
+        100L -> (0 until 9).map(i => s"e$i"),
+        101L -> (0 until 9).map(i => s"e$i"),                  // J = 1
+        102L -> ((0 until 8).map(i => s"e$i") :+ "e_x"),       // i=8, J=0.8
+        103L -> ((0 until 7).map(i => s"e$i") :+ "e_y" :+ "e_z")) // i=7, J<0.8
+    def brute: Set[(Long, Long, Long, Long)] = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = sa.toSet.intersect(sb.toSet).size.toLong
+      u = sa.size + sb.size - i
+      if 9 * i >= 4 * (sa.size + sb.size)
+    } yield (ia, ib, i, u)).toSet
+    val df = Dedup.ppJoinPairs(
+      sets.toDF("id", "sh"), "id", "sh", num = 4, den = 5)
+    val got = df.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // the J=0.8 boundary pair is present, the 0.78 pair is not
+    assert(got.exists(p => p._1 == 100L && p._2 == 102L))
+    assert(!got.exists(p => (p._1, p._2) == (100L, 103L)))
+  }
 }
