@@ -2056,18 +2056,42 @@ object SimilarityQueries {
     * overflow DuckDB's checked BIGINT). `fam` lets the query side use
     * the truncated planes (asymmetric hashing).
     */
-  private def mipsSig(fam: Int => Seq[Double], h: Int)(v: Column): Column =
+  private def mipsSig(fam: Int => Seq[Double], h: Int)(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // native SignPack: the declarative 32-term sum-of-whens is
+    // semantically identical (SignPackSpec pins the equality) but
+    // inlines the whole plane matrix into the generated code —
+    // multi-second Janino compiles per projection
+    ColumnBridge.column(graft.functions.SignPack(
+      ColumnBridge.expression(v.cast("array<double>")),
+      (0 until 32).map(j => fam(32 * h + j))))
+  }
+
+  /** Declarative formulation of [[mipsSig]] (the executable spec
+    * SignPack is tested against — SignPackSpec).
+    */
+  def mipsSigDecl(fam: Int => Seq[Double], h: Int)(v: Column): Column =
     (0 until 32).map { j =>
       when(Portable.dot(v, planeLit(fam(32 * h + j))) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Test access to the augmented plane family (SignPackSpec). */
+  def augPlaneFamily(p: Int): Seq[Double] = planeVecAug(p)
 
   private def mipsSigSql(fam: Int => Seq[Double], h: Int, v: String): String =
     (0 until 32).map { j =>
       s"CASE WHEN list_dot_product($v, ${planeSql(fam(32 * h + j))}) > 0.0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  private def mipsRanked(s: SparkSession, d: String): DataFrame = {
+  /** Cached as a per-(dataset, process) artifact: the search result
+    * feeds both e26 (its own output) and e28 (the recall audit) — the
+    * same checkpoint contract as the text-dedup pair tables.
+    */
+  private def mipsRanked(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "mips")(mipsRankedBuild(s, d))
+
+  private def mipsRankedBuild(s: SparkSession, d: String): DataFrame = {
       val emb = Tables.spread(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val withN2 = emb.withColumn("n2", Portable.dot(col("e"), col("e")))
@@ -2075,12 +2099,17 @@ object SimilarityQueries {
       val aug = withN2.crossJoin(broadcast(m2))
         .select(col("vec_id"), col("e"),
           concat(col("e"), array(sqrt(col("m2") - col("n2")))).as("ea"))
-      // corpus-wide pass carries ONLY (cid, two packed signature longs)
+      // corpus-wide pass carries ONLY (cid, two packed signature longs).
+      // persist BOTH the augmented frame and the signatures: without a
+      // materialization boundary Catalyst's CollapseProject inlines the
+      // 65-element concat/sqrt into all 64 plane dots (65x the concat
+      // work), and the signature table feeds the Hamming join twice
+      val augP = aug.persist()
       val qtrunc = (p: Int) => planeVecAug(p).take(dim)
-      val sigs = aug.select(col("vec_id").as("cid"),
+      val sigs = augP.select(col("vec_id").as("cid"),
         mipsSig(planeVecAug, 0)(col("ea")).as("c0"),
-        mipsSig(planeVecAug, 1)(col("ea")).as("c1"))
-      val qs = aug.filter(col("vec_id") % 100 === 0)
+        mipsSig(planeVecAug, 1)(col("ea")).as("c1")).persist()
+      val qs = augP.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"),
           mipsSig(qtrunc, 0)(col("e")).as("q0"),
           mipsSig(qtrunc, 1)(col("e")).as("q1"))

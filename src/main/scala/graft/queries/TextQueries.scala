@@ -278,43 +278,8 @@ object TextQueries {
     * is exactly the shape a 100 TB pipeline uses: checkpoint the verified
     * pairs, feed every downstream consumer from the checkpoint.
     */
-  /** Guards the check-then-write in [[sharedTokenLshPairs]]: t06 and t09
-    * run in one JVM, so a JVM lock is sufficient to keep a concurrent
-    * first use from double-materializing the same path.
-    */
-  private val lshCacheLock = new Object
-
-  /** Generic per-(dataset, process) parquet artifact: build once under
-    * the lock, every later consumer reads the table back from storage.
-    * Cache key = collision-free digest of the dataset path (an Int
-    * hashCode can collide across paths within one process) + pid
-    * (cross-process isolation) + tag.
-    */
-  private def sharedArtifact(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      s"${digest}_${ProcessHandle.current().pid()}"
-    lshCacheLock.synchronized {
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        build.write.mode("overwrite").parquet(path)
-        // per-process artifact: clean up on JVM exit (same hygiene as
-        // the t34 index — repeated runs must not accumulate in tmpdir)
-        sys.addShutdownHook {
-          def deleteRec(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
-          }
-          deleteRec(new java.io.File(path)); ()
-        }
-      }
-    }
-    s.read.parquet(path)
-  }
-
   private def sharedTokenLshPairs(s: SparkSession, d: String): DataFrame =
-    sharedArtifact(s, d, "lshpairs") {
+    graft.etl.Artifacts.shared(s, d, "lshpairs") {
       val base = doubledCorpus(s, d)
         .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"),
@@ -331,7 +296,7 @@ object TextQueries {
     * with an independent algorithm on purpose (cross-check).
     */
   private def sharedResolvedClusters(s: SparkSession, d: String): DataFrame =
-    sharedArtifact(s, d, "clusters") {
+    graft.etl.Artifacts.shared(s, d, "clusters") {
       Dedup.resolveClusters(sharedTokenLshPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
     }
