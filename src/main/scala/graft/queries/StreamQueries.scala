@@ -703,7 +703,49 @@ object StreamQueries {
       FROM events
     """))
 
+  // ---- q68: clickstream path mining (top trigram paths) --------------
+  //
+  // q56's transition matrix generalized to length-3 paths: which
+  // three-step sequences dominate user journeys. Two lead() offsets
+  // over the same per-user window (ONE shuffle on user_id — both leads
+  // share the partition), then a hash agg over the ≤125 distinct paths
+  // and a global top-k via TakeOrderedAndProject (no full sort). Ties
+  // at identical microseconds pin on event_id (q56's rule), and the
+  // top-k ties pin on the path string.
+
+  private val q68 = Q(
+    "q68_top_paths",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paths = Tables.spread(Tables.events(s, d))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      SELECT path, count(*) AS n
+      FROM paths GROUP BY 1
+      ORDER BY n DESC, path ASC
+      LIMIT 10
+    """))
+
   def all: Seq[Q] =
     Seq(q23, q24, q25, q28, q29, q34, q35, q36, q37, q39, q41, q45, q46,
-      q54, q55, q56, q60, q63, q66)
+      q54, q55, q56, q60, q63, q66, q68)
 }

@@ -2281,8 +2281,49 @@ object TextQueries {
       FROM agg
     """))
 
+  // ---- t60: language label confusion matrix --------------------------
+  //
+  // The label-noise audit over t03's classifier: cross-tabulate the
+  // corpus's DECLARED language column against the content-predicted
+  // one. Off-diagonal mass is either classifier weakness or metadata
+  // rot — both are gates a multilingual curation run checks before
+  // trusting `lang` for quota/mixture decisions (t21/t51 key on it).
+  // One scoring pass (t03's materialize-attributes discipline) + one
+  // languages²-sized report agg with map-side partials.
+
+  private val t60 = Q(
+    "t60_lang_confusion",
+    (s, d) => {
+      val t = Tables.spread(Tables.documents(s, d))
+        .withColumn("_toks", TA.tokens(col("text")))
+        .withColumn("_cjk", TA.cjkRatio(col("text")))
+      val scored = t.select(Seq(col("lang"), col("_cjk")) ++
+        TA.langStopwords.map { case (l, sw) =>
+          TA.stopwordHits(col("_toks"), sw).as(s"s_$l")
+        }: _*)
+      scored.select(col("lang").as("declared"),
+          TA.langIdFromScores(col("_cjk"),
+            TA.langStopwords.map { case (l, _) => l -> col(s"s_$l") })
+            .as("predicted"))
+        .groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+               ${OracleSql.cjkSql} AS cjk,
+               ${OracleSql.langScoreSelSql}
+        FROM t),
+      b AS (SELECT *, ${OracleSql.langBestSql} AS best FROM sc)
+      SELECT lang AS declared, ${OracleSql.langCaseSql} AS predicted,
+             count(*) AS n
+      FROM b GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
-      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59)
+      t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
+      t60)
 }
