@@ -35,7 +35,8 @@ object StreamQueries {
              min(ts_us) AS session_start_us,
              max(ts_us) AS session_end_us,
              count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM sess GROUP BY user_id, sess_idx
     """))
 
@@ -55,7 +56,8 @@ object StreamQueries {
       SELECT strftime(make_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600 * 1000000),
                       '%Y-%m-%d %H:%M') AS w_start,
              event_type, count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM events
       GROUP BY 1, 2
     """))
@@ -149,16 +151,21 @@ object StreamQueries {
         .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("ts_us"), col("value"))
+          unix_micros(col("ts")).as("ts_us"),
+          // fixed-point money rule (q38/q45): quantize once per row,
+          // sum BIGINTs over the window, divide once
+          round(col("value") * 10000).cast("long").as("v_e4"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           count(lit(1)).over(trailing).as("n_1h"),
-          round(sum(col("value")).over(trailing), 4).as("sum_1h"),
+          (sum(col("v_e4")).over(trailing).cast("double") / 10000.0)
+            .as("sum_1h"),
           (col("ts_us") - lag(col("ts_us"), 1).over(byUserTotal)).as("gap_us"))
     },
     Some("""
       SELECT event_id, user_id, epoch_us(ts) AS ts_us,
              count(*) OVER w_range AS n_1h,
-             round(sum(value) OVER w_range, 4) AS sum_1h,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER w_range
+                  AS BIGINT) / 10000.0 AS sum_1h,
              epoch_us(ts) - lag(epoch_us(ts), 1) OVER w_order AS gap_us
       FROM events
       WINDOW
@@ -181,11 +188,15 @@ object StreamQueries {
     (s, d) => StreamOps.enrichEvents(Tables.events(s, d),
         Tables.customer(s, d), Tables.nation(s, d))
       .groupBy(col("n_name"), col("event_type"))
+      // fixed-point money rule (q38/q45): order-independent BIGINT sum
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("value_sum")),
+        sum(round(col("value") * 10000).cast("long")).as("v_e4"))
+      .select(col("n_name"), col("event_type"), col("n_events"),
+        (col("v_e4").cast("double") / 10000.0).as("value_sum")),
     Some("""
       SELECT n_name, event_type, count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM events e
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -214,7 +225,8 @@ object StreamQueries {
       SELECT strftime(make_timestamp(w_start_s * 1000000),
                       '%Y-%m-%d %H:%M') AS w_start,
              event_type, count(*) AS n_events,
-             round(sum(value), 4) AS value_sum
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum
       FROM w
       GROUP BY 1, 2
     """))
@@ -233,18 +245,21 @@ object StreamQueries {
     (s, d) => StreamOps.enrichEvents(Tables.events(s, d),
         Tables.customer(s, d), Tables.nation(s, d))
       .rollup(col("n_name"), col("event_type"))
+      // fixed-point money rule (q38/q45): order-independent BIGINT sum
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("value_sum"),
+        sum(round(col("value") * 10000).cast("long")).as("v_e4"),
         grouping(col("n_name")).cast("int").as("g_nation"),
         grouping(col("event_type")).cast("int").as("g_type"))
       .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        col("n_events"), col("value_sum"), col("g_nation"), col("g_type")),
+        col("n_events"), (col("v_e4").cast("double") / 10000.0).as("value_sum"),
+        col("g_nation"), col("g_type")),
     Some("""
       SELECT coalesce(n_name, 'ALL') AS n_name,
              coalesce(event_type, 'ALL') AS event_type,
              count(*) AS n_events,
-             round(sum(value), 4) AS value_sum,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS value_sum,
              CAST(grouping(n_name) AS INTEGER) AS g_nation,
              CAST(grouping(event_type) AS INTEGER) AS g_type
       FROM events e

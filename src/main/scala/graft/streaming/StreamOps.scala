@@ -42,9 +42,14 @@ object StreamOps {
     src
       .groupBy(window(col("ts"), windowDur, slide.getOrElse(windowDur)),
         col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("value_sum"))
+      // fixed-point money rule (q38/q45): quantize each value ONCE to
+      // integer 1e-4 units, sum BIGINTs (order-independent), divide once
+      // — round(sum(double), 4) is engine-order-dependent at half
+      // boundaries and flaked that way on the money queries
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 10000).cast("long")).as("v_e4"))
       .select(col("window.start").as("w_start"), col("event_type"),
-        col("n_events"), col("value_sum"))
+        col("n_events"), (col("v_e4").cast("double") / 10000.0).as("value_sum"))
   }
 
   /** Streaming near-dup probe against a PERSISTED LSH index (the t34
@@ -202,7 +207,7 @@ object StreamOps {
   /** Open-session state held in the state store (public: Spark's codegen
     * instantiates encoder projections for it).
     */
-  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+  final case class OpenSession(start: Long, end: Long, n: Long, sumE4: Long)
 
   /** [[Ev]] plus the timestamp column the watermark rides on. */
   final case class EvT(user_id: Long, ts_us: Long, value: Double, ts: Timestamp)
@@ -303,8 +308,12 @@ object StreamOps {
         min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("value_sum"))
-      .drop("_sess")
+        // fixed-point money rule (q38/q45): per-row 1e-4-unit BIGINTs,
+        // order-independent sum, one divide at the end
+        sum(round(col("value") * 10000).cast("long")).as("_v_e4"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"),
+        (col("_v_e4").cast("double") / 10000.0).as("value_sum"))
   }
 
   /** Exact-dedup on a content fingerprint, batch form: keep the whole
@@ -395,16 +404,11 @@ object StreamOps {
     val gapUs = gapMinutes * 60L * 1000000L
 
     def close(uid: Long, s: OpenSession): Session =
-      Session(uid, s.start, s.end, s.n,
-        // same HALF_UP rule as Spark's round(col, 4) in the batch twin.
-        // Known boundary: the stream accumulates value_sum in sorted
-        // session-merge order while the batch twin sums in shuffle
-        // arrival order — double addition is non-associative, so a sum
-        // landing within 1 ulp of a .00005 boundary could round apart.
-        // SCALE.md "Numeric determinism" has the integer-unit recipe if
-        // a deployment needs that last ulp; event values here are
-        // 2-decimal and sessions are short, so the twins stay identical.
-        BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // state holds 1e-4-unit BIGINTs (the q38/q45 fixed-point money
+      // rule) — integer addition is associative, so the stream's
+      // session-merge order and the batch twin's shuffle order produce
+      // the SAME value_sum bit-for-bit, with one divide at emission
+      Session(uid, s.start, s.end, s.n, s.sumE4.toDouble / 10000.0)
 
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -421,12 +425,17 @@ object StreamOps {
           // exactly the sessions the watermark has closed
           val held = state.getOption.map(_.items).getOrElse(Nil)
           val atoms = (held ++
-            rows.map(r => OpenSession(r.ts_us, r.ts_us, 1, r.value)))
+            // same per-row quantization as the batch twin's
+            // round(value * 10000): HALF_UP on the double's canonical
+            // decimal rendering (Spark Round = BigDecimal.valueOf)
+            rows.map(r => OpenSession(r.ts_us, r.ts_us, 1,
+              BigDecimal(r.value * 10000)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
             .sortBy(s => (s.start, s.end))
           val merged = atoms.foldLeft(List.empty[OpenSession]) {
             case (h :: t, it) if it.start - h.end <= gapUs =>
               OpenSession(h.start, math.max(h.end, it.end),
-                h.n + it.n, h.sum + it.sum) :: t
+                h.n + it.n, h.sumE4 + it.sumE4) :: t
             case (acc, it) => it :: acc
           }.reverse
           val wmUs = state.getCurrentWatermarkMs() * 1000L
