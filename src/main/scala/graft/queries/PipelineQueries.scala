@@ -571,7 +571,89 @@ object PipelineQueries {
       FROM events GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52)
+  // ---- q69: sort-merge-bucket join over co-bucketed tables -----------
+  //
+  // THE repeated-big-join strategy at 100 TB: two fact tables joined on
+  // the same key query after query should be persisted BUCKETED (and
+  // sorted) by that key with the same bucket count. The planner then
+  // proves co-location from the catalog metadata and executes a
+  // SortMergeJoin with ZERO Exchange on either side — the shuffle a
+  // plain join pays (the whole table over the network, the dominant
+  // cost at scale) is paid ONCE at layout time and amortized over every
+  // downstream join. Size the bucket count so one bucket fits an
+  // executor core's working memory (100 TB / 8192 buckets ≈ 12 GB);
+  // the local test uses 8. PlanAuditSpec asserts the joined frame plans
+  // a SortMergeJoin with no shuffle.
+  //
+  // `bucketBy` metadata lives in the session catalog, so the tables are
+  // registered once per (dataset, process) as EXTERNAL parquet tables
+  // (data at a tmp path, dropped with the session / cleaned by pid
+  // scoping). The oracle is the same join over the raw tables — layout
+  // round-trip ≡ source of truth, the q43 rule.
+
+  private val bucketLock = new Object
+
+  /** Registers (once per dataset+process) co-bucketed orders/customer
+    * tables and returns their catalog names.
+    */
+  private def bucketedPair(s: SparkSession, d: String): (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val ot = s"graft_b_orders_$digest"
+    val ct = s"graft_b_customer_$digest"
+    bucketLock.synchronized {
+      if (!s.catalog.tableExists(ot)) {
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", tmp("bucket_orders", d))
+          .mode("overwrite").format("parquet").saveAsTable(ot)
+      }
+      if (!s.catalog.tableExists(ct)) {
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", tmp("bucket_customer", d))
+          .mode("overwrite").format("parquet").saveAsTable(ct)
+      }
+    }
+    (ot, ct)
+  }
+
+  /** The co-located join itself (pre-aggregation), exposed so
+    * PlanAuditSpec can assert the exchange-free SortMergeJoin. The MERGE
+    * hint only rules out a broadcast at this sf (customer is tiny here);
+    * at scale both sides are big and SMB is what the planner picks
+    * unhinted.
+    */
+  def bucketedJoinForAudit(s: SparkSession, d: String): DataFrame = {
+    val (ot, ct) = bucketedPair(s, d)
+    s.table(ot).join(s.table(ct).hint("MERGE"),
+      col("o_custkey") === col("c_custkey"))
+  }
+
+  private val q69 = Q(
+    "q69_bucketed_join",
+    (s, d) => bucketedJoinForAudit(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        // exact integer cents (fixed-point money rule)
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+      .select(col("c_mktsegment"), col("n_orders"), col("n_customers"),
+        (col("total_c").cast("double") / 100.0).as("total")),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             count(DISTINCT o_custkey) AS n_customers,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    """))
+
+  def all: Seq[Q] =
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.

@@ -79,4 +79,16 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"expected the dimension joins to broadcast:\n$plan")
   }
+
+  test("q69's co-bucketed join is a SortMergeJoin with ZERO exchange") {
+    val plan = graft.queries.PipelineQueries
+      .bucketedJoinForAudit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"co-bucketed join did not plan a SortMergeJoin:\n$plan")
+    // the whole point of the bucketed layout: neither side shuffles —
+    // bucket co-location is proven from catalog metadata at plan time
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles (bucket metadata not used):\n$plan")
+  }
 }
