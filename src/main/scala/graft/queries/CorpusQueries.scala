@@ -1325,7 +1325,42 @@ object CorpusQueries {
       SELECT qid, doc_id, rnk, rrf_micro FROM fr WHERE rnk <= $bm25K
     """))
 
+  // ---- t62: k-anonymity audit over quasi-identifiers -------------------
+  //
+  // The privacy gate a dataset release runs before publication: group
+  // records by their quasi-identifier tuple (attributes that jointly
+  // re-identify: here nation × market segment × account-balance band)
+  // and flag every equivalence class smaller than k — those rows are
+  // re-identifiable and must be suppressed or the QI generalized
+  // (coarser bands, dropped attributes) until the audit passes. The
+  // audit is ONE hash agg with map-side partials (the class table is
+  // tiny next to the data); the iterate-until-k loop re-runs it per
+  // generalization rung. Banding uses integer floor division — exact in
+  // both engines, negative balances land in band -1 by the same floor
+  // rule.
+
+  private val anonK = 5
+
+  private val t62 = Q(
+    "t62_k_anonymity",
+    (s, d) => Tables.spread(Tables.customer(s, d))
+      .select(col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < anonK),
+    Some(s"""
+      SELECT CAST(c_nationkey AS INTEGER) AS nation,
+             c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+      HAVING count(*) < $anonK
+    """))
+
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, t50, t51, t58, q48, q58)
+      t44, t45, t50, t51, t58, t62, q48, q58)
 }

@@ -2321,9 +2321,59 @@ object TextQueries {
       FROM b GROUP BY 1, 2
     """))
 
+  // ---- t61: phonetic-blocked fuzzy name matching ----------------------
+  //
+  // The classic record-linkage shape (soundex-era): block on a cheap
+  // phonetic key of ONE attribute token, verify candidates with exact
+  // edit distance. Unlike t47's deletion neighborhood (lossless at
+  // d ≤ 1), a phonetic key trades recall for candidate volume — the
+  // production knobs are which attribute to key and how aggressive the
+  // skeleton is. Key here: consonant skeleton of the name's LAST token
+  // (first char kept, vowels dropped) — surname-style blocking; an edit
+  // in the FIRST token ("cold anvil" → "old anvil") never moves the
+  // block, which is exactly why production ER runs multiple blocking
+  // passes. The skeleton deliberately stops short of full soundex
+  // (digit classes, run squeezing): run squeezing needs a pattern
+  // backreference, which RE2 — DuckDB's engine — lacks, and the
+  // Java∩RE2 dialect rule (TextAnalysis PII note) governs every regex
+  // the oracle mirrors. Self-join is equi on the block key (never
+  // all-pairs); real name data has Zipf-hot blocks, so at corpus scale
+  // the hot-bucket discipline from the LSH join (cap + audit, or salt —
+  // Dedup.maxBucket) applies unchanged.
+
+  private val t61 = Q(
+    "t61_phonetic_block_match",
+    (s, d) => {
+      val keyed = Tables.spread(Tables.part(s, d))
+        .select(col("p_name").as("name")).distinct()
+        .withColumn("_noun", element_at(split(col("name"), " "), -1))
+        .withColumn("blk",
+          concat(substring(col("_noun"), 1, 1),
+            regexp_replace(expr("substring(_noun, 2)"), "[aeiou]", "")))
+        .select(col("blk"), col("name"))
+      keyed.join(keyed.withColumnRenamed("name", "name_b"), Seq("blk"))
+        .filter(col("name") < col("name_b") &&
+          levenshtein(col("name"), col("name_b")) <= 2)
+        .select(col("name").as("name_a"), col("name_b"),
+          levenshtein(col("name"), col("name_b")).as("dist"))
+    },
+    Some("""
+      WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      keyed AS (
+        SELECT name,
+               substr(split_part(name, ' ', 2), 1, 1) ||
+               regexp_replace(substr(split_part(name, ' ', 2), 2),
+                              '[aeiou]', '', 'g') AS blk
+        FROM names)
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 2
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60)
+      t60, t61)
 }
