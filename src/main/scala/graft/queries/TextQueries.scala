@@ -2371,9 +2371,51 @@ object TextQueries {
       WHERE levenshtein(a.name, b.name) <= 2
     """))
 
+  // ---- t63: exact heavy hitters via Misra-Gries prefilter -------------
+  //
+  // "Which tokens exceed φ = 1/200 of the corpus?" — the vocabulary-
+  // truncation / stopword-discovery primitive. The naive plan shuffles
+  // the ENTIRE long-tail token table to count everything; the scalable
+  // plan ([[graft.etl.HeavyHitters]]) folds each partition through a
+  // bounded Misra-Gries summary (≤ k counters, no shuffle), emits ≤ k
+  // candidates per partition (provably NO false negatives at φN), then
+  // exact-counts ONLY the candidates via a broadcast semi-join — the
+  // corpus is probed map-side and the one real shuffle carries just the
+  // candidate keys. The oracle is the textbook definition (count all,
+  // filter) precisely because the prefilter is semantics-free: exact
+  // output, partition-independent, hash-matched. Threshold is integer
+  // math (ceil via (N + d − 1) div d) so both engines compare the same
+  // BIGINT.
+
+  private val hhDen = 200 // φ = 1/200 of all tokens
+
+  private val t63 = Q(
+    "t63_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      val cand = graft.etl.HeavyHitters
+        .mgCandidates(toks.as[String], hhDen + 1)
+        .toDF("tok").distinct()
+      val stats = toks.agg(count(lit(1)).as("n_total"))
+        .select(expr(s"(n_total + ${hhDen - 1}) div $hhDen").as("thr"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(stats))
+        .filter(col("cnt") >= col("thr"))
+        .select(col("tok"), col("cnt"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT unnest($toksSql) AS tok FROM documents),
+      st AS (SELECT (count(*) + ${hhDen - 1}) // $hhDen AS thr FROM toks),
+      c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+      SELECT tok, cnt FROM c, st WHERE cnt >= thr
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61)
+      t60, t61, t63)
 }
