@@ -329,5 +329,69 @@ object StatsQueries {
       FROM ranked GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67)
+  // ---- q70: whole-table column profile in one melt ---------------------
+  //
+  // The ANALYZE-style profile (per column: rows, nulls, exact NDV, top
+  // value + its count) that feeds CBO stats, data-quality dashboards,
+  // and schema-drift monitors. The naive plan runs one count-distinct
+  // scan PER COLUMN (C passes over 100 TB); this plan scans ONCE,
+  // melts each row to (col_name, value) via stack (pure projection,
+  // C× rows but no extra pass), and aggregates (col_name, value) with
+  // map-side partials — low-cardinality columns collapse to their
+  // distinct values before the shuffle, so the exchange carries ~Σ NDV
+  // rows, not C×N. Every value is rendered to ONE canonical string per
+  // type family first (integers as-is, money as integer cents,
+  // timestamps as epoch micros) so the two engines group identical
+  // keys; top-value ties pin on (count DESC, value ASC).
+
+  private val q70 = Q(
+    "q70_column_profile",
+    (s, d) => {
+      val melted = Tables.orders(s, d).select(expr(
+        """stack(6,
+          |  'o_orderkey', cast(o_orderkey as string),
+          |  'o_custkey', cast(o_custkey as string),
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_totalprice', cast(cast(round(o_totalprice * 100) as bigint) as string),
+          |  'o_orderdate', cast(unix_micros(cast(o_orderdate as timestamp)) as string),
+          |  'o_orderpriority', o_orderpriority) as (col_name, v)
+          |""".stripMargin))
+      val counts = melted.groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("col_name"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count(when(col("v").isNotNull, lit(1))).as("ndv"),
+          // arg-min over (−cnt, value): count DESC then value ASC
+          min(when(col("v").isNotNull,
+            struct((-col("cnt")).as("nc"), col("v").as("tv")))).as("top"))
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+          col("top.tv").as("top_value"), (-col("top.nc")).as("top_count"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL SELECT 'o_totalprice',
+          CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderdate',
+          CAST(epoch_us(o_orderdate) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      c AS (SELECT col_name, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+      s AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CASE WHEN v IS NULL THEN cnt END), 0)
+                        AS BIGINT) AS n_null,
+                   count(CASE WHEN v IS NOT NULL THEN 1 END) AS ndv
+            FROM c GROUP BY 1),
+      t AS (SELECT col_name, v AS top_value, cnt AS top_count,
+                   row_number() OVER (PARTITION BY col_name
+                                      ORDER BY cnt DESC, v ASC) AS rn
+            FROM c WHERE v IS NOT NULL)
+      SELECT s.col_name, n_rows, n_null, ndv, top_value, top_count
+      FROM s JOIN t ON s.col_name = t.col_name AND t.rn = 1
+    """))
+
+  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70)
 }
