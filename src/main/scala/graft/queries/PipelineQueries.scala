@@ -652,8 +652,135 @@ object PipelineQueries {
       GROUP BY 1
     """))
 
+  // ---- q71: referential-integrity (orphan FK) audit --------------------
+  //
+  // The ingest data-quality gate: for every declared child→parent
+  // relationship, how many child rows (and distinct keys) reference a
+  // parent that does not exist. The scale shape: the child is FIRST
+  // collapsed to per-key counts (map-side combinable — the shuffle
+  // carries distinct keys, never child rows), then one anti-join per
+  // relationship against the parent's key set; orphan ROW counts come
+  // back by summing the collapsed per-key counts. Null FKs count as
+  // orphans in both engines (null never matches a parent key). The six
+  // relationship audits are independent frames unioned — at scale each
+  // is its own narrow shuffle, nothing cross-multiplies.
+
+  private val fkRels = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"))
+
+  private def tableByName(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "lineitem" => Tables.lineitem(s, d)
+      case "orders"   => Tables.orders(s, d)
+      case "part"     => Tables.part(s, d)
+      case "supplier" => Tables.supplier(s, d)
+      case "customer" => Tables.customer(s, d)
+      case "events"   => Tables.events(s, d)
+      case "nation"   => Tables.nation(s, d)
+    }
+
+  private val q71 = Q(
+    "q71_fk_integrity",
+    (s, d) => fkRels.map { case (child, fk, parent, pk) =>
+      val ck = tableByName(s, d, child)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
+      val orphan = ck.join(
+        tableByName(s, d, parent).select(col(pk).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      ck.agg(sum(col("cnt")).as("n_child"), count(lit(1)).as("n_keys"))
+        .crossJoin(orphan.agg(
+          coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys")))
+        .select(lit(s"$child.$fk->$parent").as("relationship"),
+          col("n_child"), col("n_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    }.reduce(_ unionAll _),
+    Some(fkRels.map { case (child, fk, parent, pk) =>
+      s"""SELECT '$child.$fk->$parent' AS relationship,
+             CAST(count(*) AS BIGINT) AS n_child,
+             count(DISTINCT c.$fk) AS n_keys,
+             CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_orphan_rows,
+             count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$fk END)
+               AS n_orphan_keys
+      FROM $child c
+      LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON c.$fk = p.$pk"""
+    }.mkString("\n      UNION ALL\n      ")))
+
+  // ---- q72: GDPR cascade-delete (right-to-be-forgotten) audit ----------
+  //
+  // Before executing an erasure batch, compliance wants the blast
+  // radius: per table, how many rows the cascade purges and how many
+  // remain. The deletion set (customers with c_custkey ≡ 0 mod 97 — a
+  // deterministic stand-in for the request queue) is TINY next to the
+  // data, so every purge test is a broadcast semi/anti-join probed
+  // map-side: customers directly, orders via o_custkey, events via
+  // user_id, and lineitem via the SECOND hop (the purged orders' keys)
+  // — the cascade's fan-out step. At scale the second-hop key set grows
+  // with the request batch (requests × orders-per-customer); if it
+  // outgrows broadcast, that one join falls back to a shuffled semi-join
+  // on l_orderkey — the plan shape the comment exists to flag.
+
+  private val q72 = Q(
+    "q72_gdpr_purge_audit",
+    (s, d) => {
+      val delUsers = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      val purgedOrders = Tables.orders(s, d)
+        .join(broadcast(delUsers), col("o_custkey") === col("k"), "left_semi")
+      def audit(name: String, tbl: DataFrame, purged: DataFrame): DataFrame =
+        tbl.agg(count(lit(1)).as("n_total"))
+          .crossJoin(purged.agg(count(lit(1)).as("n_purged")))
+          .select(lit(name).as("table_name"), col("n_purged"),
+            (col("n_total") - col("n_purged")).as("n_remaining"))
+      audit("customer", Tables.customer(s, d),
+          Tables.customer(s, d).join(broadcast(delUsers),
+            col("c_custkey") === col("k"), "left_semi"))
+        .unionAll(audit("orders", Tables.orders(s, d), purgedOrders))
+        .unionAll(audit("lineitem", Tables.lineitem(s, d),
+          Tables.lineitem(s, d).join(
+            broadcast(purgedOrders.select(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")))
+        .unionAll(audit("events", Tables.events(s, d),
+          Tables.events(s, d).join(broadcast(delUsers),
+            col("user_id") === col("k"), "left_semi")))
+    },
+    Some("""
+      WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      po AS (SELECT o_orderkey FROM orders
+             WHERE o_custkey IN (SELECT k FROM del))
+      SELECT 'customer' AS table_name,
+             CAST((SELECT count(*) FROM customer
+                   WHERE c_custkey IN (SELECT k FROM del)) AS BIGINT) AS n_purged,
+             CAST((SELECT count(*) FROM customer
+                   WHERE c_custkey NOT IN (SELECT k FROM del)) AS BIGINT) AS n_remaining
+      UNION ALL
+      SELECT 'orders',
+             CAST((SELECT count(*) FROM po) AS BIGINT),
+             CAST((SELECT count(*) FROM orders) -
+                  (SELECT count(*) FROM po) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) AS BIGINT)
+      UNION ALL
+      SELECT 'events',
+             CAST((SELECT count(*) FROM events
+                   WHERE user_id IN (SELECT k FROM del)) AS BIGINT),
+             CAST((SELECT count(*) FROM events
+                   WHERE user_id NOT IN (SELECT k FROM del)) AS BIGINT)
+    """))
+
   def all: Seq[Q] =
-    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69)
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.

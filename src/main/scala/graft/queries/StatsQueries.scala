@@ -393,5 +393,65 @@ object StatsQueries {
       FROM s JOIN t ON s.col_name = t.col_name AND t.rn = 1
     """))
 
-  def all: Seq[Q] = Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70)
+  // ---- q73: join/partition-key skew audit -------------------------------
+  //
+  // The diagnostic that decides WHEN to reach for the skew tools
+  // (salting, AQE skew-join, broadcast): per candidate key, how uneven
+  // is the row distribution. One hash agg collapses rows to per-key
+  // counts (the only big shuffle — distinct keys, map-side combined);
+  // the quantiles of the COUNT distribution then come from a second
+  // tiny agg keyed by count VALUE plus a running sum over the distinct
+  // count values — a frame bounded by |distinct frequencies| (≪ keys;
+  // a Zipf tail collapses to few distinct counts), so the
+  // single-partition window is a deliberate small-frame exception to
+  // the no-global-window rule, same as the q04 month spine. Quantile
+  // rule: smallest count c with cumKeys(c) ≥ ceil(q·K) — pure integer
+  // math, engine-exact; top-1 share in per-mille integer units.
+
+  private val q73 = Q(
+    "q73_key_skew_audit",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val byCnt = counts.groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt")).rowsBetween(Long.MinValue, 0)
+      val cum = byCnt.withColumn("cum", sum(col("k")).over(w))
+      val stats = counts.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      cum.crossJoin(broadcast(stats))
+        .agg(
+          min(when(col("cum") >= expr("(n_keys + 1) div 2"), col("cnt")))
+            .as("p50_cnt"),
+          min(when(col("cum") >= expr("(n_keys * 9 + 9) div 10"), col("cnt")))
+            .as("p90_cnt"),
+          min(when(col("cum") >= expr("(n_keys * 99 + 99) div 100"), col("cnt")))
+            .as("p99_cnt"),
+          max(col("n_rows")).as("n_rows"), max(col("n_keys")).as("n_keys"),
+          max(col("max_cnt")).as("max_cnt"))
+        .select(col("n_rows"), col("n_keys"), col("p50_cnt"), col("p90_cnt"),
+          col("p99_cnt"), col("max_cnt"),
+          expr("(1000 * max_cnt) div n_rows").as("top1_pm"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      bycnt AS (SELECT cnt, count(*) AS k FROM counts GROUP BY 1),
+      cum AS (SELECT cnt, sum(k) OVER (ORDER BY cnt
+                ROWS UNBOUNDED PRECEDING) AS cum FROM bycnt),
+      st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                    count(*) AS n_keys,
+                    max(cnt) AS max_cnt FROM counts)
+      SELECT n_rows, n_keys,
+             min(CASE WHEN cum >= (n_keys + 1) // 2 THEN cnt END) AS p50_cnt,
+             min(CASE WHEN cum >= (n_keys * 9 + 9) // 10 THEN cnt END) AS p90_cnt,
+             min(CASE WHEN cum >= (n_keys * 99 + 99) // 100 THEN cnt END) AS p99_cnt,
+             max_cnt,
+             (1000 * max_cnt) // n_rows AS top1_pm
+      FROM cum CROSS JOIN st
+      GROUP BY n_rows, n_keys, max_cnt
+    """))
+
+  def all: Seq[Q] =
+    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73)
 }
