@@ -60,18 +60,26 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos
-    * as a raw long (legacy conf) and convert to a microsecond timestamp —
-    * exact for our purposes (integer division, no double round-trip).
+  /** `events.parquet` has shipped `ts` as two physical types across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects outright, [PARQUET_TYPE_ILLEGAL] — read
+    * nanos as a raw long via the legacy conf and integer-divide to micros)
+    * and plain TIMESTAMP(MICROS) (which Spark reads natively as
+    * TIMESTAMP_NTZ). Branch on the scanned schema so both layouts load to
+    * the same `TimestampType` column; with the session timezone pinned to
+    * UTC (Bench/Verify/Cli/specs) the NTZ→LTZ cast is numerically exact.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
-    // `div` (integer division) — `/` would go through double and lose
-    // nanosecond-epoch precision (≈1.7e18 > 2^53).
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    raw.schema("ts").dataType match {
+      // `div` (integer division) — `/` would go through double and lose
+      // nanosecond-epoch precision (≈1.7e18 > 2^53).
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
