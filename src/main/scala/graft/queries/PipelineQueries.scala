@@ -779,8 +779,59 @@ object PipelineQueries {
                    WHERE user_id NOT IN (SELECT k FROM del)) AS BIGINT)
     """))
 
+  // ---- q75: incremental aggregate maintenance (merge, don't rescan) ----
+  //
+  // The materialized-view maintenance contract behind every daily
+  // pipeline: yesterday's per-key aggregate STATE plus today's BATCH
+  // partials must merge to exactly what a full recompute would say —
+  // otherwise incremental rollup drifts and the only fix is a 100 TB
+  // backfill. Here the corpus is split at its median day into
+  // "state" (history) and "batch" (new arrivals), each aggregated
+  // independently, then merged by RE-AGGREGATING the union of partial
+  // rows: sum-of-sums, sum-of-counts, max-of-max, min-of-min. The
+  // oracle computes the full-table aggregate directly — hash equality
+  // IS the algebraic proof the merge is lossless. Only decomposable
+  // statistics appear (count/sum/max/min in exact 1e-4 integer units);
+  // countDistinct deliberately does not — its mergeable form is q59's
+  // HLL register grid.
+  //
+  // Scale: the daily shuffle is batch-sized; the state table is
+  // report-keyed (types × days) and the merge agg runs on two
+  // state-sized inputs. The corpus is rescanned never — that is the
+  // whole point.
+
+  private val q75 = Q(
+    "q75_incremental_agg",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          round(col("value") * 10000).cast("long").as("v_e4"))
+      val pivot = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("pv"))
+      val partial = (part: DataFrame) => part
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v_e4")).as("sum_e4"),
+          max(col("v_e4")).as("max_e4"), min(col("v_e4")).as("min_e4"))
+      val split = ev.crossJoin(broadcast(pivot))
+      val state = partial(split.filter(col("day") < col("pv")))
+      val batch = partial(split.filter(col("day") >= col("pv")))
+      state.unionAll(batch)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_e4")).as("sum_e4"),
+          max(col("max_e4")).as("max_e4"), min(col("min_e4")).as("min_e4"))
+    },
+    Some("""
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_e4,
+             max(CAST(round(value * 10000) AS BIGINT)) AS max_e4,
+             min(CAST(round(value * 10000) AS BIGINT)) AS min_e4
+      FROM events GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
-    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72)
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72,
+      q75)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.

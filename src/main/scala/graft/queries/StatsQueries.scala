@@ -452,6 +452,83 @@ object StatsQueries {
       GROUP BY n_rows, n_keys, max_cnt
     """))
 
+  // ---- q74: count-min sketch frequency estimation ----------------------
+  //
+  // The third mergeable sketch in the family (q33 percentiles, q59
+  // distinct): bounded-memory frequency estimation. A d×w counter grid
+  // (d = 4 hash rows, w = 512 buckets) absorbs the whole stream with
+  // map-side partial sums — counters ADD, so shards merge
+  // associatively under any partitioning; estimate(key) = min over the
+  // d cells the key hashes into, which can only OVER-count (collisions
+  // add, never subtract): est ≥ exact always, and est ≤ exact + ⌈2N/w⌉
+  // with high probability. Unlike approx_count_distinct's opaque HLL,
+  // this sketch is built from the portable hash — the oracle
+  // reconstructs the SAME grid bit-exactly in SQL, so the estimates
+  // themselves hash-match (not just an envelope). Probes here are the
+  // top-10 exact heavy keys (a q73-style audit pairing); the sketch
+  // answers any ad-hoc key without rescanning the corpus.
+
+  private val cmD = 4 // hash rows
+  private val cmW = 512 // buckets per row
+
+  private def cmKeySql = "'u'||CAST(user_id AS VARCHAR)||':'||CAST(j AS VARCHAR)"
+
+  private val q74 = Q(
+    "q74_countmin_freq",
+    (s, d) => {
+      import graft.functions.Portable
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val cells = ev
+        .select(col("user_id"), explode(expr(s"sequence(0, ${cmD - 1})")).as("j"))
+        .select(col("j"),
+          pmod(Portable.hash60(
+            concat(lit("u"), col("user_id").cast("string"), lit(":"),
+              col("j").cast("string")), 31), lit(cmW.toLong)).as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("cell"))
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      val n = ev.agg(count(lit(1)).as("n_total"))
+      top
+        .select(col("user_id"), col("n_exact"),
+          explode(expr(s"sequence(0, ${cmD - 1})")).as("j"))
+        .select(col("user_id"), col("n_exact"), col("j"),
+          pmod(Portable.hash60(
+            concat(lit("u"), col("user_id").cast("string"), lit(":"),
+              col("j").cast("string")), 31), lit(cmW.toLong)).as("b"))
+        .join(broadcast(cells), Seq("j", "b"))
+        .groupBy(col("user_id"), col("n_exact"))
+        .agg(min(col("cell")).as("n_est"))
+        .crossJoin(broadcast(n))
+        .select(col("user_id"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"),
+          (col("n_est") - col("n_exact")
+            <= expr(s"(2 * n_total + ${cmW - 1}) div $cmW")).as("within_bound"))
+    },
+    Some(s"""
+      WITH ev AS (SELECT user_id FROM events),
+      cells AS (
+        SELECT j, ${OracleSql.hSql(cmKeySql, 31)} % $cmW AS b,
+               count(*) AS cell
+        FROM ev, LATERAL unnest(generate_series(0, ${cmD - 1})) g(j)
+        GROUP BY 1, 2),
+      top AS (
+        SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1
+        ORDER BY n_exact DESC, user_id LIMIT 10),
+      st AS (SELECT count(*) AS n_total FROM ev),
+      probe AS (
+        SELECT user_id, n_exact, j,
+               ${OracleSql.hSql(cmKeySql, 31)} % $cmW AS b
+        FROM top, LATERAL unnest(generate_series(0, ${cmD - 1})) g(j)),
+      est AS (
+        SELECT p.user_id, p.n_exact, min(c.cell) AS n_est
+        FROM probe p JOIN cells c ON c.j = p.j AND c.b = p.b
+        GROUP BY 1, 2)
+      SELECT user_id, n_exact, n_est, n_est - n_exact AS overcount,
+             (n_est - n_exact) <= (2 * n_total + ${cmW - 1}) // $cmW
+               AS within_bound
+      FROM est CROSS JOIN st
+    """))
+
   def all: Seq[Q] =
-    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73)
+    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73, q74)
 }

@@ -2413,9 +2413,204 @@ object TextQueries {
       SELECT tok, cnt FROM c, st WHERE cnt >= thr
     """))
 
+  // ---- t64: cross-document repeated span detection --------------------
+  //
+  // The substring-granular complement to doc-level dedup (t05..t10):
+  // find the exact CHARACTER RANGES of each document that also occur
+  // verbatim in some other document — the ExactSubstr signal (Lee et
+  // al., "Deduplicating Training Data Makes Language Models Better")
+  // that catches boilerplate stitched into otherwise-unique pages,
+  // which doc-level Jaccard dilutes below threshold. Plan: every
+  // k-char gram (k = 24) is fingerprinted with the portable hash;
+  // grams seen in ≥ 2 distinct docs are "shared"; per doc, shared
+  // gram START positions within k of each other merge into maximal
+  // covered intervals (p and p' < p + k overlap as [p, p+k−1] ranges),
+  // so dup_chars counts each duplicated character EXACTLY once.
+  //
+  // Scale: the only corpus-sized shuffle is the gram-fingerprint agg
+  // (map-side combined); the interval merge is two windows inside one
+  // per-doc partition. At 100 TB the gram explode runs with a stride s
+  // (any span ≥ k + s − 1 still hits a sampled gram — the standard
+  // ExactSubstr scaling) and a suffix-array pass replaces nothing:
+  // the plan shape is already the hashed equivalent.
+
+  private val spanK = 24
+
+  private val t64 = Q(
+    "t64_span_dedup",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val grams = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .filter(col("len") >= spanK)
+        .select(col("doc_id"), col("len"),
+          explode(expr(s"sequence(1, len - $spanK + 1)")).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("len"), col("p"),
+          Portable.hash60(expr(s"substring(text, p, $spanK)"), 11).as("fp"))
+      val shared = grams.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("fp"))
+      val hits = grams.join(shared, Seq("fp"))
+        .select(col("doc_id"), col("len"), col("p"))
+      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
+      hits
+        .withColumn("brk",
+          when(col("p") - lag(col("p"), 1).over(byDoc) <= spanK, 0L)
+            .otherwise(1L))
+        .withColumn("isl", sum(col("brk")).over(byDoc))
+        .groupBy(col("doc_id"), col("len"), col("isl"))
+        .agg((max(col("p")) - min(col("p")) + spanK).as("cov"))
+        .groupBy(col("doc_id"), col("len"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("cov")).as("dup_chars"))
+        .select(col("doc_id"), col("n_spans"), col("dup_chars"),
+          expr("(1000 * dup_chars) div len").as("dup_pm"))
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, length(text) AS len, p,
+               ${hSql(s"substr(text, CAST(p AS INTEGER), $spanK)", 11)} AS fp
+        FROM documents,
+             LATERAL unnest(generate_series(1, length(text) - $spanK + 1)) g(p)
+        WHERE length(text) >= $spanK),
+      shared AS (SELECT fp FROM grams GROUP BY 1
+                 HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, len, p FROM grams
+               WHERE fp IN (SELECT fp FROM shared)),
+      isl AS (
+        SELECT doc_id, len, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                      <= $spanK THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      grp AS (
+        SELECT doc_id, len,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id, p
+        FROM isl),
+      cov AS (
+        SELECT doc_id, len, isl_id,
+               max(p) - min(p) + $spanK AS cov
+        FROM grp GROUP BY 1, 2, 3)
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(cov) AS BIGINT) AS dup_chars,
+             (1000 * CAST(sum(cov) AS BIGINT)) // len AS dup_pm
+      FROM cov GROUP BY doc_id, len
+    """))
+
+  // ---- t65: BPE merge-pair statistics over the word histogram ---------
+  //
+  // One training round of byte-pair encoding, phrased for corpus scale:
+  // the merge candidate is the adjacent symbol pair with the highest
+  // corpus frequency, and the ONLY corpus-sized operation is the word
+  // histogram (groupBy word, map-side combined). Pair counting then
+  // runs on the VOCABULARY (distinct words weighted by count) — the
+  // standard trick (Sennrich et al. BPE; SentencePiece) that makes
+  // training cost independent of corpus size: 100 TB of text collapses
+  // to a few million (word, count) rows before any pair is touched.
+  // This is round 0 (symbols = characters); every later round has the
+  // identical plan shape (histogram → weighted pair agg → argmax),
+  // with words re-segmented by the grown vocab — the seam where
+  // [[graft.functions.SubwordCount]]'s greedy segmenter plugs in.
+
+  private val t65 = Q(
+    "t65_bpe_pair_stats",
+    (s, d) => {
+      val hist = Tables.spread(Tables.documents(s, d))
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      hist.filter(length(col("w")) >= 2)
+        .select(col("cnt"), col("w"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH hist AS (
+        SELECT tok AS w, count(*) AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, cnt
+        FROM hist, LATERAL unnest(generate_series(1, length(w) - 1)) g(i)
+        WHERE length(w) >= 2)
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+      FROM pairs GROUP BY 1
+      ORDER BY freq DESC, pair LIMIT 20
+    """))
+
+  // ---- t66: deterministic negative sampling (contrastive pairs) -------
+  //
+  // Training-pair fabrication for contrastive objectives: each anchor
+  // document draws k = 3 pseudo-random negatives. The naive draw is a
+  // per-anchor ORDER BY rand() over the corpus — a cross join plus
+  // nondeterminism, both banned here. Instead the corpus is hashed
+  // into nB buckets once; each (anchor, i) probe hashes to ONE bucket
+  // (seed-salted), and the winner within the bucket is the candidate
+  // minimizing a hash of (anchor, i, candidate) — an equi-join on the
+  // bucket key followed by a min_by aggregation argmin. Fully
+  // deterministic (retry/backfill-safe), uniform-ish by hash mixing,
+  // and sampling WITH replacement across i (collisions possible,
+  // standard for contrastive negatives; self-pairs are excluded).
+  //
+  // Scale: per-probe work is one bucket (≈ N/nB docs); pick
+  // nB ∝ corpus size to hold bucket size constant — the join stays
+  // equi-keyed and skew-free by hash uniformity, and the corpus is
+  // never cross-joined or globally sorted.
+
+  private val negK = 3
+  private val negBuckets = 64
+
+  private val t66 = Q(
+    "t66_negative_sampling",
+    (s, d) => {
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"),
+          pmod(Portable.hash60(col("doc_id").cast("string"), 21),
+            lit(negBuckets.toLong)).as("bkt"))
+      val probes = docs.select(col("doc_id").as("anchor_id"),
+          explode(expr(s"sequence(1, $negK)")).as("neg_rank"))
+        .withColumn("bkt",
+          pmod(Portable.hash60(
+            concat(col("anchor_id").cast("string"), lit(":"),
+              col("neg_rank").cast("string")), 22),
+            lit(negBuckets.toLong)))
+      probes.join(docs.withColumnRenamed("doc_id", "cand_id"), Seq("bkt"))
+        .filter(col("cand_id") =!= col("anchor_id"))
+        .withColumn("score",
+          Portable.hash60(
+            concat(col("anchor_id").cast("string"), lit(":"),
+              col("neg_rank").cast("string"), lit(":"),
+              col("cand_id").cast("string")), 23))
+        .groupBy(col("anchor_id"), col("neg_rank"))
+        .agg(min_by(col("cand_id"), col("score")).as("neg_id"))
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               ${hSql("CAST(doc_id AS VARCHAR)", 21)} % $negBuckets AS bkt
+        FROM documents),
+      probes AS (
+        SELECT doc_id AS anchor_id, CAST(i AS BIGINT) AS neg_rank,
+               ${hSql("CAST(doc_id AS VARCHAR)||':'||CAST(i AS VARCHAR)", 22)}
+                 % $negBuckets AS bkt
+        FROM documents, LATERAL unnest(generate_series(1, $negK)) g(i)),
+      cands AS (
+        SELECT p.anchor_id, p.neg_rank, d.doc_id AS cand_id,
+               ${hSql(
+                 "CAST(p.anchor_id AS VARCHAR)||':'||" +
+                 "CAST(p.neg_rank AS VARCHAR)||':'||" +
+                 "CAST(d.doc_id AS VARCHAR)", 23)} AS score
+        FROM probes p JOIN docs d ON d.bkt = p.bkt
+        WHERE d.doc_id <> p.anchor_id)
+      SELECT anchor_id, neg_rank, arg_min(cand_id, score) AS neg_id
+      FROM cands GROUP BY 1, 2
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63)
+      t60, t61, t63, t64, t65, t66)
 }
