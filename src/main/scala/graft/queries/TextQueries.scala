@@ -2433,6 +2433,14 @@ object TextQueries {
   // (any span ≥ k + s − 1 still hits a sampled gram — the standard
   // ExactSubstr scaling) and a suffix-array pass replaces nothing:
   // the plan shape is already the hashed equivalent.
+  //
+  // The fingerprint is Spark-internal (never surfaces in the output),
+  // so it does NOT need the cross-engine md5 mirror — sharedness is
+  // substring equality, which the oracle states directly by grouping
+  // raw grams. xxhash64 here is ~20× cheaper than md5 per gram and
+  // stays in whole-stage codegen; a 64-bit collision (≈ n²/2⁶⁵) could
+  // only ADD a false shared gram, and RoundSixOpsSpec cross-checks
+  // coverage against a hash-free direct recompute.
 
   private val spanK = 24
 
@@ -2447,10 +2455,12 @@ object TextQueries {
           explode(expr(s"sequence(1, len - $spanK + 1)")).as("p"),
           col("text"))
         .select(col("doc_id"), col("len"), col("p"),
-          Portable.hash60(expr(s"substring(text, p, $spanK)"), 11).as("fp"))
+          xxhash64(expr(s"substring(text, p, $spanK)")).as("fp"))
+      // "≥ 2 distinct docs" as min≠max: two cheap partial aggs instead
+      // of countDistinct's expand-and-dedup
       val shared = grams.groupBy(col("fp"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("fp"))
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+        .filter(col("d0") =!= col("d1")).select(col("fp"))
       val hits = grams.join(shared, Seq("fp"))
         .select(col("doc_id"), col("len"), col("p"))
       val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
@@ -2470,12 +2480,12 @@ object TextQueries {
     Some(s"""
       WITH grams AS (
         SELECT doc_id, length(text) AS len, p,
-               ${hSql(s"substr(text, CAST(p AS INTEGER), $spanK)", 11)} AS fp
+               substr(text, CAST(p AS INTEGER), $spanK) AS fp
         FROM documents,
              LATERAL unnest(generate_series(1, length(text) - $spanK + 1)) g(p)
         WHERE length(text) >= $spanK),
       shared AS (SELECT fp FROM grams GROUP BY 1
-                 HAVING count(DISTINCT doc_id) >= 2),
+                 HAVING min(doc_id) <> max(doc_id)),
       hits AS (SELECT doc_id, len, p FROM grams
                WHERE fp IN (SELECT fp FROM shared)),
       isl AS (
