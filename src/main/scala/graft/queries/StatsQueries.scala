@@ -529,6 +529,111 @@ object StatsQueries {
       FROM est CROSS JOIN st
     """))
 
+  // ---- q76: equal-frequency feature binning (quantile discretization) --
+  //
+  // The feature-prep step before any tree model or calibration table:
+  // map a continuous column to 10 equal-frequency bins. A naive
+  // `percentile(c, ...)` over one global group funnels the WHOLE
+  // column through a single sort task — the q73-documented scale trap.
+  // The scalable exact plan: collapse to a value HISTOGRAM (distinct
+  // cents, map-side combined — the only corpus shuffle), run the
+  // distributed two-level prefix sum over the value order
+  // ([[graft.etl.PrefixSum]], never a single-partition window), and
+  // probe the 18 needed order statistics (floor/ceil neighbors of the
+  // nine q·(n−1) rank positions) with a broadcast 18-row table. The
+  // interpolation runs in INTEGER arithmetic on both engines —
+  // pos = i·(n−1)/10 is rational with denominator 10, so
+  // edge_c = (10·lo + (hi−lo)·rem + 5) div 10 reproduces
+  // round(quantile_cont) without any double ever existing (q57/q62's
+  // recipe, here applied to the percentile itself). Bin assignment is
+  // then a map-side `c > edge_c` count against the broadcast edge row,
+  // and the report agg is 10 rows.
+
+  private val q76 = Q(
+    "q76_quantile_bins",
+    (s, d) => {
+      // spread: the projected cents column is materialized once (32
+      // partitions) and feeds BOTH passes — histogram and bin
+      // assignment — instead of two single-task single-row-group scans
+      val li = Tables.spread(Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c")))
+      val hist = li.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .withColumn("_qb", expr("c div 100000"))
+      val cum = graft.etl.PrefixSum.exclusiveBy(
+        hist, "_qb", Seq(col("c")), "cnt", "off")
+      val probes = li.agg(count(lit(1)).as("n"))
+        .select(explode(expr("sequence(1, 9)")).as("i"), col("n"))
+        .select(col("i"),
+          expr("(i * (n - 1)) div 10").as("k"),
+          expr("(i * (n - 1)) % 10").as("rem"))
+        .select(col("i"), col("rem"),
+          explode(array(col("k"), col("k") + 1)).as("p"))
+      val vals = cum.join(broadcast(probes),
+          col("off") <= col("p") && col("p") < col("off") + col("cnt"))
+        .groupBy(col("i"), col("rem"))
+        .agg(min(col("c")).as("lo_c"), max(col("c")).as("hi_c"))
+      val es = (1 to 9).map(i =>
+        max(when(col("i") === i, col("ec"))).as(s"e$i"))
+      val edgeRow = vals
+        .select(col("i"),
+          expr("(10 * lo_c + (hi_c - lo_c) * rem + 5) div 10").as("ec"))
+        .agg(es.head, es.tail: _*)
+      li.crossJoin(broadcast(edgeRow))
+        .select(col("c"),
+          (1 to 9).map(i => when(col("c") > col(s"e$i"), 1L).otherwise(0L))
+            .reduce(_ + _).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+          max(col("c")).as("max_c"))
+        .select(col("bin"), col("n"),
+          (col("min_c").cast("double") / 100.0).as("lo"),
+          (col("max_c").cast("double") / 100.0).as("hi"))
+    },
+    Some("""
+      WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                 FROM lineitem),
+      hist AS (SELECT c, count(*) AS cnt FROM v GROUP BY 1),
+      cum AS (SELECT c, cnt,
+                     CAST(coalesce(sum(cnt) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+              FROM hist),
+      st AS (SELECT count(*) AS n FROM v),
+      pos AS (SELECT i, (i * (n - 1)) // 10 AS k, (i * (n - 1)) % 10 AS rem
+              FROM st, LATERAL unnest(generate_series(1, 9)) g(i)),
+      probes AS (SELECT i, rem, k AS p FROM pos
+                 UNION ALL SELECT i, rem, k + 1 FROM pos),
+      vals AS (SELECT p.i, p.rem, min(c.c) AS lo_c, max(c.c) AS hi_c
+               FROM probes p JOIN cum c
+                 ON c.off <= p.p AND p.p < c.off + c.cnt
+               GROUP BY 1, 2),
+      erow AS (SELECT
+                 max(CASE WHEN i = 1 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e1,
+                 max(CASE WHEN i = 2 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e2,
+                 max(CASE WHEN i = 3 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e3,
+                 max(CASE WHEN i = 4 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e4,
+                 max(CASE WHEN i = 5 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e5,
+                 max(CASE WHEN i = 6 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e6,
+                 max(CASE WHEN i = 7 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e7,
+                 max(CASE WHEN i = 8 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e8,
+                 max(CASE WHEN i = 9 THEN (10*lo_c + (hi_c-lo_c)*rem + 5) // 10 END) AS e9
+               FROM vals),
+      b AS (SELECT c,
+              CAST(CASE WHEN c > e1 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e2 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e3 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e4 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e5 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e6 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e7 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e8 THEN 1 ELSE 0 END
+                 + CASE WHEN c > e9 THEN 1 ELSE 0 END AS BIGINT) AS bin
+            FROM v CROSS JOIN erow)
+      SELECT bin, count(*) AS n,
+             min(c) / 100.0 AS lo, max(c) / 100.0 AS hi
+      FROM b GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73, q74)
+    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73, q74, q76)
 }
