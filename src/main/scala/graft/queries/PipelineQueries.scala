@@ -779,183 +779,8 @@ object PipelineQueries {
                    WHERE user_id NOT IN (SELECT k FROM del)) AS BIGINT)
     """))
 
-  // ---- q75: incremental aggregate maintenance (merge, don't rescan) ----
-  //
-  // The materialized-view maintenance contract behind every daily
-  // pipeline: yesterday's per-key aggregate STATE plus today's BATCH
-  // partials must merge to exactly what a full recompute would say —
-  // otherwise incremental rollup drifts and the only fix is a 100 TB
-  // backfill. Here the corpus is split at its median day into
-  // "state" (history) and "batch" (new arrivals), each aggregated
-  // independently, then merged by RE-AGGREGATING the union of partial
-  // rows: sum-of-sums, sum-of-counts, max-of-max, min-of-min. The
-  // oracle computes the full-table aggregate directly — hash equality
-  // IS the algebraic proof the merge is lossless. Only decomposable
-  // statistics appear (count/sum/max/min in exact 1e-4 integer units);
-  // countDistinct deliberately does not — its mergeable form is q59's
-  // HLL register grid.
-  //
-  // Scale: the daily shuffle is batch-sized; the state table is
-  // report-keyed (types × days) and the merge agg runs on two
-  // state-sized inputs. The corpus is rescanned never — that is the
-  // whole point.
-
-  private val q75 = Q(
-    "q75_incremental_agg",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"),
-          round(col("value") * 10000).cast("long").as("v_e4"))
-      val pivot = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("pv"))
-      val partial = (part: DataFrame) => part
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), sum(col("v_e4")).as("sum_e4"),
-          max(col("v_e4")).as("max_e4"), min(col("v_e4")).as("min_e4"))
-      val split = ev.crossJoin(broadcast(pivot))
-      val state = partial(split.filter(col("day") < col("pv")))
-      val batch = partial(split.filter(col("day") >= col("pv")))
-      state.unionAll(batch)
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("n")).as("n"), sum(col("sum_e4")).as("sum_e4"),
-          max(col("max_e4")).as("max_e4"), min(col("min_e4")).as("min_e4"))
-    },
-    Some("""
-      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
-             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
-               AS sum_e4,
-             max(CAST(round(value * 10000) AS BIGINT)) AS max_e4,
-             min(CAST(round(value * 10000) AS BIGINT)) AS min_e4
-      FROM events GROUP BY 1, 2
-    """))
-
-  // ---- q77: PageRank power iteration (integer-exact, unrolled) ---------
-  //
-  // Iterative graph analytics beyond t46's connected components: rank
-  // entities in the customer↔supplier transaction graph by PageRank
-  // (damping 0.85, 3 unrolled power iterations). The graph is
-  // undirected (each trade edge contributes both ways), so every node
-  // has out-degree ≥ 1 and no dangling-mass correction is needed.
-  // Numeric contract: ranks live in micro-units scaled ×N (uniform
-  // start = 1 000 000 per node; teleport = 150 000), contributions are
-  // (rank·850) div (1000·outdeg) — all BIGINT, all operands
-  // non-negative, so Spark's `div` and DuckDB's `//` truncate
-  // identically and the fixpoint is bit-reproducible (the same rule
-  // that made t30/t35's NLL sums exact). Truncation loses < 1 micro
-  // per edge per round — bounded, deterministic, engine-identical.
-  //
-  // Scale: the rank/degree state is NODE-sized — broadcast to the
-  // edge scan, so each round costs ONE shuffle (the groupBy dst
-  // re-aggregation, map-side combined) and the edge table itself is
-  // never re-shuffled; the distinct'd edge exchange is planned once
-  // and reused across rounds (ReuseExchange). When the node state
-  // outgrows broadcast (10⁹+ nodes), both sides bucket by the node
-  // key once (q69's layout) and every round's join is exchange-free;
-  // rounds run until the L1 delta (a tiny agg, t09's convergence
-  // discipline) stalls. Node ids pack entity type in the low bit
-  // (cust = 2k, supp = 2k+1) to keep the state a single BIGINT column.
-  // Bench-scale caveat: the measured cost here is ~8 sequential
-  // scheduler rounds (checkpoint + broadcast-build + agg per
-  // iteration), a fixed floor that dwarfs the 587k-edge data volume at
-  // sf0.1; at corpus scale the same plan amortizes those floors over
-  // real shuffle work — the single-process oracle pays no such floor.
-
-  private val q77 = Q(
-    "q77_pagerank",
-    (s, d) => {
-      val pairs = Tables.spread(Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_suppkey")))
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("c"),
-          (col("l_suppkey") * 2 + 1).as("p"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
-        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      // deg and rank are NODE-sized (≪ edges) — broadcast explicitly:
-      // Catalyst's size estimate for post-agg frames is edge-derived and
-      // blocks the auto-broadcast, which would shuffle the edge table
-      // TWICE per round instead of zero times. The lazy localCheckpoint
-      // pins the iteration base: the join⋈distinct⋈degree subtree
-      // appears under every unrolled round AND inside each round's
-      // broadcast-rank lineage, and exchange reuse does not dedup
-      // across those boundaries — without the checkpoint the edge
-      // derivation is re-executed ~8× (measured 9.1s → 3.4s at sf0.1).
-      // Same discipline as GraphX/iterative MLlib: materialize the
-      // loop-invariant frame once per fixpoint computation.
-      val edgesD = edges.join(broadcast(deg), Seq("src"))
-        .localCheckpoint(false)
-      // round 1 folds the constant uniform rank (1 000 000 per node)
-      // into the contribution expression — no join needed at all
-      var rank = edgesD
-        .select(col("dst"),
-          expr(s"(1000000 * 850) div (1000 * outdeg)").as("contrib"))
-        .groupBy(col("dst"))
-        .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
-        .withColumnRenamed("dst", "node")
-        .localCheckpoint(false)
-      // per-round localCheckpoint (t09's discipline): without it each
-      // unrolled round NESTS the previous rounds' full plan inside its
-      // broadcast lineage and Catalyst re-analyzes/re-codegens the
-      // whole tower — planning cost, not execution, dominated the
-      // un-checkpointed version (~3× slower measured)
-      for (i <- 2 to 3) {
-        rank = edgesD
-          .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
-          .select(col("dst"),
-            expr("(rank * 850) div (1000 * outdeg)").as("contrib"))
-          .groupBy(col("dst"))
-          .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
-          .withColumnRenamed("dst", "node")
-        // the last round feeds TakeOrdered directly — nothing nests
-        // above it, so its checkpoint would be a wasted materialization
-        if (i < 3) rank = rank.localCheckpoint(false)
-      }
-      rank
-        .select(when(col("node") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("entity"),
-          expr("CAST(node div 2 AS BIGINT)").as("entity_id"), col("rank"))
-        .orderBy(col("rank").desc, col("entity"), col("entity_id"))
-        .limit(20)
-    },
-    Some("""
-      WITH pairs AS (
-        SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS p
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS (
-        SELECT c AS src, p AS dst FROM pairs
-        UNION ALL SELECT p AS src, c AS dst FROM pairs),
-      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-      r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
-      r1 AS (SELECT e.dst AS node,
-                    CAST(150000 + sum((r.rank * 850) // (1000 * d.outdeg))
-                      AS BIGINT) AS rank
-             FROM edges e JOIN deg d ON d.src = e.src
-                          JOIN r0 r ON r.node = e.src
-             GROUP BY 1),
-      r2 AS (SELECT e.dst AS node,
-                    CAST(150000 + sum((r.rank * 850) // (1000 * d.outdeg))
-                      AS BIGINT) AS rank
-             FROM edges e JOIN deg d ON d.src = e.src
-                          JOIN r1 r ON r.node = e.src
-             GROUP BY 1),
-      r3 AS (SELECT e.dst AS node,
-                    CAST(150000 + sum((r.rank * 850) // (1000 * d.outdeg))
-                      AS BIGINT) AS rank
-             FROM edges e JOIN deg d ON d.src = e.src
-                          JOIN r2 r ON r.node = e.src
-             GROUP BY 1)
-      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
-               AS entity,
-             node // 2 AS entity_id, rank
-      FROM r3
-      ORDER BY rank DESC, entity, entity_id LIMIT 20
-    """))
-
   def all: Seq[Q] =
-    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72,
-      q75, q77)
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.

@@ -2413,100 +2413,6 @@ object TextQueries {
       SELECT tok, cnt FROM c, st WHERE cnt >= thr
     """))
 
-  // ---- t64: cross-document repeated span detection --------------------
-  //
-  // The substring-granular complement to doc-level dedup (t05..t10):
-  // find the exact CHARACTER RANGES of each document that also occur
-  // verbatim in some other document — the ExactSubstr signal (Lee et
-  // al., "Deduplicating Training Data Makes Language Models Better")
-  // that catches boilerplate stitched into otherwise-unique pages,
-  // which doc-level Jaccard dilutes below threshold. Plan: every
-  // k-char gram (k = 24) is fingerprinted with the portable hash;
-  // grams seen in ≥ 2 distinct docs are "shared"; per doc, shared
-  // gram START positions within k of each other merge into maximal
-  // covered intervals (p and p' < p + k overlap as [p, p+k−1] ranges),
-  // so dup_chars counts each duplicated character EXACTLY once.
-  //
-  // Scale: the only corpus-sized shuffle is the gram-fingerprint agg
-  // (map-side combined); the interval merge is two windows inside one
-  // per-doc partition. At 100 TB the gram explode runs with a stride s
-  // (any span ≥ k + s − 1 still hits a sampled gram — the standard
-  // ExactSubstr scaling) and a suffix-array pass replaces nothing:
-  // the plan shape is already the hashed equivalent.
-  //
-  // The fingerprint is Spark-internal (never surfaces in the output),
-  // so it does NOT need the cross-engine md5 mirror — sharedness is
-  // substring equality, which the oracle states directly by grouping
-  // raw grams. xxhash64 here is ~20× cheaper than md5 per gram and
-  // stays in whole-stage codegen; a 64-bit collision (≈ n²/2⁶⁵) could
-  // only ADD a false shared gram, and RoundSixOpsSpec cross-checks
-  // coverage against a hash-free direct recompute.
-
-  private val spanK = 24
-
-  private val t64 = Q(
-    "t64_span_dedup",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-      val grams = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-        .filter(col("len") >= spanK)
-        .select(col("doc_id"), col("len"),
-          explode(expr(s"sequence(1, len - $spanK + 1)")).as("p"),
-          col("text"))
-        .select(col("doc_id"), col("len"), col("p"),
-          xxhash64(expr(s"substring(text, p, $spanK)")).as("fp"))
-      // "≥ 2 distinct docs" as min≠max: two cheap partial aggs instead
-      // of countDistinct's expand-and-dedup
-      val shared = grams.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
-        .filter(col("d0") =!= col("d1")).select(col("fp"))
-      val hits = grams.join(shared, Seq("fp"))
-        .select(col("doc_id"), col("len"), col("p"))
-      val byDoc = w.partitionBy(col("doc_id")).orderBy(col("p"))
-      hits
-        .withColumn("brk",
-          when(col("p") - lag(col("p"), 1).over(byDoc) <= spanK, 0L)
-            .otherwise(1L))
-        .withColumn("isl", sum(col("brk")).over(byDoc))
-        .groupBy(col("doc_id"), col("len"), col("isl"))
-        .agg((max(col("p")) - min(col("p")) + spanK).as("cov"))
-        .groupBy(col("doc_id"), col("len"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(col("cov")).as("dup_chars"))
-        .select(col("doc_id"), col("n_spans"), col("dup_chars"),
-          expr("(1000 * dup_chars) div len").as("dup_pm"))
-    },
-    Some(s"""
-      WITH grams AS (
-        SELECT doc_id, length(text) AS len, p,
-               substr(text, CAST(p AS INTEGER), $spanK) AS fp
-        FROM documents,
-             LATERAL unnest(generate_series(1, length(text) - $spanK + 1)) g(p)
-        WHERE length(text) >= $spanK),
-      shared AS (SELECT fp FROM grams GROUP BY 1
-                 HAVING min(doc_id) <> max(doc_id)),
-      hits AS (SELECT doc_id, len, p FROM grams
-               WHERE fp IN (SELECT fp FROM shared)),
-      isl AS (
-        SELECT doc_id, len, p,
-               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
-                      <= $spanK THEN 0 ELSE 1 END AS brk
-        FROM hits),
-      grp AS (
-        SELECT doc_id, len,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id, p
-        FROM isl),
-      cov AS (
-        SELECT doc_id, len, isl_id,
-               max(p) - min(p) + $spanK AS cov
-        FROM grp GROUP BY 1, 2, 3)
-      SELECT doc_id, count(*) AS n_spans,
-             CAST(sum(cov) AS BIGINT) AS dup_chars,
-             (1000 * CAST(sum(cov) AS BIGINT)) // len AS dup_pm
-      FROM cov GROUP BY doc_id, len
-    """))
-
   // ---- t65: BPE merge-pair statistics over the word histogram ---------
   //
   // One training round of byte-pair encoding, phrased for corpus scale:
@@ -2622,5 +2528,5 @@ object TextQueries {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t64, t65, t66)
+      t60, t61, t63, t65, t66)
 }
