@@ -15,6 +15,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // AQE earns its keep on real shuffle volumes (runtime coalescing,

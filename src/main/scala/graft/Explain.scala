@@ -12,6 +12,10 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror the Bench/Verify sessions so plans shown here are the
+      // plans that actually run (incl. the TopKPerGroup rewrite)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

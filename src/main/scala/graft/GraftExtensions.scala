@@ -8,7 +8,10 @@ import graft.functions.{DotProduct, Md5Prefix60}
 
 /** SparkSessionExtensions hook: registers graft's native Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
-  * works next to the Column API. Enable with
+  * works next to the Column API, and the whole-operator extension
+  * ([[graft.plans.TopKPerGroup]]: optimizer rule + planner strategy +
+  * physical heap top-k replacing the row_number window pattern).
+  * Enable with
   *
   *   SparkSession.builder()
   *     .withExtensions(new GraftExtensions)          // programmatic, or
@@ -20,6 +23,7 @@ import graft.functions.{DotProduct, Md5Prefix60}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    graft.plans.TopKPerGroup.register(ext)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -54,6 +54,8 @@ private[cli] object Args {
   def session(app: String): SparkSession = {
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new graft.GraftExtensions().apply(_))
       .config("spark.ui.enabled", "false")
     if (!sys.props.contains("spark.master"))
       b.master("local[*]").config("spark.sql.shuffle.partitions",
