@@ -43,19 +43,48 @@ object StatsQueries {
     * StatsSpec asserts the approximation envelope against q26's exact
     * values.
     */
+  // q33: the MERGEABLE percentile path (approx_percentile's KLL-style
+  // summary — the sketch q26's exact sort swaps to at 100 TB), made
+  // fully hash-comparable by the q59 envelope trick: sketch VALUES
+  // aren't cross-engine-stable, but their RANKS are checkable — the
+  // query re-ranks each sketch output against the data (one broadcast
+  // join + conditional sums) and emits booleans asserting the rank
+  // lands within the sketch's accuracy guarantee (ε = 1/10000, tested
+  // with 10–20× headroom + a small constant for duplicate-value rank
+  // inflation); the oracle computes nothing approximate and asserts
+  // TRUE. A drifting sketch fails the hash gate instead of silently
+  // downgrading this entry to rows-only.
+
   private val q33 = Q(
     "q33_percentiles_approx",
-    (s, d) => Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
-        count(lit(1)).as("n"))
-      .select(col("l_returnflag"),
-        element_at(col("pcts"), 1).as("p50"),
-        element_at(col("pcts"), 2).as("p90"),
-        element_at(col("pcts"), 3).as("p99"),
-        col("n")),
-    None)
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val ap = li.groupBy(col("f"))
+        .agg(expr("approx_percentile(c, array(0.5, 0.9, 0.99), 10000)").as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("f"), col("n"),
+          element_at(col("ps"), 1).as("a50"),
+          element_at(col("ps"), 2).as("a90"),
+          element_at(col("ps"), 3).as("a99"))
+      li.join(broadcast(ap), Seq("f"))
+        .groupBy(col("f"), col("n"))
+        .agg(sum(when(col("c") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("c") <= col("a90"), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("c") <= col("a99"), 1L).otherwise(0L)).as("r99"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          (abs(col("r50") - expr("(n + 1) div 2"))
+            <= expr("greatest(n div 500, 3)")).as("p50_ok"),
+          (abs(col("r90") - expr("(9 * n + 9) div 10"))
+            <= expr("greatest(n div 500, 3)")).as("p90_ok"),
+          (abs(col("r99") - expr("(99 * n + 99) div 100"))
+            <= expr("greatest(n div 500, 3)")).as("p99_ok"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+      FROM lineitem GROUP BY 1
+    """))
 
   private val bucketWidth = 5000
 
