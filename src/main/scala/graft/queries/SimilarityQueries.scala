@@ -116,7 +116,7 @@ object SimilarityQueries {
   /** Exact top-k pairs (qid, cid, rnk, cos) — e01's core, reused by the
     * e09 recall audit.
     */
-  private def knnBrute(s: SparkSession, d: String): DataFrame = {
+  private def knnBruteBuild(s: SparkSession, d: String): DataFrame = {
     val emb = normalizedEmb(s, d)
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("en").as("qe"))
@@ -126,6 +126,15 @@ object SimilarityQueries {
       .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
     graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
   }
+
+  /** Exact cosine top-k as a per-(dataset, process) artifact: it is the
+    * ground truth for FOUR audits (e09/e15/e18/e22) plus e01's own
+    * output, and the exact brute-force pass is the single most expensive
+    * subtree in the family — checkpoint once, every consumer reads the
+    * table back (the Artifacts contract the MIPS/LSH-pair tables use).
+    */
+  private def knnBrute(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "knn_brute")(knnBruteBuild(s, d))
 
   private val e01 = Q(
     "e01_knn_brute",
@@ -143,8 +152,13 @@ object SimilarityQueries {
 
   // ---- e02: LSH-bucketed approximate top-k ---------------------------
 
-  /** LSH-bucketed approximate top-k — e02's core, reused by e09. */
-  private def knnLsh(s: SparkSession, d: String): DataFrame = {
+  /** LSH-bucketed approximate top-k — e02's core, reused by e09.
+    * Artifact-shared for the same reason as [[knnBrute]]: two consumers.
+    */
+  private def knnLsh(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "knn_lsh")(knnLshBuild(s, d))
+
+  private def knnLshBuild(s: SparkSession, d: String): DataFrame = {
     val emb = normalizedEmb(s, d).withColumn("bkt", bucket(col("e")))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("en").as("qe"), col("bkt"))
@@ -174,22 +188,41 @@ object SimilarityQueries {
 
   private val dupShift = 1000000L
 
-  private val e03 = Q(
-    "e03_embed_neardup",
-    (s, d) => {
-      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
-      // doubled corpus → every vector has one exact duplicate (cos = 1)
-      val emb = raw.unionAll(
-        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
-        .withColumn("bkt", bucket(col("e")))
-      val a = emb.select(col("vec_id").as("a"), col("en").as("qe"), col("bkt"))
-      val b = emb.select(col("vec_id").as("b"), col("en").as("ce"), col("bkt"))
-      a.join(b, Seq("bkt")).filter(col("a") < col("b"))
-        .select(col("a").as("vec_a"), col("b").as("vec_b"),
+  /** The doubled corpus (every vector gets one exact duplicate at
+    * vec_id + dupShift) — the deterministic near-dup fixture shared by
+    * e03/e07/e13/e29/e30.
+    */
+  private def doubledEmb(s: SparkSession, d: String): DataFrame = {
+    val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
+    raw.unionAll(
+      raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
+  }
+
+  /** Stage-1 near-dup pairs over the doubled corpus (legacy 8-plane
+    * geometry), cos ≥ 0.95. e03's output rows and e07's recall stage are
+    * the SAME relation — checkpointed once as an artifact.
+    */
+  private def neardupPairs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "neardup_pairs") {
+      val emb = doubledEmb(s, d).withColumn("bkt", bucket(col("e")))
+      val a = emb.select(col("vec_id").as("vec_a"), col("en").as("qe"), col("bkt"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("en").as("ce"), col("bkt"))
+      a.join(b, Seq("bkt")).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
           Portable.dot(col("qe"), col("ce")).as("cos"))
         .filter(col("cos") >= 0.95)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
-    },
+    }
+
+  /** DEPRECATED geometry (kept as a frozen legacy pin — plane indices
+    * 0..7 of [[planeVec]] are baked into the result hash): the 8-plane
+    * correlated family yields ~93 effective buckets, so the bucket join
+    * is ≈ N²/93 — quadratic at corpus scale. New pipelines should use
+    * e29_embed_neardup_banded (mixed-family 16×4 banding, e13-audited).
+    */
+  private val e03 = Q(
+    "e03_embed_neardup",
+    (s, d) => neardupPairs(s, d)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim")),
     Some(s"""
       WITH $normalizedSql,
       dbl AS (
@@ -446,21 +479,13 @@ object SimilarityQueries {
   // equi-joins (no all-pairs anywhere). Doubled corpus (the e03/t05
   // fixture convention) guarantees deterministic output.
 
+  /** DEPRECATED stage-1 geometry — same legacy pin as [[e03]]; new
+    * pipelines should use e30_semantic_neardup_banded.
+    */
   private val e07 = Q(
     "e07_semantic_neardup",
     (s, d) => {
-      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
-      val emb = raw.unionAll(
-        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
-        .withColumn("bkt", bucket(col("e")))
-      val a = emb.select(col("vec_id").as("vec_a"), col("en").as("qe"), col("bkt"))
-      val cands = a.join(
-          emb.select(col("vec_id").as("vec_b"), col("en").as("ce"), col("bkt")),
-          Seq("bkt"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          Portable.dot(col("qe"), col("ce")).as("cos"))
-        .filter(col("cos") >= 0.95)
+      val cands = neardupPairs(s, d)
       val docs = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
       val toks = docs.unionAll(
@@ -564,17 +589,10 @@ object SimilarityQueries {
 
   private val e08 = Q(
     "e08_pq_encode",
-    (s, d) => {
-      val fx = fxVectors(s, d)
-      val aff = pqAff(pqSubs(fx))
-      val codes = aff.groupBy(col("vec_id"), col("j"))
-        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"),
-          min(col("dist")).as("dist"))
-      codes.groupBy(col("vec_id"))
-        .agg(
-          sum(col("k") * pow(lit(2.0), col("j") * 4)).cast("long").as("pq_code"),
-          sum(col("dist")).as("pq_err"))
-    },
+    (s, d) => pqCodes(s, d).groupBy(col("vec_id"))
+      .agg(
+        sum(col("k") * pow(lit(2.0), col("j") * 4)).cast("long").as("pq_code"),
+        sum(col("dist")).as("pq_err")),
     Some(s"""
       WITH $pqChainSql
       SELECT vec_id,
@@ -626,13 +644,9 @@ object SimilarityQueries {
   private val e10 = Q(
     "e10_pq_adc_search",
     (s, d) => {
-      val fx = fxVectors(s, d)
-      val aff = pqAff(pqSubs(fx))
-      val codes = aff.groupBy(col("vec_id"), col("j"))
-        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
-      // ADC lookup table = the query rows of the SAME affinity relation
-      val lut = aff.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("j"), col("k"), col("dist"))
+      val codes = pqCodes(s, d)
+      // ADC lookup table = the query rows of the same affinity relation
+      val lut = pqLut(s, d)
       val scored = codes.select(col("vec_id").as("cid"), col("j"), col("k"))
         .join(broadcast(lut), Seq("j", "k"))
         .groupBy(col("qid"), col("cid"))
@@ -748,34 +762,90 @@ object SimilarityQueries {
     * scores it gates). Assignment is a (dist ASC, cent_id ASC) argmin
     * via min_by — aggregation-only, no window sort.
     */
-  private def ivfLayer(fx: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def ivfLayer(s: SparkSession, d: String, fx: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = fx.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("q").as("c"))
-    val affIvf = fx.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
-          - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
-    val members = affIvf.groupBy(col("vec_id"))
-      .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id").asc)
-    val probes = affIvf.filter(col("vec_id") % 100 === 0)
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") <= ivfProbe)
-      .select(col("vec_id").as("qid"), col("cent_id"))
-    (cents, members, probes)
+    // cell assignment + ranked query probes are artifacts: the same
+    // coarse layer feeds e11/e16 (via their own shared results), and
+    // e25's nProbe sweep reads the ranked probes directly — computed
+    // once per (dataset, process) instead of once per consumer
+    (cents, ivfMembers(s, d), ivfProbesRanked(s, d)
+      .filter(col("crnk") <= ivfProbe).select(col("qid"), col("cent_id")))
   }
 
-  /** e11 core (qid, cid, rnk, dist) — reused by the e12 recall audit. */
-  private def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
-    val fx = fxVectors(s, d)
-    val (_, members, probes) = ivfLayer(fx)
-    // PQ fine layer: codes + per-query LUT from the same affinity relation
-    val aff = pqAff(pqSubs(fx))
-    val codes = aff.groupBy(col("vec_id"), col("j"))
-      .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"))
-    val lut = aff.filter(col("vec_id") % 100 === 0)
+  /** (vec_id, cent_id): integer-L2 cell assignment of the whole corpus
+    * against the deterministic centroids — aggregation-only argmin.
+    */
+  private def ivfMembers(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "ivf_members") {
+      val fx = fxVectors(s, d)
+      val cents = fx.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("q").as("c"))
+      fx.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
+            - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
+    }
+
+  /** (qid, cent_id, crnk ≤ max probe budget): each query's cells ranked
+    * by integer-L2 distance — e11/e16 take crnk ≤ ivfProbe, the e25
+    * sweep slices the same table at every sweep point.
+    */
+  private def ivfProbesRanked(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "ivf_probes") {
+      val fx = fxVectors(s, d)
+      val cents = fx.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cent_id"), col("q").as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id").asc)
+      fx.filter(col("vec_id") % 100 === 0).crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
+            - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
+        .withColumn("crnk", row_number().over(w))
+        .filter(col("crnk") <= math.max(ivfProbe, sweepProbes.max))
+        .select(col("vec_id").as("qid"), col("cent_id"), col("crnk"))
+    }
+
+  /** (vec_id, j, k, dist): raw-space PQ codes (+ per-subspace residual
+    * error) for the whole corpus — consumed by e08's pack, e10's search,
+    * and e11's inverted file; the full-corpus affinity groupBy runs once.
+    */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "pq_codes") {
+      pqAff(pqSubs(fxVectors(s, d)))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(col("k"), struct(col("dist"), col("k"))).as("k"),
+          min(col("dist")).as("dist"))
+    }
+
+  /** Per-query ADC lookup table (qid, j, k, dist): the affinity relation
+    * restricted to query vectors. Rebuilding it from the query subset ∪
+    * codebook rows touches ~|Q|+pqK vectors, not the corpus — the
+    * codebook draw is identical because [[pqCodebook]] filters by vec_id.
+    */
+  private def pqLut(s: SparkSession, d: String): DataFrame = {
+    val fxq = fxVectors(s, d)
+      .filter(col("vec_id") % 100 === 0 || col("vec_id") < pqK)
+    pqAff(pqSubs(fxq)).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("j"), col("k"), col("dist"))
+  }
+
+  /** e11 core (qid, cid, rnk, dist) — artifact-shared: its own entry plus
+    * the e12 recall audit and the e17 encoder audit all read it.
+    */
+  private def ivfPqSearch(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "ivfpq_search")(ivfPqSearchBuild(s, d))
+
+  private def ivfPqSearchBuild(s: SparkSession, d: String): DataFrame = {
+    val fx = fxVectors(s, d)
+    val (_, members, probes) = ivfLayer(s, d, fx)
+    // PQ fine layer: shared corpus codes + query-restricted LUT
+    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("k"))
+    val lut = pqLut(s, d)
     // the inverted file: PQ codes tagged with their IVF cell
     val index = codes.join(members, Seq("vec_id"))
     val adc = index
@@ -875,8 +945,13 @@ object SimilarityQueries {
   // Both sides are integer-exact, so the audit is engine-exact. This is
   // the number that tunes nCells/nProbe before trusting the index.
 
-  /** Exact integer-L2 top-k over the fixed-point vectors. */
-  private def knnExactL2(s: SparkSession, d: String): DataFrame = {
+  /** Exact integer-L2 top-k over the fixed-point vectors —
+    * artifact-shared ground truth for e12/e17/e25.
+    */
+  private def knnExactL2(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "knn_exact_l2")(knnExactL2Build(s, d))
+
+  private def knnExactL2Build(s: SparkSession, d: String): DataFrame = {
     val fx = fxVectors(s, d)
     val queries = fx.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
@@ -1043,30 +1118,38 @@ object SimilarityQueries {
   // pure integers, engine-exact. This pair of entries is the tuning
   // loop a deployment runs before choosing probe radius.
 
-  /** Scored multi-probe candidates (qid, cid, cos) at probe radius 0
-    * (own bucket) or 1 (own + every one-bit-flip bucket) over
-    * mixed-family buckets. Shared by e14 (top-k tail) and e15 (audit).
+  /** Radius-1 scored multi-probe candidates (qid, cid, cos, own) over
+    * mixed-family buckets, tagged with whether the matching probe was the
+    * query's OWN bucket. The probe buckets of one query are pairwise
+    * distinct and a candidate lives in exactly one bucket, so each
+    * (qid, cid) row appears once and the radius-0 candidate set is
+    * EXACTLY the own = true subset — one artifact serves e14's search
+    * and both of e15's audit variants (the radius-0 variant is a filter,
+    * not a second pipeline).
     */
-  private def multiProbeScored(s: SparkSession, d: String, radius: Int): DataFrame = {
-    val mixPlanes = 0 until numPlanes
-    val emb = normalizedEmb(s, d)
-      .withColumn("bkt", bucketOf(mixPlanes, planeVecMix)(col("e")))
-    val probeBkts: Seq[Column] = col("bkt") +:
-      (if (radius >= 1) mixPlanes.map(i => col("bkt").bitwiseXOR(lit(1L << i)))
-       else Seq())
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("en").as("qe"),
-        explode(array(probeBkts: _*)).as("bkt"))
-    val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
-    broadcast(queries).join(cands, Seq("bkt"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), Portable.dot(col("qe"), col("ce")).as("cos"))
-  }
+  private def multiProbeScored(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "mp_scored") {
+      val mixPlanes = 0 until numPlanes
+      val emb = normalizedEmb(s, d)
+        .withColumn("bkt", bucketOf(mixPlanes, planeVecMix)(col("e")))
+      val probeBkts: Seq[Column] = col("bkt") +:
+        mixPlanes.map(i => col("bkt").bitwiseXOR(lit(1L << i)))
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("en").as("qe"),
+          col("bkt").as("qbkt"), explode(array(probeBkts: _*)).as("bkt"))
+      val cands = emb.select(col("vec_id").as("cid"), col("en").as("ce"), col("bkt"))
+      broadcast(queries).join(cands, Seq("bkt"))
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("cos"),
+          (col("bkt") === col("qbkt")).as("own"))
+    }
 
-  /** Multi-probe top-k: (qid, cid, rnk, cos) like [[knnLsh]]. */
-  private def knnMultiProbe(s: SparkSession, d: String, radius: Int): DataFrame =
+  /** Multi-probe top-k at radius 1: (qid, cid, rnk, cos) like [[knnLsh]]. */
+  private def knnMultiProbe(s: SparkSession, d: String): DataFrame =
     graft.etl.TopK.topK(
-      multiProbeScored(s, d, radius), Seq(col("qid")), col("cos"), col("cid"), k)
+      multiProbeScored(s, d).select(col("qid"), col("cid"), col("cos")),
+      Seq(col("qid")), col("cos"), col("cid"), k)
 
   /** DuckDB chain for one probe radius, ending in CTEs
     * `cand_$tag(qid, cid, cos)` / `top_$tag(qid, cid)`.
@@ -1096,7 +1179,7 @@ object SimilarityQueries {
 
   private val e14 = Q(
     "e14_knn_multiprobe",
-    (s, d) => knnMultiProbe(s, d, radius = 1)
+    (s, d) => knnMultiProbe(s, d)
       .select(col("qid"), col("cid"), col("rnk"), round(col("cos"), 6).as("sim")),
     Some(s"""
       WITH $normalizedSql,
@@ -1109,10 +1192,10 @@ object SimilarityQueries {
   private val e15 = Q(
     "e15_multiprobe_audit",
     (s, d) => {
+      // both ground truth and the radius-1 candidate table are artifact
+      // reads; the radius-0 variant derives from the own-bucket subset
       val exact = knnBrute(s, d).select(col("qid"), col("cid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def variant(tag: String, radius: Int): DataFrame = {
-        val scored = multiProbeScored(s, d, radius)
+      def variant(tag: String, scored: DataFrame): DataFrame = {
         val top = graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
           .select(col("qid"), col("cid"))
         val nCand = scored.agg(count(lit(1)).as("n_cand"))
@@ -1123,7 +1206,9 @@ object SimilarityQueries {
           .select(lit(tag).as("variant"), col("n_cand"), col("n_exact"),
             col("n_hits"))
       }
-      variant("probe0", 0).unionAll(variant("probe1", 1))
+      val all = multiProbeScored(s, d)
+      variant("probe0", all.filter(col("own")).select(col("qid"), col("cid"), col("cos")))
+        .unionAll(variant("probe1", all.select(col("qid"), col("cid"), col("cos"))))
     },
     Some(s"""
       WITH $normalizedSql,
@@ -1174,10 +1259,16 @@ object SimilarityQueries {
   // the audit exists — measure, don't cargo-cult the default; on real
   // clustered embeddings the same audit flips to residual.
 
-  /** e16 core (qid, cid, rnk, dist) — residual-space codes + rerank. */
-  private def ivfPqResidualSearch(s: SparkSession, d: String): DataFrame = {
+  /** e16 core (qid, cid, rnk, dist) — residual-space codes + rerank;
+    * artifact-shared (its own entry + the e17 encoder audit).
+    */
+  private def ivfPqResidualSearch(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "ivfpq_residual")(
+      ivfPqResidualSearchBuild(s, d))
+
+  private def ivfPqResidualSearchBuild(s: SparkSession, d: String): DataFrame = {
     val fx = fxVectors(s, d)
-    val (cents, members, probes) = ivfLayer(fx)
+    val (cents, members, probes) = ivfLayer(s, d, fx)
     // residuals: each vector minus ITS cell's centroid (exact integers)
     val res = fx.join(members, Seq("vec_id"))
       .join(broadcast(cents), Seq("cent_id"))
@@ -1297,8 +1388,9 @@ object SimilarityQueries {
   private val e17 = Q(
     "e17_pq_encoder_audit",
     (s, d) => {
+      // every input is an artifact read: the exact ground truth and both
+      // encoders' search results are checkpointed by their own entries
       val exact = knnExactL2(s, d).select(col("qid"), col("cid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def row(tag: String, approx: DataFrame): DataFrame = {
         val hits = exact.join(approx.select(col("qid"), col("cid")),
             Seq("qid", "cid"))
@@ -1656,8 +1748,13 @@ object SimilarityQueries {
       s"CASE WHEN $e[${h * 32 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
-  /** e21 core (qid, cid, rnk, cos) — reused by the e22 recall audit. */
-  private def binarySearch(s: SparkSession, d: String): DataFrame = {
+  /** e21 core (qid, cid, rnk, cos) — artifact-shared with the e22
+    * recall audit.
+    */
+  private def binarySearch(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "binary_search")(binarySearchBuild(s, d))
+
+  private def binarySearchBuild(s: SparkSession, d: String): DataFrame = {
     val emb = normalizedEmb(s, d)
     // corpus-wide pass carries ONLY the 16-byte signatures
     val sigs = emb.select(col("vec_id"),
@@ -1905,23 +2002,14 @@ object SimilarityQueries {
   private val e25 = Q(
     "e25_ivf_nprobe_sweep",
     (s, d) => {
+      // cell assignment, ranked probes, and the exact ground truth are
+      // all artifact reads shared with e11/e12/e16/e17; each sweep point
+      // slices the same ranked-probe table at its crnk
       val fx = fxVectors(s, d)
-      val cents = fx.filter(col("vec_id") < nCells)
-        .select(col("vec_id").as("cent_id"), col("q").as("c"))
-      val affIvf = fx.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("q"), col("cent_id"),
-          (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
-            - lit(2.0) * Portable.dot(col("q"), col("c"))).cast("long").as("dist"))
-      val members = affIvf.groupBy(col("vec_id"))
-        .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("cent_id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id").asc)
-      val ranked = affIvf.filter(col("vec_id") % 100 === 0)
-        .withColumn("crnk", row_number().over(w))
-        .select(col("vec_id").as("qid"), col("q").as("qq"),
-          col("cent_id"), col("crnk"))
+      val ranked = ivfProbesRanked(s, d)
+        .join(fx.select(col("vec_id").as("qid"), col("q").as("qq")), Seq("qid"))
       val corpus = fx.select(col("vec_id").as("cid"), col("q").as("cq"))
-        .join(members.withColumnRenamed("vec_id", "cid"), Seq("cid"))
+        .join(ivfMembers(s, d).withColumnRenamed("vec_id", "cid"), Seq("cid"))
       val exact = knnExactL2(s, d).select(col("qid"), col("cid"))
       val exactTot = exact.agg(count(lit(1)).as("n_exact"))
       val perP = sweepProbes.map { p =>
