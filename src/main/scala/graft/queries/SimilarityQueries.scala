@@ -2380,8 +2380,124 @@ object SimilarityQueries {
       FROM ranked WHERE pick_rnk <= $cellQuota
     """))
 
+  // ---- e29/e30: PRODUCTION banded near-dup (mix16x4 geometry) ---------
+  //
+  // The e13 audit's conclusion promoted to the entries a user actually
+  // runs: the legacy 8-plane family (e03/e07, kept as frozen legacy
+  // pins) has ~93 effective buckets, so its candidate join is ≈ N²/93 —
+  // quadratic at corpus scale. The production geometry is 4 independent
+  // bands × 16 avalanche-mixed planes: per band ~2^16 effective buckets
+  // cut candidate volume ≈ 2^8-fold per band (e13 measures it at
+  // ~planted-pairs-only on this corpus) while exact/near dups still
+  // collide in some band. Same two-stage SemDeDup contract as e03/e07:
+  // banded equi-join recall → cosine gate (e29), then lexical Jaccard
+  // verify on survivors only (e30).
+  //
+  // Scale shape: explode to (vec_id, band, bkt) — 4 rows per vector,
+  // partition-local; candidates from a (band, bkt) equi-join with a
+  // distinct-pair dedup that touches |candidates|, never N²; the verify
+  // join touches |survivors|.
+
+  /** Banded (mix16x4) candidate pairs over the doubled corpus with
+    * cos ≥ 0.95 — e29's output rows and e30's recall stage, checkpointed
+    * once (same contract as [[neardupPairs]]).
+    */
+  private def neardupPairsBanded(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "neardup_pairs_banded") {
+      val emb = doubledEmb(s, d)
+      val bands = emb.select(col("vec_id"),
+          explode(array(bandedPlanes.zipWithIndex.map { case (ps, b) =>
+            struct(lit(b).as("band"),
+              bucketOf(ps, planeVecMix)(col("e")).as("bkt")) }: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bkt"))
+        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkt")),
+          Seq("band", "bkt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("en").as("ea")), Seq("vec_a"))
+        .join(emb.select(col("vec_id").as("vec_b"), col("en").as("eb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Portable.dot(col("ea"), col("eb")).as("cos"))
+        .filter(col("cos") >= 0.95)
+    }
+
+  /** DuckDB mirror of the banded candidate chain, ending in CTE
+    * `surv(vec_a, vec_b, cos)`; assumes `dbl` is in scope.
+    */
+  private lazy val bandedSurvSql: String = {
+    val bandsSql = bandedPlanes.zipWithIndex.map { case (ps, b) =>
+      s"SELECT vec_id, $b AS band, ${bucketSqlOf(ps, planeVecMix, "e")} AS bkt FROM dbl"
+    }.mkString("\n        UNION ALL ")
+    s"""bands AS ($bandsSql),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      sc AS (
+        SELECT c.vec_a, c.vec_b, list_dot_product(x.en, y.en) AS cos
+        FROM cand c JOIN dbl x ON x.vec_id = c.vec_a
+                    JOIN dbl y ON y.vec_id = c.vec_b),
+      surv AS (SELECT * FROM sc WHERE cos >= 0.95)"""
+  }
+
+  private val e29 = Q(
+    "e29_embed_neardup_banded",
+    (s, d) => neardupPairsBanded(s, d)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim")),
+    Some(s"""
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
+      $bandedSurvSql
+      SELECT vec_a, vec_b, round(cos, 6) AS sim FROM surv
+    """))
+
+  private val e30 = Q(
+    "e30_semantic_neardup_banded",
+    (s, d) => {
+      val cands = neardupPairsBanded(s, d)
+      val docs = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val toks = docs.unionAll(
+          docs.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
+        .select(col("doc_id"),
+          array_distinct(graft.etl.TextAnalysis.tokens(col("text"))).as("ts"))
+      cands
+        .join(toks.select(col("doc_id").as("vec_a"), col("ts").as("ts_a")), Seq("vec_a"))
+        .join(toks.select(col("doc_id").as("vec_b"), col("ts").as("ts_b")), Seq("vec_b"))
+        .withColumn("_jac", Portable.jaccard(col("ts_a"), col("ts_b")))
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"),
+          round(col("_jac"), 6).as("jaccard"),
+          (col("_jac") >= 0.5).cast("int").as("is_dup"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
+      $bandedSurvSql,
+      toks AS (
+        SELECT doc_id, list_distinct(${OracleSql.toksSql}) AS ts
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + $dupShift, text FROM documents)
+             AS documents(doc_id, text)),
+      j AS (
+        SELECT vec_a, vec_b, cos,
+               CASE WHEN len(list_distinct(a.ts || b.ts)) > 0
+                    THEN CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                         / len(list_distinct(a.ts || b.ts)) END AS jac
+        FROM surv JOIN toks a ON a.doc_id = surv.vec_a
+                  JOIN toks b ON b.doc_id = surv.vec_b)
+      SELECT vec_a, vec_b, round(cos, 6) AS sim, round(jac, 6) AS jaccard,
+             CAST(jac >= 0.5 AS INTEGER) AS is_dup
+      FROM j
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
-      e28)
+      e28, e29, e30)
 }
