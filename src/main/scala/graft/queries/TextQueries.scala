@@ -2524,9 +2524,112 @@ object TextQueries {
       FROM cands GROUP BY 1, 2
     """))
 
+  // ---- t67: multi-round BPE trainer (histogram → merge → re-segment) --
+  //
+  // t65 is round 0 of byte-pair encoding; this is the LOOP a real
+  // tokenizer build runs: R rounds of (count adjacent symbol pairs on
+  // the weighted vocabulary → pick the top pair → merge it everywhere),
+  // where each round's pair counts see the PREVIOUS round's merges —
+  // the sequential dependency that makes BPE training iterative
+  // (Sennrich et al. 2016). The corpus-sized work stays a single word
+  // histogram; every round after that runs on vocabulary-sized data
+  // (same scale argument as t65), with the iterative lineage-barrier
+  // discipline of Graph.pageRankMicro (etl/Graph.scala): each round's
+  // segmentation is eagerly localCheckpoint'ed so round R's plan does
+  // not re-derive rounds 1..R-1.
+  //
+  // Segmentations are encoded as space-delimited symbol strings with
+  // sentinel spaces at both ends (" t h e "); tokens are
+  // whitespace-split so a space can never occur INSIDE a symbol, and
+  // merging pair (s1, s2) is then replace(" s1 s2 " → " s1s2 ") —
+  // left-to-right non-overlapping in both engines, which is exactly
+  // BPE's merge order (" a a a " merges to " aa a ", not " a aa ").
+  // The argmax is (freq DESC, s1 ASC, s2 ASC) via a top-1 limit —
+  // TakeOrderedAndProject, no global sort. Words reduced to a single
+  // symbol stop contributing pairs and are filtered from pair counting.
+
+  private val bpeRounds = 3
+
+  private val t67 = Q(
+    "t67_bpe_train",
+    (s, d) => {
+      val hist = Tables.spread(Tables.documents(s, d))
+        .select(explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .filter(length(col("w")) >= 2)
+      var seg = hist.select(col("cnt"),
+          concat(lit(" "),
+            expr("array_join(transform(sequence(1, length(w)), " +
+              "i -> substring(w, i, 1)), ' ')"),
+            lit(" ")).as("seg"))
+        .localCheckpoint()
+      val rounds = (1 to bpeRounds).map { r =>
+        val syms = seg
+          .withColumn("sy",
+            expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
+          .filter(size(col("sy")) >= 2)
+        val pairCounts = syms
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "i -> struct(element_at(sy, i) AS s1, element_at(sy, i + 1) AS s2))"))
+            .as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(sum(col("cnt")).as("freq"))
+        val best = pairCounts
+          .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
+          .limit(1).localCheckpoint()
+        seg = seg
+          .crossJoin(broadcast(
+            best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
+          .withColumn("seg",
+            expr("replace(seg, concat(' ', _m1, ' ', _m2, ' '), " +
+              "concat(' ', _m1, _m2, ' '))"))
+          .select(col("cnt"), col("seg"))
+          .localCheckpoint()
+        best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
+      }
+      rounds.reduce(_ unionAll _)
+    },
+    Some {
+      val roundCtes = (1 to bpeRounds).map { r =>
+        s"""
+      sy$r AS (SELECT cnt,
+                      list_slice(string_split(seg, ' '), 2,
+                                 len(string_split(seg, ' ')) - 1) AS sy
+               FROM seg${r - 1}),
+      pc$r AS (SELECT sy[CAST(i AS INTEGER)] AS s1,
+                      sy[CAST(i AS INTEGER) + 1] AS s2,
+                      sum(cnt) AS freq
+               FROM sy$r, LATERAL unnest(generate_series(1, len(sy) - 1)) g(i)
+               WHERE len(sy) >= 2 GROUP BY 1, 2),
+      b$r AS (SELECT s1, s2, CAST(freq AS BIGINT) AS freq FROM pc$r
+              ORDER BY freq DESC, s1 ASC, s2 ASC LIMIT 1),
+      seg$r AS (SELECT cnt,
+                       replace(seg, ' ' || b.s1 || ' ' || b.s2 || ' ',
+                               ' ' || b.s1 || b.s2 || ' ') AS seg
+                FROM seg${r - 1}, b$r b)"""
+      }.mkString(",")
+      val unioned = (1 to bpeRounds)
+        .map(r => s"SELECT $r AS round, s1, s2, freq FROM b$r")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH hist AS (
+        SELECT tok AS w, count(*) AS cnt
+        FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        GROUP BY 1),
+      seg0 AS (
+        SELECT cnt,
+               ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seg
+        FROM hist WHERE length(w) >= 2),
+      $roundCtes
+      $unioned
+    """
+    })
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66)
+      t60, t61, t63, t65, t66, t67)
 }
