@@ -15,8 +15,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single registration mechanism (the conf — spark-submit parity);
+      // adding .withExtensions too would inject the optimizer rule and
+      // planner strategy twice (fresh JVM => the conf path is reliable)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // AQE earns its keep on real shuffle volumes (runtime coalescing,

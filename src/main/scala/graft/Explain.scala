@@ -14,8 +14,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       // mirror the Bench/Verify sessions so plans shown here are the
       // plans that actually run (incl. the TopKPerGroup rewrite)
+      // single registration mechanism (the conf — spark-submit parity);
+      // adding .withExtensions too would inject the optimizer rule and
+      // planner strategy twice (fresh JVM => the conf path is reliable)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

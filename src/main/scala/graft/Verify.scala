@@ -14,8 +14,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single registration mechanism (the conf — spark-submit parity);
+      // adding .withExtensions too would inject the optimizer rule and
+      // planner strategy twice (fresh JVM => the conf path is reliable)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .withExtensions(new GraftExtensions().apply(_))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

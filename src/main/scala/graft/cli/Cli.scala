@@ -54,8 +54,9 @@ private[cli] object Args {
   def session(app: String): SparkSession = {
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.session.timeZone", "UTC")
+      // single registration mechanism (the conf — spark-submit parity);
+      // adding .withExtensions too would inject the rule/strategy twice
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .withExtensions(new graft.GraftExtensions().apply(_))
       .config("spark.ui.enabled", "false")
     if (!sys.props.contains("spark.master"))
       b.master("local[*]").config("spark.sql.shuffle.partitions",

@@ -51,12 +51,28 @@ import org.apache.spark.sql.types.IntegerType
   * are nondeterministic, and neither promises anything.
   *
   * Memory contract: state is ≤ k rows × (groups resident in one task)
-  * — the same residency bound as hash aggregation, WITHOUT spill in
-  * this implementation; the rewrite therefore refuses k > 10 000
-  * (`maxK`) and leaves the window plan alone there.
+  * — the same residency bound as hash aggregation. Like hash agg, the
+  * operator degrades rather than OOMs when that bound is exceeded
+  * (many small groups in one task): retained bytes are tracked, and
+  * past [[TopKPerGroup.fallbackBytes]] the task switches to a
+  * sort-based path — retained rows plus the remaining input go through
+  * an [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]]
+  * (spills to disk) ordered by (group, window order), and the sorted
+  * stream is cut at k per group. Identical output (the heap kept a
+  * superset of every group's top-k), WindowExec's spill behavior, heap
+  * speed in the common case. The rewrite additionally refuses
+  * k > 10 000 (`maxK`) and leaves the window plan alone there.
   */
 object TopKPerGroup {
   val maxK = 10000
+
+  /** Per-task retained-state budget before the sort-based spill path
+    * kicks in. @volatile so tests can force the fallback; executors in
+    * local mode share the driver JVM, and on a cluster the default
+    * ships with the jar (64 MB — far under any sane executor memory,
+    * far over any well-behaved top-k task's state).
+    */
+  @volatile var fallbackBytes: Long = 64L << 20
 
   /** Install: optimizer rule + planner strategy. */
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -189,19 +205,103 @@ case class TopKPerGroupExec(
       val revCmp = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
       }
-      while (iter.hasNext) {
+      // fallback gate: retained state is bounded per group but not per
+      // task (many small groups); past the byte budget, degrade to the
+      // spilling sort path instead of OOMing. Requires an orderable
+      // group key (always true for this registry's string/numeric keys).
+      val budget = TopKPerGroup.fallbackBytes
+      val spillable = partExprs.forall(e =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(e.dataType))
+      var retainedBytes = 0L
+      var overflow = false
+      while (iter.hasNext && !overflow) {
         val row = toUnsafe(iter.next())
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](k + 1, revCmp)
-          heaps.put(key.copy(), heap)
+          // small initial capacity: java.util.PriorityQueue grows on
+          // demand, so memory tracks actual occupancy instead of
+          // preallocating k+1 slots for every resident group
+          heap = new java.util.PriorityQueue[UnsafeRow](math.min(k, 16) + 1, revCmp)
+          val keyCopy = key.copy()
+          heaps.put(keyCopy, heap)
+          retainedBytes += keyCopy.getSizeInBytes
         }
-        if (heap.size() < k) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap.size() < k) {
+          heap.add(row.copy()); retainedBytes += row.getSizeInBytes
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          retainedBytes -= heap.poll().getSizeInBytes
+          heap.add(row.copy()); retainedBytes += row.getSizeInBytes
         }
+        if (retainedBytes > budget && spillable) overflow = true
       }
+      if (overflow) {
+        // ---- sort-based fallback (spills to disk) ----
+        // The heaps hold a SUPERSET of every group's top-k among rows
+        // seen so far (only k-dominated rows were discarded), so
+        // re-sorting retained ∪ remaining by (group, order) and cutting
+        // at k per group yields exactly the all-heap answer.
+        val fullOrder = partExprs.map(org.apache.spark.sql.catalyst.expressions
+            .SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)) ++
+          sortOrder
+        val fullOrdering = GenerateOrdering.generate(
+          fullOrder.map(BindReferences.bindReference(_, AttributeSeq(childOutput))))
+        val prefixComputer = new org.apache.spark.sql.execution
+            .UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new org.apache.spark.sql.execution
+            .UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            zero.isNull = false; zero.value = 0L; zero
+          }
+        }
+        val sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(childOutput),
+          fullOrdering,
+          org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+          prefixComputer,
+          org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+          false)
+        val drained = heaps.values().iterator()
+        while (drained.hasNext) {
+          val h = drained.next()
+          while (!h.isEmpty) sorter.insertRow(h.poll())
+        }
+        heaps.clear()
+        while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+        val sorted = sorter.sort()
+        val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val joined = new JoinedRow
+        val proj = UnsafeProjection.create(
+          childOutput.zipWithIndex.map { case (a, i) =>
+            BoundReference(i, a.dataType, a.nullable) } :+
+            BoundReference(childOutput.size, IntegerType, nullable = false))
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var rank = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = groupProj(row)
+              if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+              rank += 1
+              if (rank <= k) pending = row
+            }
+            if (pending == null && !sorted.hasNext) sorter.cleanupResources()
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance()
+            val row = pending; pending = null
+            if (isPartial) row
+            else {
+              rankRow.setInt(0, rank)
+              proj(joined(row, rankRow))
+            }
+          }
+        }
+      } else {
       val groups = heaps.values().iterator()
       if (isPartial) {
         new Iterator[InternalRow] {
@@ -246,6 +346,7 @@ case class TopKPerGroupExec(
             out
           }
         }
+      }
       }
     }, preservesPartitioning = true)
   }

@@ -67,18 +67,31 @@ object StatsQueries {
           element_at(col("ps"), 1).as("a50"),
           element_at(col("ps"), 2).as("a90"),
           element_at(col("ps"), 3).as("a99"))
+      // multiplicity-robust rank gate: count(c <= a_p) includes EVERY
+      // duplicate of the sketch-returned value, so a point test against
+      // the target rank can fail spuriously on duplicate-heavy columns
+      // (deviation bounded by the value's multiplicity, not the
+      // sketch's ε). Gate on the interval instead: pass iff the target
+      // rank lies within [count(c < a_p) − tol, count(c <= a_p) + tol]
+      // — any rank the sketch value legitimately occupies passes.
       li.join(broadcast(ap), Seq("f"))
         .groupBy(col("f"), col("n"))
         .agg(sum(when(col("c") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("c") < col("a50"), 1L).otherwise(0L)).as("r50lo"),
           sum(when(col("c") <= col("a90"), 1L).otherwise(0L)).as("r90"),
-          sum(when(col("c") <= col("a99"), 1L).otherwise(0L)).as("r99"))
+          sum(when(col("c") < col("a90"), 1L).otherwise(0L)).as("r90lo"),
+          sum(when(col("c") <= col("a99"), 1L).otherwise(0L)).as("r99"),
+          sum(when(col("c") < col("a99"), 1L).otherwise(0L)).as("r99lo"))
         .select(col("f").as("l_returnflag"), col("n"),
-          (abs(col("r50") - expr("(n + 1) div 2"))
-            <= expr("greatest(n div 500, 3)")).as("p50_ok"),
-          (abs(col("r90") - expr("(9 * n + 9) div 10"))
-            <= expr("greatest(n div 500, 3)")).as("p90_ok"),
-          (abs(col("r99") - expr("(99 * n + 99) div 100"))
-            <= expr("greatest(n div 500, 3)")).as("p99_ok"))
+          (expr("(n + 1) div 2")
+            .between(col("r50lo") - expr("greatest(n div 500, 3)"),
+              col("r50") + expr("greatest(n div 500, 3)"))).as("p50_ok"),
+          (expr("(9 * n + 9) div 10")
+            .between(col("r90lo") - expr("greatest(n div 500, 3)"),
+              col("r90") + expr("greatest(n div 500, 3)"))).as("p90_ok"),
+          (expr("(99 * n + 99) div 100")
+            .between(col("r99lo") - expr("greatest(n div 500, 3)"),
+              col("r99") + expr("greatest(n div 500, 3)"))).as("p99_ok"))
     },
     Some("""
       SELECT l_returnflag, count(*) AS n,

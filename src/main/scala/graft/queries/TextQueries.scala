@@ -2474,6 +2474,14 @@ object TextQueries {
   // nB ∝ corpus size to hold bucket size constant — the join stays
   // equi-keyed and skew-free by hash uniformity, and the corpus is
   // never cross-joined or globally sorted.
+  //
+  // Contract caveat: k negatives per anchor is an UPPER bound, not a
+  // guarantee — a probe whose bucket contains no document other than
+  // the anchor itself yields no candidate, and that (anchor, neg_rank)
+  // row is simply absent (both engines agree, so the oracle gate is
+  // unaffected). With buckets sized ≥ 2 docs (any sane nB choice) the
+  // shortfall probability is negligible; a pipeline that NEEDS exactly
+  // k should re-probe absent ranks against bucket (bkt + 1) % nB.
 
   private val negK = 3
   private val negBuckets = 64

@@ -121,6 +121,44 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("byte-budget overflow degrades to the spilling sort path, same rows") {
+    withExtSession { s =>
+      import s.implicits._
+      // group cardinality ≫ the (deliberately tiny) task budget: 997
+      // groups across 4 partitions, unique v per row → total order
+      def wide(sess: SparkSession): DataFrame = {
+        import sess.implicits._
+        (0 until 5000).map { i =>
+          (i % 997, (i * 2654435761L) % 100003, s"p$i")
+        }.toDF("g", "v", "payload")
+      }
+      def run(df: DataFrame): Seq[(Int, Long, String, Int)] = {
+        val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("payload"))
+        df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+            r.getInt(3))).sortBy(identity).toSeq
+      }
+      val saved = graft.plans.TopKPerGroup.fallbackBytes
+      val viaFallback =
+        try {
+          graft.plans.TopKPerGroup.fallbackBytes = 1L // overflow on row 1
+          // the rewrite still fires (fallback is a runtime degrade, not
+          // a plan change)
+          val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("payload"))
+          val q = wide(s).withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= 3)
+          assert(topkNodes(finalPlan(q)) == 2)
+          run(wide(s))
+        } finally graft.plans.TopKPerGroup.fallbackBytes = saved
+      val viaHeap = run(wide(s))
+      val viaWindow = run(wide(spark)) // extension-free session: WindowExec
+      assert(viaFallback == viaHeap, "fallback path diverged from heap path")
+      assert(viaFallback == viaWindow, "fallback path diverged from WindowExec")
+      assert(viaFallback.size == 997 * 3 &&
+        viaFallback.count(_._4 == 1) == 997)
+    }
+  }
+
   test("TopK helper goes native under the extension and matches itself") {
     withExtSession { s =>
       val ext = graft.etl.TopK.topK(fixture(s), Seq(col("g")),
