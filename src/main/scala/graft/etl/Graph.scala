@@ -39,9 +39,25 @@ object Graph {
   def pageRankMicro(edgesIn: DataFrame, iters: Int): DataFrame = {
     val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    // (src, dst, odeg): the per-round join input, pinned once
-    val withDeg = edges.join(deg, Seq("src")).localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    // (src, dst, odeg): the per-round join input, pinned once —
+    // PRE-PARTITIONED and PRE-SORTED by src. localCheckpoint preserves
+    // both the hash partitioning and the sort order (LogicalRDD keeps
+    // outputPartitioning/outputOrdering; a parquet artifact would lose
+    // them — persisting that layout durably is what bucketed+sorted
+    // tables are for). Every round's edges ⋈ ranks SortMergeJoin then
+    // finds the EDGE side fully satisfied — no exchange, no per-round
+    // re-sort of the edge-sized table. The nodes spine gets the same
+    // treatment on id, so the rank-rebuild join is also exchange-free,
+    // and the rank table itself emerges partitioned by id — which is
+    // exactly the clustering the NEXT round's join needs. Steady-state
+    // round cost: ONE node-sized shuffle (the map-side-combined
+    // contribution partials moving to their dst), nothing edge-sized.
+    val withDeg = edges.join(deg, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .repartition(col("id")).sortWithinPartitions(col("id"))
+      .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (round <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
@@ -50,12 +66,18 @@ object Graph {
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("coalesce(sc, 0L) * 85 div 100")).as("r"))
-      // lineage barrier every 3rd round, not every round: a 3-round-deep
-      // nested join plan is well inside Catalyst's comfort zone, and each
-      // eager checkpoint is a full job whose scheduling overhead exceeds
-      // the work at node-table sizes. Unbounded iteration counts still
-      // never nest more than 3 rounds of lineage.
-      if (round % 3 == 0 && round < iters) ranks = ranks.localCheckpoint()
+      // lineage barrier EVERY round (not every 3rd): composing rounds
+      // into one tree makes the checkpointed edge table appear multiple
+      // times, and Catalyst's relation deduplication re-instances the
+      // repeats with fresh attribute ids — divorcing them from the
+      // LogicalRDD's preserved partitioning and re-inserting the very
+      // edge-sized exchange+sort the pre-partitioning exists to kill.
+      // With a per-round barrier each round's tree references every
+      // checkpoint exactly once, the SMJ finds both sides satisfied,
+      // and the round's only shuffle is the node-sized contribution
+      // partials; the extra node-sized checkpoint job is noise next to
+      // an edge-sized exchange.
+      if (round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }

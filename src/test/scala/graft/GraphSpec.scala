@@ -53,4 +53,25 @@ class GraphSpec extends SparkSpec {
     assert(labelsOf(noisy, Graph.connectedComponentsLSS(_)) ==
       labelsOf(base, Graph.connectedComponentsLSS(_)))
   }
+
+  test("pageRank round plans exactly one node-sized exchange") {
+    // the pre-partitioned+sorted edge/node checkpoints must leave a
+    // round's SMJs exchange-free and sort-free: the only shuffle left
+    // is the contribution partials moving to their dst. Static planning
+    // (Bench's configuration) — AQE re-inserts managed exchanges over
+    // checkpoint partitioning, which is a latency choice, not a
+    // correctness one (AqeParitySpec pins result parity).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRankMicro(edges, 2)
+    val plan = pr.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle in the final round's plan, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"edge side of the round join still shuffles:\n$plan")
+  }
 }
