@@ -543,6 +543,77 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("sessionization on a durable file source+sink: kill-restart is exactly-once") {
+    // The production durability story end-to-end: parquet file SOURCE
+    // (offset log tracks consumed files), parquet file SINK (manifest
+    // commits make emission exactly-once), checkpointed session state,
+    // and a hard query kill in the middle. Three things must hold after
+    // the restart: sessions emitted BEFORE the kill are not re-emitted
+    // (sink manifest), source files consumed before the kill are not
+    // replayed (offset log), and a session OPEN across the kill closes
+    // with events from both sides (state store).
+    val srcDir = Files.createTempDirectory("sess_src").toString
+    val outDir = Files.createTempDirectory("sess_out").toString
+    val ckpt = Files.createTempDirectory("sess_ck").toString
+    val base = 1700000000L * US
+    def writeBatch(rows: Seq[Ev]): Unit =
+      rows.toDF("user_id", "ts_us", "value").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def start() = {
+      val src = spark.readStream
+        .schema("user_id LONG, ts_us LONG, value DOUBLE")
+        .parquet(srcDir).as[Ev]
+      StreamOps.sessionizeStream(spark, src, gapMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // file A: u1's whole first session; u2's session left OPEN across
+    // the kill; sentinel 98 pushes the watermark to ~+90min so u1
+    // closes (+10 end + 30 gap < +90) and EMITS before the kill, while
+    // u2 (+80 end) stays open
+    writeBatch(Seq(
+      Ev(1, base, 1.5), Ev(1, base + 10 * MIN, 2.5),
+      Ev(2, base + 80 * MIN, 10.0),
+      Ev(98, base + 100 * MIN, 0.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill
+    val emittedBeforeKill = spark.read.parquet(outDir)
+      .as[Session].collect().filter(_.user_id < 98)
+    assert(emittedBeforeKill.map(_.user_id).toSeq == Seq(1L),
+      s"u1's closed session should have emitted pre-kill: ${emittedBeforeKill.toSeq}")
+    // file B (post-watermark events only): u2 extends its open session,
+    // u1 opens a second one; sentinel 99 flushes everything
+    writeBatch(Seq(
+      Ev(2, base + 95 * MIN, 20.0),
+      Ev(1, base + 120 * MIN, 4.0)))
+    writeBatch(Seq(Ev(99, base + 2000 * MIN, 0.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).as[Session].collect()
+        .filter(_.user_id < 98)
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+        .sortBy(identity).toSeq
+      val batch = StreamOps.sessionizeBatch(
+        Seq((1L, base, 1.5), (1L, base + 10 * MIN, 2.5),
+          (2L, base + 80 * MIN, 10.0), (2L, base + 95 * MIN, 20.0),
+          (1L, base + 120 * MIN, 4.0))
+          .toDF("user_id", "ts_us", "value")
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("value")),
+        gapMinutes = 30)
+        .as[Session].collect()
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events))
+        .sortBy(identity).toSeq
+      // u1 × 2 sessions, u2 × 1 spanning the restart; no duplicates of
+      // the pre-kill emission, no holes from replayed/lost files
+      assert(batch.length == 3)
+      assert(got == batch, s"stream-across-restart $got != batch $batch")
+    } finally q2.stop()
+  }
+
   test("enrichEvents: stream-static join matches batch row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Seq((1L, 10L), (2L, 20L), (3L, 10L))
