@@ -33,4 +33,21 @@ class RegistrySpec extends SparkSpec {
   test("the flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("COVERAGE.md's documented entry count matches the registry") {
+    // the traceability doc drifted from the registry twice in past
+    // rounds; pin the bolded "**N oracle-checked entries**" header
+    // figure to the actual registry size so it cannot drift silently
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\*\*(\d+) oracle-checked entries\*\*""".r.findFirstMatchIn(doc)
+    assert(m.isDefined, "COVERAGE.md lost its '**N oracle-checked entries**' marker")
+    assert(m.get.group(1).toInt == Registry.queries.size,
+      s"COVERAGE.md documents ${m.get.group(1)} entries but the registry has " +
+        s"${Registry.queries.size} — update COVERAGE.md")
+    // and every entry has an oracle: the driver's hash gate covers 100%
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      "every registry entry must carry a DuckDB oracle")
+  }
 }
