@@ -214,6 +214,10 @@ object PipelineQueries {
       if (!marker.exists()) {
         deleteRecursively(out)
         Tables.orders(s, d)
+          // one shuffle keyed by the partition column before the dynamic
+          // write: each hive dir gets ONE file (the small-files rule —
+          // without it every input split writes a sliver into every dir)
+          .repartition(col("o_orderpriority"))
           .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
         marker.createNewFile()
       }
@@ -333,6 +337,9 @@ object PipelineQueries {
         deleteRecursively(out)
         Tables.orders(s, d)
           .withColumn("ingest", pmod(col("o_orderkey"), lit(8)))
+          // same small-files rule as q43's layout: shuffle once on the
+          // partition key pair so each of the 40 dirs is one file
+          .repartition(col("o_orderpriority"), col("ingest"))
           .write.partitionBy("o_orderpriority", "ingest")
           .mode("overwrite").parquet(out)
         marker.createNewFile()
@@ -686,20 +693,45 @@ object PipelineQueries {
 
   private val q71 = Q(
     "q71_fk_integrity",
-    (s, d) => fkRels.map { case (child, fk, parent, pk) =>
-      val ck = tableByName(s, d, child)
-        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("cnt"))
-      val orphan = ck.join(
-        tableByName(s, d, parent).select(col(pk).as("k")).distinct(),
-        Seq("k"), "left_anti")
-      ck.agg(sum(col("cnt")).as("n_child"), count(lit(1)).as("n_keys"))
-        .crossJoin(orphan.agg(
-          coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
-          count(lit(1)).as("n_orphan_keys")))
-        .select(lit(s"$child.$fk->$parent").as("relationship"),
-          col("n_child"), col("n_keys"),
+    (s, d) => {
+      // ONE scan per child table: every declared FK column explodes to a
+      // (relationship, key) row, so lineitem's three relationships share
+      // a single scan (the old shape scanned it six times — once per
+      // relationship per consumer branch). The map-side-combined
+      // (rel, k) groupBy carries distinct keys only; parent key sets
+      // union with the same rel tag and a single LEFT join marks
+      // orphans, so totals and orphan counts come out of one
+      // aggregation instead of two recomputed branches.
+      val keyed = fkRels.groupBy(_._1).toSeq.map { case (child, rels) =>
+        // narrow to the FK columns, then spread: the single-row-group
+        // testdata scan is one partition, and without the redistribution
+        // the explode + partial agg of the biggest child runs on one core
+        Tables.spread(tableByName(s, d, child)
+          .select(rels.map { case (_, fk, _, _) => col(fk) }.distinct: _*))
+          .select(
+            explode(array(rels.map { case (_, fk, parent, _) =>
+              struct(lit(s"$child.$fk->$parent").as("rel"),
+                col(fk).cast("long").as("k")) }: _*)).as("x"))
+          .select(col("x.rel").as("rel"), col("x.k").as("k"))
+      }.reduce(_ unionAll _)
+      val perKey = keyed.groupBy(col("rel"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val parents = fkRels.map { case (child, fk, parent, pk) =>
+        tableByName(s, d, parent)
+          .select(col(pk).cast("long").as("k")).distinct()
+          .select(lit(s"$child.$fk->$parent").as("rel"), col("k"),
+            lit(1).as("present"))
+      }.reduce(_ unionAll _)
+      perKey.join(parents, Seq("rel", "k"), "left")
+        .groupBy(col("rel"))
+        .agg(sum(col("cnt")).as("n_child"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("present").isNull, col("cnt"))), lit(0L))
+            .as("n_orphan_rows"),
+          sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+        .select(col("rel").as("relationship"), col("n_child"), col("n_keys"),
           col("n_orphan_rows"), col("n_orphan_keys"))
-    }.reduce(_ unionAll _),
+    },
     Some(fkRels.map { case (child, fk, parent, pk) =>
       s"""SELECT '$child.$fk->$parent' AS relationship,
              CAST(count(*) AS BIGINT) AS n_child,

@@ -198,20 +198,43 @@ object SimilarityQueries {
       raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
   }
 
+  /** ALL scored candidate pairs (vec_a < vec_b, cos — PRE-threshold) of
+    * one banded geometry over the doubled corpus, as a shared artifact.
+    * One table serves three consumer shapes: the production pair sets
+    * (filter cos ≥ 0.95 → e03/e07 legacy, e29/e30 banded) and the e13
+    * geometry audit's cost/recall aggregates (which must see the
+    * pre-threshold candidate volume — the Σ|bucket|² number).
+    */
+  private def scoredCandidates(
+      s: SparkSession, d: String, tag: String,
+      bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): DataFrame =
+    graft.etl.Artifacts.shared(s, d, tag) {
+      val emb = doubledEmb(s, d)
+      val bands = emb.select(col("vec_id"),
+          explode(array(bandPlanes.zipWithIndex.map { case (ps, b) =>
+            struct(lit(b).as("band"),
+              bucketOf(ps, fam)(col("e")).as("bkt")) }: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bkt"))
+        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkt")),
+          Seq("band", "bkt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("en").as("ea")), Seq("vec_a"))
+        .join(emb.select(col("vec_id").as("vec_b"), col("en").as("eb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Portable.dot(col("ea"), col("eb")).as("cos"))
+    }
+
   /** Stage-1 near-dup pairs over the doubled corpus (legacy 8-plane
     * geometry), cos ≥ 0.95. e03's output rows and e07's recall stage are
-    * the SAME relation — checkpointed once as an artifact.
+    * the SAME relation — one artifact (shared further with e13's hp8x1
+    * audit row, which reads the pre-threshold candidates).
     */
   private def neardupPairs(s: SparkSession, d: String): DataFrame =
-    graft.etl.Artifacts.shared(s, d, "neardup_pairs") {
-      val emb = doubledEmb(s, d).withColumn("bkt", bucket(col("e")))
-      val a = emb.select(col("vec_id").as("vec_a"), col("en").as("qe"), col("bkt"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("en").as("ce"), col("bkt"))
-      a.join(b, Seq("bkt")).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          Portable.dot(col("qe"), col("ce")).as("cos"))
-        .filter(col("cos") >= 0.95)
-    }
+    scoredCandidates(s, d, "nd_scored_legacy", Seq(0 until numPlanes), planeVec)
+      .filter(col("cos") >= 0.95)
 
   /** DEPRECATED geometry (kept as a frozen legacy pin — plane indices
     * 0..7 of [[planeVec]] are baked into the result hash): the 8-plane
@@ -1031,31 +1054,20 @@ object SimilarityQueries {
   private val bandedPlanes: Seq[Seq[Int]] =
     (0 until 4).map(b => (b * 16) until (b * 16 + 16))
 
-  /** Candidate/verified/planted counts for one banded geometry. */
-  private def lshGeometryStats(
-      name: String, bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double],
-      emb: DataFrame): DataFrame = {
-    val bands = emb.select(col("vec_id"),
-        explode(array(bandPlanes.zipWithIndex.map { case (ps, b) =>
-          struct(lit(b).as("band"), bucketOf(ps, fam)(col("e")).as("bkt")) }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-    val cand = bands.select(col("vec_id").as("a"), col("band"), col("bkt"))
-      .join(bands.select(col("vec_id").as("b"), col("band"), col("bkt")),
-        Seq("band", "bkt"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    cand
-      .join(emb.select(col("vec_id").as("a"), col("en").as("ea")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b"), col("en").as("eb")), Seq("b"))
-      .withColumn("cos", Portable.dot(col("ea"), col("eb")))
+  /** Candidate/verified/planted counts for one banded geometry — a
+    * pure aggregation over the geometry's [[scoredCandidates]] artifact
+    * (the same table the production pair sets filter), so the audit
+    * costs one artifact read instead of a second full pipeline.
+    */
+  private def lshGeometryStats(name: String, scored: DataFrame): DataFrame =
+    scored
       .agg(
         count(lit(1)).as("n_cand"),
         sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_dup"),
-        sum(when(col("cos") >= 0.95 && col("b") === col("a") + dupShift, 1L)
+        sum(when(col("cos") >= 0.95 && col("vec_b") === col("vec_a") + dupShift, 1L)
           .otherwise(0L)).as("n_planted"))
       .select(lit(name).as("geometry"),
         col("n_cand"), col("n_dup"), col("n_planted"))
-  }
 
   private def lshGeometrySql(
       name: String, bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): String = {
@@ -1082,13 +1094,10 @@ object SimilarityQueries {
 
   private val e13 = Q(
     "e13_lsh_geometry_audit",
-    (s, d) => {
-      val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
-      val emb = raw.unionAll(
-        raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
-      lshGeometryStats("hp8x1", Seq(0 until numPlanes), planeVec, emb)
-        .unionAll(lshGeometryStats("mix16x4", bandedPlanes, planeVecMix, emb))
-    },
+    (s, d) => lshGeometryStats("hp8x1",
+        scoredCandidates(s, d, "nd_scored_legacy", Seq(0 until numPlanes), planeVec))
+      .unionAll(lshGeometryStats("mix16x4",
+        scoredCandidates(s, d, "nd_scored_banded", bandedPlanes, planeVecMix))),
     Some(s"""
       WITH $normalizedSql,
       dbl AS (
@@ -2403,25 +2412,8 @@ object SimilarityQueries {
     * once (same contract as [[neardupPairs]]).
     */
   private def neardupPairsBanded(s: SparkSession, d: String): DataFrame =
-    graft.etl.Artifacts.shared(s, d, "neardup_pairs_banded") {
-      val emb = doubledEmb(s, d)
-      val bands = emb.select(col("vec_id"),
-          explode(array(bandedPlanes.zipWithIndex.map { case (ps, b) =>
-            struct(lit(b).as("band"),
-              bucketOf(ps, planeVecMix)(col("e")).as("bkt")) }: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
-      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bkt"))
-        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkt")),
-          Seq("band", "bkt"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_a"), col("en").as("ea")), Seq("vec_a"))
-        .join(emb.select(col("vec_id").as("vec_b"), col("en").as("eb")), Seq("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          Portable.dot(col("ea"), col("eb")).as("cos"))
-        .filter(col("cos") >= 0.95)
-    }
+    scoredCandidates(s, d, "nd_scored_banded", bandedPlanes, planeVecMix)
+      .filter(col("cos") >= 0.95)
 
   /** DuckDB mirror of the banded candidate chain, ending in CTE
     * `surv(vec_a, vec_b, cos)`; assumes `dbl` is in scope.
