@@ -21,12 +21,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-      // AQE earns its keep on real shuffle volumes (runtime coalescing,
-      // skew splitting); at bench scale every query is overhead-bound
-      // and AQE's per-stage re-planning rounds are pure latency. Env
-      // override for experiments; production sessions should leave AQE on.
+      // AQE ON by default — the production configuration, and since the
+      // round-7 artifact/split-table work also the faster one at bench
+      // scale (measured: runtime partition coalescing saves more on the
+      // 0.5–2s tail than per-stage re-planning costs; 212.6s static vs
+      // ~202s adaptive at sf0.1). Env seam kept for experiments;
+      // AqeParitySpec pins result equality between the two modes.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

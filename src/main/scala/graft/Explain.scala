@@ -18,10 +18,11 @@ object Explain {
       // adding .withExtensions too would inject the optimizer rule and
       // planner strategy twice (fresh JVM => the conf path is reliable)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // same env seam as Bench: AQE off by default here so the printed
-      // plan is the static plan Bench executes (AQE wraps every stage
-      // in QueryStage/AQEShuffleRead otherwise); set SPARK_GRAFT_AQE=true
-      // to audit the adaptive shapes instead
+      // AQE off by default HERE (unlike Bench, which runs the adaptive
+      // production config): explain is a plan-shape audit, and the
+      // static plan shows operator structure without QueryStage /
+      // AQEShuffleRead wrappers; set SPARK_GRAFT_AQE=true to audit the
+      // adaptive shapes instead
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
