@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-round BPE training over a weighted word histogram (the t67
+  * operator's core, factored out so BpePropertySpec can drive it over
+  * arbitrary histograms against an in-memory reference implementation).
+  *
+  * Input: `(w, cnt)` — the distinct-word histogram, the ONLY
+  * corpus-sized relation (Sennrich et al. 2016; SentencePiece). Each of
+  * the `rounds` iterations counts adjacent symbol pairs weighted by
+  * `cnt`, picks the (freq DESC, s1 ASC, s2 ASC) argmax via a top-1
+  * TakeOrderedAndProject, and merges it everywhere before the next
+  * round — the sequential dependency that makes BPE training iterative.
+  *
+  * Segmentations ride as space-delimited symbol strings with sentinel
+  * spaces (" t h e "); words are whitespace-free by the tokenizer
+  * contract, so a space can never occur inside a symbol. Merging is a
+  * greedy left-to-right FOLD over the symbol array: append each symbol,
+  * and when the last two equal (s1, s2) replace them with s1s2. This is
+  * exactly BPE's scan-and-skip merge — [a,a,a,a] → [aa][aa] — and the
+  * fold can never re-merge its own output as a left operand because the
+  * merged symbol s1s2 is strictly longer than s1. (A plain
+  * `replace(" s1 s2 " → " s1s2 ")` is WRONG here: consecutive
+  * occurrences share their sentinel space, so string replace consumes
+  * the separator the next match needs and [a,a,a,a] comes out
+  * [aa,a,a] — caught by BpePropertySpec against the in-memory
+  * reference.) Words reduced to one symbol stop contributing pairs.
+  * Each round's segmentation is eagerly localCheckpoint'ed (the
+  * pageRankMicro lineage discipline).
+  *
+  * Returns `(round, s1, s2, freq)` — one row per round that still had
+  * a candidate pair (a dried-up corpus yields fewer than `rounds`
+  * rows).
+  */
+object Bpe {
+
+  def train(hist: DataFrame, rounds: Int): DataFrame = {
+    var seg = hist.filter(length(col("w")) >= 2)
+      .select(col("cnt"),
+        concat(lit(" "),
+          expr("array_join(transform(sequence(1, length(w)), " +
+            "i -> substring(w, i, 1)), ' ')"),
+          lit(" ")).as("seg"))
+      .localCheckpoint()
+    val out = (1 to rounds).map { r =>
+      val syms = seg
+        .withColumn("sy",
+          expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
+        .filter(size(col("sy")) >= 2)
+      val pairCounts = syms
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(element_at(sy, i) AS s1, element_at(sy, i + 1) AS s2))"))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("freq"))
+      val best = pairCounts
+        .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
+        .limit(1).localCheckpoint()
+      seg = seg
+        .crossJoin(broadcast(
+          best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
+        .withColumn("sy",
+          expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
+        .withColumn("sy2", expr(
+          "aggregate(sy, cast(array() as array<string>), (acc, x) -> " +
+            "IF(size(acc) > 0 AND element_at(acc, -1) = _m1 AND x = _m2, " +
+            "concat(slice(acc, 1, size(acc) - 1), array(concat(_m1, _m2))), " +
+            "concat(acc, array(x))))"))
+        .select(col("cnt"),
+          concat(lit(" "), array_join(col("sy2"), " "), lit(" ")).as("seg"))
+        .localCheckpoint()
+      best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
+    }
+    out.reduce(_ unionAll _)
+  }
+}

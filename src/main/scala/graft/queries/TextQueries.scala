@@ -2560,45 +2560,21 @@ object TextQueries {
 
   private val t67 = Q(
     "t67_bpe_train",
-    (s, d) => {
-      val hist = Tables.spread(Tables.documents(s, d))
+    (s, d) => graft.etl.Bpe.train(
+      Tables.spread(Tables.documents(s, d))
         .select(explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .filter(length(col("w")) >= 2)
-      var seg = hist.select(col("cnt"),
-          concat(lit(" "),
-            expr("array_join(transform(sequence(1, length(w)), " +
-              "i -> substring(w, i, 1)), ' ')"),
-            lit(" ")).as("seg"))
-        .localCheckpoint()
-      val rounds = (1 to bpeRounds).map { r =>
-        val syms = seg
-          .withColumn("sy",
-            expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
-          .filter(size(col("sy")) >= 2)
-        val pairCounts = syms
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(sy) - 1), " +
-              "i -> struct(element_at(sy, i) AS s1, element_at(sy, i + 1) AS s2))"))
-            .as("p"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .agg(sum(col("cnt")).as("freq"))
-        val best = pairCounts
-          .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
-          .limit(1).localCheckpoint()
-        seg = seg
-          .crossJoin(broadcast(
-            best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
-          .withColumn("seg",
-            expr("replace(seg, concat(' ', _m1, ' ', _m2, ' '), " +
-              "concat(' ', _m1, _m2, ' '))"))
-          .select(col("cnt"), col("seg"))
-          .localCheckpoint()
-        best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
-      }
-      rounds.reduce(_ unionAll _)
-    },
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      bpeRounds),
     Some {
+      // greedy left-to-right merge as a done/todo recursive scan: each
+      // step consumes the FIRST " s1 s2 " occurrence of the remaining
+      // suffix, appends " s1s2" to the done prefix, and keeps the
+      // pattern's trailing space IN the suffix (substr offset −1) so it
+      // can sentinel the next match — exactly BPE's scan-and-skip merge
+      // ([a,a,a,a] → [aa][aa]; a plain replace() would eat the shared
+      // separator and yield [aa,a,a], diverging from the Spark fold —
+      // BpePropertySpec pins the semantics against an in-memory
+      // reference).
       val roundCtes = (1 to bpeRounds).map { r =>
         s"""
       sy$r AS (SELECT cnt,
@@ -2610,18 +2586,28 @@ object TextQueries {
                       sum(cnt) AS freq
                FROM sy$r, LATERAL unnest(generate_series(1, len(sy) - 1)) g(i)
                WHERE len(sy) >= 2 GROUP BY 1, 2),
-      b$r AS (SELECT s1, s2, CAST(freq AS BIGINT) AS freq FROM pc$r
-              ORDER BY freq DESC, s1 ASC, s2 ASC LIMIT 1),
-      seg$r AS (SELECT cnt,
-                       replace(seg, ' ' || b.s1 || ' ' || b.s2 || ' ',
-                               ' ' || b.s1 || b.s2 || ' ') AS seg
-                FROM seg${r - 1}, b$r b)"""
+      b$r AS (SELECT s1, s2, CAST(freq AS BIGINT) AS freq,
+                     ' ' || s1 || ' ' || s2 || ' ' AS pat,
+                     ' ' || s1 || s2 AS rep
+              FROM pc$r ORDER BY freq DESC, s1 ASC, s2 ASC LIMIT 1),
+      mg$r AS (
+        SELECT cnt, CAST('' AS VARCHAR) AS done, seg AS todo FROM seg${r - 1}
+        UNION ALL
+        SELECT m.cnt,
+               m.done || substr(m.todo, 1, strpos(m.todo, b.pat) - 1) || b.rep,
+               substr(m.todo, strpos(m.todo, b.pat) + length(b.pat) - 1)
+        FROM mg$r m, b$r b
+        WHERE strpos(m.todo, b.pat) > 0),
+      seg$r AS (
+        SELECT m.cnt, m.done || m.todo AS seg
+        FROM mg$r m, b$r b
+        WHERE strpos(m.todo, b.pat) = 0)"""
       }.mkString(",")
       val unioned = (1 to bpeRounds)
         .map(r => s"SELECT $r AS round, s1, s2, freq FROM b$r")
         .mkString("\n      UNION ALL ")
       s"""
-      WITH hist AS (
+      WITH RECURSIVE hist AS (
         SELECT tok AS w, count(*) AS cnt
         FROM (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY 1),
