@@ -811,8 +811,62 @@ object PipelineQueries {
                    WHERE user_id NOT IN (SELECT k FROM del)) AS BIGINT)
     """))
 
+  // ---- q77: ORC interchange round-trip ---------------------------------
+  //
+  // The second columnar interchange connector beside parquet (q43/q49/
+  // q50/q69 layouts) and JSONL (q52): write the fact projection as ORC
+  // once per (dataset, process), read it back through Spark's native
+  // vectorized ORC reader with a pushed predicate, and prove the round
+  // trip lossless against the DuckDB oracle over the ORIGINAL parquet —
+  // the q43 rule (layout round-trip ≡ source of truth). Timestamps
+  // compare as unix micros (integer-exact in both engines); money in
+  // exact integer cents. At 100 TB the connector story is the point:
+  // a lake migration (parquet → ORC or back) must be provably lossless,
+  // and the predicate must reach the new format's reader (ORC carries
+  // min/max stripe stats exactly like parquet row groups).
+
+  private val orcLock = new Object
+
+  private def orcLineitem(s: SparkSession, d: String): String = {
+    val out = tmp("lineitem_orc", d)
+    val marker = new java.io.File(out, "_LAYOUT_DONE")
+    orcLock.synchronized {
+      if (!marker.exists()) {
+        deleteRecursively(out)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_shipdate"))
+          .write.mode("overwrite").orc(out)
+        marker.createNewFile()
+      }
+    }
+    out
+  }
+
+  private val q77 = Q(
+    "q77_orc_roundtrip",
+    (s, d) => s.read.orc(orcLineitem(s, d))
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+        // NTZ→LTZ cast is numerically exact under the pinned UTC session
+        // (the Tables.events rule)
+        min(unix_micros(col("l_shipdate").cast("timestamp"))).as("first_ship_us"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("last_ship_us")),
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             count(DISTINCT l_orderkey) AS n_orders,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+             min(epoch_us(l_shipdate)) AS first_ship_us,
+             max(epoch_us(l_shipdate)) AS last_ship_us
+      FROM lineitem WHERE l_quantity >= 25.0 GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72)
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72, q77)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.
