@@ -80,6 +80,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the dimension joins to broadcast:\n$plan")
   }
 
+  test("q77's predicate reaches the ORC scan (pushed filter + pruned schema)") {
+    val plan = Registry.queries("q77_orc_roundtrip")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan orc"), s"expected a native ORC scan:\n$plan")
+    assert(
+      "PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined,
+      s"l_quantity filter not pushed to the ORC scan:\n$plan")
+  }
+
   test("q69's co-bucketed join is a SortMergeJoin with ZERO exchange") {
     val plan = graft.queries.PipelineQueries
       .bucketedJoinForAudit(spark, sfDir)
