@@ -594,16 +594,19 @@ object StatsQueries {
   private val q76 = Q(
     "q76_quantile_bins",
     (s, d) => {
-      // spread: the projected cents column is materialized once (32
-      // partitions) and feeds BOTH passes — histogram and bin
-      // assignment — instead of two single-task single-row-group scans
-      val li = Tables.spread(Tables.lineitem(s, d)
-        .select(round(col("l_extendedprice") * 100).cast("long").as("c")))
+      // ONE corpus pass: after the value histogram (the only
+      // corpus-sized shuffle), everything — the total count, the order
+      // statistics, AND the bin assignment/report — derives from the
+      // vocabulary-sized histogram (each distinct value's bin expands
+      // by its count), so the fact table is scanned exactly once
+      val li = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
       val hist = li.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
         .withColumn("_qb", expr("c div 100000"))
+        .localCheckpoint()
       val cum = graft.etl.PrefixSum.exclusiveBy(
         hist, "_qb", Seq(col("c")), "cnt", "off")
-      val probes = li.agg(count(lit(1)).as("n"))
+      val probes = hist.agg(sum(col("cnt")).as("n"))
         .select(explode(expr("sequence(1, 9)")).as("i"), col("n"))
         .select(col("i"),
           expr("(i * (n - 1)) div 10").as("k"),
@@ -620,12 +623,12 @@ object StatsQueries {
         .select(col("i"),
           expr("(10 * lo_c + (hi_c - lo_c) * rem + 5) div 10").as("ec"))
         .agg(es.head, es.tail: _*)
-      li.crossJoin(broadcast(edgeRow))
-        .select(col("c"),
+      hist.crossJoin(broadcast(edgeRow))
+        .select(col("c"), col("cnt"),
           (1 to 9).map(i => when(col("c") > col(s"e$i"), 1L).otherwise(0L))
             .reduce(_ + _).as("bin"))
         .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"), min(col("c")).as("min_c"),
+        .agg(sum(col("cnt")).as("n"), min(col("c")).as("min_c"),
           max(col("c")).as("max_c"))
         .select(col("bin"), col("n"),
           (col("min_c").cast("double") / 100.0).as("lo"),
