@@ -66,17 +66,21 @@ object Graph {
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("coalesce(sc, 0L) * 85 div 100")).as("r"))
-      // lineage barrier EVERY round (not every 3rd): composing rounds
-      // into one tree makes the checkpointed edge table appear multiple
-      // times, and Catalyst's relation deduplication re-instances the
-      // repeats with fresh attribute ids — divorcing them from the
-      // LogicalRDD's preserved partitioning and re-inserting the very
-      // edge-sized exchange+sort the pre-partitioning exists to kill.
-      // With a per-round barrier each round's tree references every
-      // checkpoint exactly once, the SMJ finds both sides satisfied,
-      // and the round's only shuffle is the node-sized contribution
-      // partials; the extra node-sized checkpoint job is noise next to
-      // an edge-sized exchange.
+      // Eager barrier EVERY round, for two independent reasons:
+      //   1. each round consumes `ranks` TWICE (contribution join +
+      //      rank rebuild), so an uncheckpointed chain re-evaluates
+      //      round r−1 twice per reference — 2^rounds recompute
+      //      (measured: 3 un-barriered rounds run ~2× slower than 3
+      //      barriered ones despite the extra jobs);
+      //   2. under static planning, composing rounds into one tree
+      //      makes the checkpointed edge table appear multiple times,
+      //      and relation deduplication re-instances the repeats with
+      //      fresh attribute ids — divorcing them from the LogicalRDD's
+      //      preserved partitioning and re-inserting the edge-sized
+      //      exchange+sort the pre-partitioning exists to kill. With a
+      //      per-round barrier each round's tree references every
+      //      checkpoint exactly once and the round's only shuffle is
+      //      the node-sized contribution partials (GraphSpec pins it).
       if (round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
