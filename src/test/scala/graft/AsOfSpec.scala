@@ -40,4 +40,38 @@ class AsOfSpec extends SparkSpec {
       .select(col("_match.pv")).collect()(0).getString(0)
     assert(got == "second")
   }
+
+  test("randomized: joinBackward equals the brute-force per-row argmax") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random (key, ts) sets with deliberate ts collisions (small ranges)
+    val rowsGen = for {
+      nl <- Gen.choose(1, 40)
+      nr <- Gen.choose(0, 40)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 30L)))
+    } yield (l.distinct, r.zipWithIndex.map { case ((k, ts), i) =>
+      (k, ts, s"v$i", i.toLong) })
+    val cases = Gen.listOfN(10, rowsGen)
+      .apply(Gen.Parameters.default, Seed(23L)).get
+    cases.foreach { case (lrows, rrows) =>
+      val left = lrows.toDF("k", "ts")
+      val right = rrows.toDF("k", "ts", "pv", "rid")
+      val got = AsOf.joinBackward(left, right, Seq("k"), "ts",
+          Seq("pv"), tieBreak = col("rid"))
+        .select(col("k"), col("ts"), col("_match.pv").as("pv")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // reference: per left row, the right row maximizing (ts, rid)
+      // among right.ts <= left.ts within the key
+      val exp = lrows.map { case (k, ts) =>
+        val cand = rrows.filter(r => r._1 == k && r._2 <= ts)
+        val pv = if (cand.isEmpty) null
+          else cand.maxBy(r => (r._2, r._4))._3
+        (k, ts, pv)
+      }.sortBy(t => (t._1, t._2))
+      assert(got == exp, s"left=$lrows right=$rrows")
+    }
+  }
 }
