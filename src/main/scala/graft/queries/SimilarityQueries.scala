@@ -2488,8 +2488,55 @@ object SimilarityQueries {
       FROM j
     """))
 
+  // ---- e31: ANN hard-negative mining ----------------------------------
+  //
+  // Contrastive training wants, per anchor, negatives that are CLOSE in
+  // embedding space but provably not positives: random negatives (t66)
+  // are too easy to teach a margin, and near-duplicates are false
+  // negatives (they are positives mislabeled). The mining rule composes
+  // three gates over the scored candidates: label mismatch (cannot be a
+  // positive), cos < 0.95 (below the e03/e29 near-dup gate — not a
+  // missed duplicate), then top-k by cosine (as hard as allowed).
+  //
+  // Scale: the gates compose with ANY candidate generator — here the
+  // anchors are ~1% of the corpus so the scorer is e01's broadcast
+  // brute pass (anchors ⋈ corpus, corpus never shuffled); at 10⁹
+  // vectors you swap in the IVF (e04) or multi-probe (e14) candidate
+  // join and keep the filters and the per-anchor top-k verbatim. The
+  // top-k itself is the native TopKPerGroup operator — k rows per
+  // anchor survive the map-side partial.
+
+  private val e31 = Q(
+    "e31_hard_negatives",
+    (s, d) => {
+      val emb = normalizedEmb(s, d)
+      val anchors = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          col("en").as("qe"))
+      val cands = emb.select(col("vec_id").as("cid"), col("label").as("clab"),
+        col("en").as("ce"))
+      val scored = broadcast(anchors).crossJoin(cands)
+        .filter(col("qlab") =!= col("clab"))
+        .select(col("qid"), col("cid"),
+          Portable.dot(col("qe"), col("ce")).as("cos"))
+        .filter(col("cos") < 0.95)
+      graft.etl.TopK.topK(scored, Seq(col("qid")), col("cos"), col("cid"), k)
+        .select(col("qid"), col("cid"), col("rnk"),
+          round(col("cos"), 6).as("sim"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      q AS (SELECT vec_id AS qid, label AS qlab, en AS qe
+            FROM emb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, label AS clab, en AS ce FROM emb) c
+        WHERE qlab <> c.clab AND list_dot_product(qe, ce) < 0.95),
+      ${OracleSql.knnTailSql(k)}
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
-      e28, e29, e30)
+      e28, e29, e30, e31)
 }

@@ -254,9 +254,19 @@ object StatsQueries {
 
   private val q59 = Q(
     "q59_approx_distinct",
-    (s, d) => Tables.lineitem(s, d)
+    (s, d) =>
+      // pre-distinct the (flag, key) pairs, then count AND sketch the
+      // deduped keys: one map-side-combined shuffle of distinct pairs
+      // instead of the Expand the exact+approx agg pair would plan
+      // (Expand doubles every fact row before the shuffle). HLL is
+      // multiplicity-invariant, so sketching the deduped keys yields
+      // the IDENTICAL estimate — and at 100 TB the shuffled volume is
+      // the distinct-key count either way, but without Expand the map
+      // side streams half the rows.
+      Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_orderkey")).agg(count(lit(1)))
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+      .agg(count(lit(1)).as("n_exact"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("_approx") - col("n_exact"))
@@ -679,6 +689,57 @@ object StatsQueries {
       FROM b GROUP BY 1
     """))
 
+  // ---- q78: windowed analytics suite ----------------------------------
+  //
+  // The SQL-analytics window family over per-user event streams in ONE
+  // window specification: lag/lead (adjacent-event context), row_number
+  // (sequence position), ntile (per-user value-time quartile), and a
+  // running ROWS-frame sum in integer cents. All five functions share
+  // the same (PARTITION BY user_id ORDER BY ts, event_id) spec, so
+  // Catalyst plans a SINGLE Window operator — one shuffle on user_id,
+  // one per-partition sort, all functions evaluated in the same pass
+  // (splitting specs is the classic window anti-pattern: each distinct
+  // spec is another sort). The ordering is total (event_id breaks ts
+  // ties), so every function is deterministic and the running sum's
+  // ROWS frame equals its RANGE frame.
+  //
+  // Scale: state per group is O(1) for lag/lead/sum/row_number and the
+  // window shuffle carries each user's events to one task — the same
+  // bound as q23 sessionization; a celebrity user is an AQE skew-split
+  // away, same as any hot group.
+
+  private val q78 = Q(
+    "q78_window_suite",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          row_number().over(w).as("rnk"),
+          ntile(4).over(w).as("quartile"),
+          sum(col("c")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+            .as("run_cents"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             lag(event_type, 1) OVER w AS prev_type,
+             lead(event_type, 1) OVER w AS next_type,
+             CAST(row_number() OVER w AS INTEGER) AS rnk,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """))
+
   def all: Seq[Q] =
-    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73, q74, q76)
+    Seq(q26, q27, q33, q42, q44, q57, q59, q62, q67, q70, q73, q74, q76, q78)
 }

@@ -323,44 +323,58 @@ object TextQueries {
 
   private val simBits = 32
 
-  private val t07 = Q(
-    "t07_simhash",
-    (s, d) => {
-      val h = Portable.hash60(col("t"), 3)
-      val bitSums = (0 until simBits).map(b =>
-        sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val sums = doubledCorpus(s, d)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until simBits)
-        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val withSim = sums.select(col("doc_id"), simhash.as("simhash"))
-      val grp = withSim.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))
-      withSim.join(grp, Seq("simhash"))
-        .select(col("doc_id"), col("simhash"), col("n_same"))
-    },
-    Some {
-      val bitSums = (0 until simBits).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
-        .mkString(",\n               ")
-      val simExpr = (0 until simBits)
-        .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""
-      WITH corpus AS (SELECT doc_id, text FROM $doubledSql AS d(doc_id, text)),
+  /** (doc_id, simhash) over the doubled corpus — t07's fingerprint pass,
+    * reused by the t69 method-agreement audit (simhash-equality is one
+    * of its three duplicate decisions). One token explode + 32
+    * conditional bit sums, all map-side combined.
+    */
+  private def simhashOf(s: SparkSession, d: String): DataFrame = {
+    val h = Portable.hash60(col("t"), 3)
+    val bitSums = (0 until simBits).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val sums = doubledCorpus(s, d)
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until simBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** DuckDB mirror of [[simhashOf]]: CTE chain ending in
+    * `sh(doc_id, simhash)`.
+    */
+  private lazy val simhashCtesSql: String = {
+    val bitSums = (0 until simBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n               ")
+    val simExpr = (0 until simBits)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""corpus AS (SELECT doc_id, text FROM $doubledSql AS d(doc_id, text)),
       ex AS (SELECT doc_id, unnest($toksSql) AS t FROM corpus),
       hs AS (SELECT doc_id, ${hSql("t", 3)} AS h FROM ex),
       sums AS (SELECT doc_id,
                $bitSums
               FROM hs GROUP BY doc_id),
-      sh AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums)
+      sh AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  private val t07 = Q(
+    "t07_simhash",
+    (s, d) => {
+      val withSim = simhashOf(s, d)
+      val grp = withSim.groupBy(col("simhash")).agg(count(lit(1)).as("n_same"))
+      withSim.join(grp, Seq("simhash"))
+        .select(col("doc_id"), col("simhash"), col("n_same"))
+    },
+    Some(s"""
+      WITH $simhashCtesSql
       SELECT doc_id, sh.simhash, g.n_same
       FROM sh JOIN (SELECT simhash, count(*) AS n_same FROM sh GROUP BY 1) g
         ON g.simhash = sh.simhash
-    """
-    })
+    """))
 
   // ---- t08: character n-gram Jaccard near-dup ------------------------
   // Same banded-LSH machinery as t06 at a different modality (char
@@ -2621,9 +2635,125 @@ object TextQueries {
     """
     })
 
+  // ---- t68: token frequency spectrum (Zipf audit) ---------------------
+  //
+  // The corpus-statistics table a tokenizer or data audit starts from:
+  // per language, bucket the token VOCABULARY by floor(log2(frequency))
+  // — the frequency-of-frequencies spectrum whose near-linear decay is
+  // the Zipf signature. freq_class 0 is the hapax mass (the vocabulary
+  // tail a BPE vocabulary budget mostly discards), n_types is vocabulary
+  // mass per class, n_tokens corpus mass. floor(log2) is computed as
+  // binary-digit-count − 1 (Spark `conv`, DuckDB `to_base`) — exact
+  // integer math, no float log to disagree across engines at powers of
+  // two.
+  //
+  // Scale: the token explode is the only corpus-sized stage; the
+  // (lang, token) count is map-side combined to vocabulary size, and the
+  // spectrum agg is vocabulary→dozens of rows. No joins, no windows.
+
+  private val t68 = Q(
+    "t68_token_zipf",
+    (s, d) => {
+      val tf = Tables.spread(Tables.documents(s, d))
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("t"))
+        .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("f"))
+      tf.select(col("lang"),
+          (length(conv(col("f"), 10, 2)) - 1).cast("long").as("freq_class"),
+          col("f"))
+        .groupBy(col("lang"), col("freq_class"))
+        .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"))
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT lang, t, count(*) AS f
+        FROM (SELECT lang, unnest($toksSql) AS t FROM documents)
+        GROUP BY 1, 2)
+      SELECT lang, CAST(length(to_base(f, 2)) - 1 AS BIGINT) AS freq_class,
+             count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY 1, 2
+    """))
+
+  // ---- t69: dedup-method agreement audit ------------------------------
+  //
+  // Three independent duplicate DECISIONS run over the same doubled
+  // corpus — exact normalized-fingerprint equality (t05), verified
+  // MinHash-LSH near-dup pairs (t06), and simhash equality (t07) — and
+  // the audit reports how far they agree: per method the pair count, and
+  // every pairwise + triple intersection. This is the diagnostic a
+  // curation pipeline runs before choosing its dedup gate (an exact-only
+  // gate misses every near-dup the LSH path catches; a simhash-only gate
+  // shows its false-positive mass here).
+  //
+  // Scale: the expensive decision (LSH) is READ from the t06 pair
+  // artifact, not recomputed — auditing N methods costs one cheap pass
+  // per additional method (fingerprint self-join and simhash self-join
+  // are both equi-joins on the fingerprint with tiny groups), plus a
+  // pair-keyed full outer merge that touches |pairs|, never the corpus.
+  // The DuckDB oracle has no artifact to read and recomputes the LSH
+  // chain — at 100 TB that recompute-per-audit is exactly the cost the
+  // checkpoint contract removes.
+
+  private val t69 = Q(
+    "t69_dedup_agreement",
+    (s, d) => {
+      val corpus = doubledCorpus(s, d)
+      val fp = corpus.select(col("doc_id"), TA.md5Fingerprint(col("text")).as("fp"))
+      val exact = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(1L).as("in_e"))
+      val minhash = sharedTokenLshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("in_m"))
+      val sh = simhashOf(s, d)
+      val simEq = sh.as("x").join(sh.as("y"),
+          col("x.simhash") === col("y.simhash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit(1L).as("in_s"))
+      exact.join(minhash, Seq("a", "b"), "full")
+        .join(simEq, Seq("a", "b"), "full")
+        .select(coalesce(col("in_e"), lit(0L)).as("e"),
+          coalesce(col("in_m"), lit(0L)).as("m"),
+          coalesce(col("in_s"), lit(0L)).as("sm"))
+        .agg(sum(col("e")).as("n_exact"),
+          sum(col("m")).as("n_minhash"),
+          sum(col("sm")).as("n_simhash"),
+          sum(col("e") * col("m")).as("n_exact_minhash"),
+          sum(col("e") * col("sm")).as("n_exact_simhash"),
+          sum(col("m") * col("sm")).as("n_minhash_simhash"),
+          sum(col("e") * col("m") * col("sm")).as("n_all_three"))
+    },
+    Some(s"""
+      WITH pairs_m AS (${lshPairsSql(tokenLshBaseSql,
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+        threshold = 0.8)}),
+      $simhashCtesSql,
+      fp AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
+             FROM $doubledSql AS documents(doc_id, text)),
+      pe AS (SELECT x.doc_id AS a, y.doc_id AS b, 1 AS in_e
+             FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+      pm AS (SELECT doc_a AS a, doc_b AS b, 1 AS in_m FROM pairs_m),
+      ps AS (SELECT x.doc_id AS a, y.doc_id AS b, 1 AS in_s
+             FROM sh x JOIN sh y
+               ON x.simhash = y.simhash AND x.doc_id < y.doc_id),
+      mrg AS (
+        SELECT coalesce(in_e, 0) AS e, coalesce(in_m, 0) AS m,
+               coalesce(in_s, 0) AS sm
+        FROM pe FULL OUTER JOIN pm USING (a, b)
+                FULL OUTER JOIN ps USING (a, b))
+      SELECT CAST(sum(e) AS BIGINT) AS n_exact,
+             CAST(sum(m) AS BIGINT) AS n_minhash,
+             CAST(sum(sm) AS BIGINT) AS n_simhash,
+             CAST(sum(e * m) AS BIGINT) AS n_exact_minhash,
+             CAST(sum(e * sm) AS BIGINT) AS n_exact_simhash,
+             CAST(sum(m * sm) AS BIGINT) AS n_minhash_simhash,
+             CAST(sum(e * m * sm) AS BIGINT) AS n_all_three
+      FROM mrg
+    """))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67)
+      t60, t61, t63, t65, t66, t67, t68, t69)
 }

@@ -100,4 +100,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"bucketed join still shuffles (bucket metadata not used):\n$plan")
   }
+
+  test("q78's five window functions share ONE Window operator") {
+    val plan = Registry.queries("q78_window_suite")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // all five functions use the same (partition, order) spec, so
+    // Catalyst must fuse them into one Window operator: a split would
+    // mean a second shuffle+sort of the whole event log per extra spec
+    val windowOps = "Window \\[".r.findAllIn(plan).length
+    assert(windowOps == 1,
+      s"expected exactly 1 Window operator, found $windowOps:\n$plan")
+  }
+
+  test("q59's distinct+sketch agg plans no Expand") {
+    val plan = Registry.queries("q59_approx_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the two-level rewrite exists to avoid Expand (it doubles every
+    // fact row before the shuffle); a regression re-planning
+    // countDistinct+HLL in one agg would bring it back
+    assert(!plan.contains("Expand"),
+      s"q59 re-acquired an Expand:\n$plan")
+  }
 }

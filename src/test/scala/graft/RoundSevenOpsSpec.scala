@@ -79,4 +79,123 @@ class RoundSevenOpsSpec extends SparkSpec {
       assert(s1.nonEmpty && s2.nonEmpty && !s1.contains(" ") && !s2.contains(" "))
     }
   }
+
+  test("t68: spectrum masses reconcile with the raw token counts") {
+    import spark.implicits._
+    val rows = run("t68_token_zipf").collect()
+    // freq_class is a valid floor(log2): every class ≥ 0, and within a
+    // class the type count can't exceed the token mass
+    rows.foreach { r =>
+      assert(r.getAs[Long]("freq_class") >= 0)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+    // total token mass across the spectrum == corpus token count, and
+    // total type mass == vocabulary size (the spectrum is a partition)
+    val docs = graft.etl.Tables.documents(spark, sf0001)
+      .select(explode(graft.etl.TextAnalysis.tokens(col("text"))).as("t"))
+    val nTokens = docs.count()
+    val nTypes = docs.distinct().count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == nTokens)
+    assert(rows.map(_.getAs[Long]("n_types")).sum >= nTypes)
+    // hapax mass lives exactly in class 0 (this tiny synthetic corpus
+    // may legitimately have none — assert equality, not presence)
+    val nHapax = docs.groupBy(col("t")).count().filter(col("count") === 1).count()
+    assert(rows.filter(_.getAs[Long]("freq_class") == 0L)
+      .map(_.getAs[Long]("n_types")).sum == nHapax)
+  }
+
+  test("t69: planted duplicates are caught by all three methods") {
+    val nDocs = graft.etl.Tables.documents(spark, sf0001).count()
+    val r = run("t69_dedup_agreement").collect().head
+    def g(c: String) = r.getAs[Long](c)
+    // every planted (doc, doc + shift) pair is an exact dup, a verified
+    // minhash pair (jaccard 1), and simhash-equal — so the triple
+    // intersection is at least the planted count
+    assert(g("n_all_three") >= nDocs,
+      s"planted pairs missing from the triple intersection: $r")
+    // intersections are bounded by their members (basic set algebra the
+    // merge must preserve)
+    assert(g("n_exact_minhash") <= math.min(g("n_exact"), g("n_minhash")))
+    assert(g("n_exact_simhash") <= math.min(g("n_exact"), g("n_simhash")))
+    assert(g("n_minhash_simhash") <= math.min(g("n_minhash"), g("n_simhash")))
+    assert(g("n_all_three") <= g("n_exact_minhash"))
+    // minhash (near-dup) is the widest decision: it contains every
+    // exact pair (identical text → identical signatures → jaccard 1)
+    assert(g("n_exact_minhash") == g("n_exact"))
+  }
+
+  test("e31: hard negatives are label-mismatched, sub-gate, true top-k") {
+    import spark.implicits._
+    val emb = graft.etl.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Double]]("e").toArray))
+    def norm(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) null else v.map(_ / n)
+    }
+    val normed = emb.map { case (id, lab, v) => (id, lab, norm(v)) }
+    val byQ = run("e31_hard_negatives").collect()
+      .groupBy(_.getAs[Long]("qid"))
+    val labels = normed.map { case (id, lab, _) => id -> lab }.toMap
+    byQ.foreach { case (qid, rows) =>
+      // contract gates: different label, below the near-dup gate
+      rows.foreach { r =>
+        assert(labels(r.getAs[Long]("cid")) != labels(qid))
+        assert(r.getAs[Double]("sim") < 0.95)
+      }
+      // and they are the TRUE top-k under those gates (brute reference)
+      val (_, qlab, qe) = normed.find(_._1 == qid).get
+      val expect = normed
+        .filter { case (cid, clab, ce) => clab != qlab && ce != null && cid != qid }
+        .map { case (cid, _, ce) =>
+          (cid, qe.zip(ce).map { case (a, b) => a * b }.sum) }
+        .filter(_._2 < 0.95)
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(rows.length).map(_._1).toSet
+      assert(rows.map(_.getAs[Long]("cid")).toSet == expect,
+        s"qid $qid: not the brute-force top-k under the gates")
+    }
+    assert(byQ.nonEmpty)
+  }
+
+  test("q78: window functions agree with a per-user brute reference") {
+    val rows = run("q78_window_suite").collect()
+    val ev = graft.etl.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
+        r.getAs[Long]("c")))
+    val byUser = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy { case (_, id, ts, _, _) => (ts.getTime, id) }
+    }
+    val got = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) -> r).toMap
+    assert(got.size == ev.length)
+    byUser.foreach { case (u, es) =>
+      val n = es.length
+      var running = 0L
+      es.zipWithIndex.foreach { case ((_, id, _, et, c), i) =>
+        running += c
+        val r = got((u, id))
+        assert(r.getAs[Int]("rnk") == i + 1)
+        assert(r.getAs[Long]("run_cents") == running)
+        // standard ntile: first (n mod 4) buckets get the extra row
+        val base = n / 4; val rem = n % 4
+        val expTile =
+          if (i < (base + 1) * rem) i / (base + 1) + 1
+          else if (base > 0) rem + (i - (base + 1) * rem) / base + 1
+          else i + 1
+        assert(r.getAs[Int]("quartile") == expTile,
+          s"user $u row $i of $n: ntile ${r.getAs[Int]("quartile")} != $expTile")
+        assert(Option(r.getAs[String]("prev_type")) ==
+          (if (i == 0) None else Some(es(i - 1)._4)))
+        assert(Option(r.getAs[String]("next_type")) ==
+          (if (i == n - 1) None else Some(es(i + 1)._4)))
+      }
+    }
+  }
 }
