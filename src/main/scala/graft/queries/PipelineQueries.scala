@@ -865,8 +865,92 @@ object PipelineQueries {
       FROM lineitem WHERE l_quantity >= 25.0 GROUP BY 1
     """))
 
+  // ---- q79: MERGE-style upsert (the lake write primitive) -------------
+  //
+  // The Delta/Iceberg MERGE INTO contract as a plain-Spark operator:
+  // base table ⟷ changelog batch full-outer-joined on the key, each row
+  // classified insert / update / delete / unchanged, and the audit a
+  // lake writer emits before committing (per-action row counts + money
+  // checksums over the would-be-written table). The changelog here is
+  // fabricated deterministically from the base (keys ≡0 mod 7 update
+  // with a price bump, ≡0 mod 13 delete, a shifted-key slice inserts) —
+  // same derivation in the oracle, so the audit is hash-exact.
+  //
+  // Scale: ONE key-shuffle of each side (the full outer join), batch
+  // side usually ≪ base so AQE plans it broadcast and the base never
+  // shuffles; the audit agg is map-side combined to 4 rows. A real lake
+  // MERGE adds file-level pruning (join the batch against file min/max
+  // before reading — q51's zone-map discipline) so only touched files
+  // rewrite; the row-level classification is exactly this join.
+
+  private val q79 = Q(
+    "q79_merge_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("base_c"))
+      val batch = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(col("o_orderkey"), col("c"),
+          when(col("o_orderkey") % 13 === 0, lit("D"))
+            .when(col("o_orderkey") % 7 === 0, lit("U"))
+            .otherwise(lit(null)).as("op"))
+      val changes = batch.filter(col("op").isNotNull)
+        .select(col("o_orderkey").as("k"),
+          when(col("op") === "U", col("c") + 500L).as("new_c"), col("op"))
+        .unionAll(batch.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            (col("c") + 1000L).as("new_c"), lit("I").as("op")))
+      base.join(changes, Seq("k"), "full")
+        .select(col("k"),
+          when(col("op").isNull, lit("unchanged"))
+            .when(col("op") === "D", lit("deleted"))
+            .when(col("base_c").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"),
+          // the row the merged table would carry (null for deletes)
+          when(col("op").isNull, col("base_c"))
+            .when(col("op") === "D", lit(null))
+            .otherwise(col("new_c")).as("out_c"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("out_c")), lit(0L)).as("out_cents"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS base_c
+        FROM orders),
+      batch AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'D'
+                    WHEN o_orderkey % 7 = 0 THEN 'U' END AS op
+        FROM orders),
+      changes AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN op = 'U' THEN c + 500 END AS new_c, op
+        FROM batch WHERE op IS NOT NULL
+        UNION ALL
+        SELECT o_orderkey + 1000000000, c + 1000, 'I'
+        FROM batch WHERE o_orderkey % 11 = 0),
+      merged AS (
+        SELECT CASE WHEN op IS NULL THEN 'unchanged'
+                    WHEN op = 'D' THEN 'deleted'
+                    WHEN base_c IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               CASE WHEN op IS NULL THEN base_c
+                    WHEN op = 'D' THEN NULL
+                    ELSE new_c END AS out_c
+        FROM base FULL OUTER JOIN changes USING (k))
+      SELECT action, count(*) AS n,
+             CAST(coalesce(sum(out_c), 0) AS BIGINT) AS out_cents
+      FROM merged GROUP BY 1
+    """))
+
   def all: Seq[Q] =
-    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72, q77)
+    Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72,
+      q77, q79)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.
