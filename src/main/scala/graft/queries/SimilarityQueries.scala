@@ -2535,8 +2535,75 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
+  // ---- e32: nDCG@k retrieval-quality audit ----------------------------
+  //
+  // e09 counts HITS (recall); nDCG grades POSITIONS — an ANN run that
+  // finds all k true neighbors but inverts their order scores 1.0 on
+  // recall and below it here. Graded relevance of a returned candidate
+  // is (k+1 − exact_rank) for the exact top-k, 0 otherwise; the log2
+  // position discounts are PRECOMPUTED integer micro-weights
+  // (floor(1e6/log2(i+1)), literal in both engines) so no runtime float
+  // log can disagree in the last ulp — dcg_micro and the per-mille nDCG
+  // are engine-exact integers. IDCG is the same constant for every
+  // query (every anchor has k exact neighbors), folded into the
+  // per-mille division.
+  //
+  // Scale: both inputs are the shared knn artifacts (k rows per query
+  // each), so the audit is a |queries|·k equi-join + one agg — cost
+  // independent of corpus size once the searches exist.
+
+  private val ndcgW = Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+  private val ndcgIdcg: Long =
+    ndcgW.zipWithIndex.map { case (w, i) => (k - i) * w }.sum
+
+  private val e32 = Q(
+    "e32_ndcg_eval",
+    (s, d) => {
+      require(ndcgW.length == k)
+      val rel = knnBrute(s, d)
+        .select(col("qid"), col("cid"), (lit(k + 1) - col("rnk")).as("rel"))
+      val wArr = array(ndcgW.map(lit): _*)
+      knnLsh(s, d).select(col("qid"), col("cid"), col("rnk"))
+        .join(rel, Seq("qid", "cid"), "left")
+        .select(col("qid"),
+          (coalesce(col("rel"), lit(0L)) * element_at(wArr, col("rnk")))
+            .as("g"))
+        .groupBy(col("qid")).agg(sum(col("g")).as("dcg_micro"))
+        .select(col("qid"), col("dcg_micro"),
+          expr(s"(1000 * dcg_micro) div $ndcgIdcg").as("ndcg_pm"))
+    },
+    Some(s"""
+      WITH $normalizedSql,
+      b AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM emb),
+      q AS (SELECT vec_id AS qid, en AS qe FROM emb WHERE vec_id % 100 = 0),
+      scored_ex AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM q CROSS JOIN (SELECT vec_id, en AS ce FROM emb) c
+        WHERE qid <> c.vec_id),
+      rex AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ex),
+      rel AS (SELECT qid, cid, $k + 1 - rnk AS rel FROM rex WHERE rnk <= $k),
+      qb AS (SELECT vec_id AS qid, en AS qe, bkt FROM b WHERE vec_id % 100 = 0),
+      scored_ap AS (
+        SELECT qid, c.vec_id AS cid, list_dot_product(qe, ce) AS cos
+        FROM qb JOIN (SELECT vec_id, en AS ce, bkt FROM b) c USING (bkt)
+        WHERE qid <> c.vec_id),
+      rap AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+              FROM scored_ap),
+      ap AS (SELECT qid, cid, rnk FROM rap WHERE rnk <= $k),
+      g AS (SELECT ap.qid,
+                   coalesce(rel.rel, 0) *
+                     ([${ndcgW.mkString(", ")}])[ap.rnk] AS g
+            FROM ap LEFT JOIN rel USING (qid, cid))
+      SELECT qid, CAST(sum(g) AS BIGINT) AS dcg_micro,
+             CAST((1000 * sum(g)) // $ndcgIdcg AS BIGINT) AS ndcg_pm
+      FROM g GROUP BY 1
+    """))
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
-      e28, e29, e30, e31)
+      e28, e29, e30, e31, e32)
 }
