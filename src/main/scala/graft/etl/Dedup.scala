@@ -278,9 +278,29 @@ object Dedup {
                   num: Int, den: Int): DataFrame = {
     require(0 < num && num <= den, s"threshold $num/$den outside (0,1]")
     val w = org.apache.spark.sql.expressions.Window
-    val sets = base.select(col(idCol).as("_id"), col(shCol).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    // Exact-duplicate collapse (the PPJoin+ duplicate-elimination step):
+    // rows with IDENTICAL shingle arrays enter the quadratic machinery as
+    // ONE representative (the group's min id) and the duplicate pairs are
+    // expanded back afterward BY CONSTRUCTION — intra-group pairs have
+    // jaccard exactly 1 (always ≥ any valid threshold) and every
+    // cross-group member pair inherits its representatives' exact
+    // inter/union counts (identical sets ⇒ identical counts). On a corpus
+    // with duplicate multiplicity m the candidate/verify work drops m²-fold
+    // while the (inherently quadratic-in-m) OUTPUT is reproduced exactly;
+    // on an all-distinct corpus the collapse is one extra vocabulary-sized
+    // groupBy. Grouping is BY THE ARRAY VALUE itself (no fingerprint, no
+    // collision risk) — the arrays shuffle once to form groups.
+    val rows = base.select(col(idCol).as("_oid"), col(shCol).as("_osh"))
+      .filter(size(col("_osh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val groups = rows.groupBy(col("_osh"))
+      .agg(min(col("_oid")).as("_id"), count(lit(1)).as("_m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = rows
+      .join(groups.select(col("_osh"), col("_id").as("_gid")), Seq("_osh"))
+      .select(col("_gid"), col("_oid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = groups.select(col("_id"), col("_osh").as("_sh"))
     val tok = sets.select(col("_id"), explode(col("_sh")).as("_tok"))
     val dfreq = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     val ranked = tok.join(dfreq, "_tok")
@@ -304,12 +324,32 @@ object Dedup {
         col("b") === col("_idb") && col("_tok") === col("_tok2"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_n"))
     val sizes = sets.select(col("_id"), size(col("_sh")).cast("long").as("_n"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), Seq("a"))
       .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), Seq("b"))
       .filter(lit((den + num).toLong) * col("inter_n") >=
         lit(num.toLong) * (col("_na") + col("_nb")))
       .select(col("a"), col("b"), col("inter_n"),
         (col("_na") + col("_nb") - col("inter_n")).as("union_n"))
+    // expand representative pairs back to member pairs (cross-group), and
+    // emit the intra-group pairs the collapse removed (jaccard 1:
+    // inter = union = |set|); ids re-ordered so a < b holds member-wise
+    val szByGid = groups
+      .select(col("_id").as("_gid"), size(col("_osh")).cast("long").as("_gn"))
+    val intra = memb.as("x")
+      .join(memb.as("y"),
+        col("x._gid") === col("y._gid") && col("x._oid") < col("y._oid"))
+      .select(col("x._gid").as("_gid"),
+        col("x._oid").as("a"), col("y._oid").as("b"))
+      .join(szByGid, Seq("_gid"))
+      .select(col("a"), col("b"),
+        col("_gn").as("inter_n"), col("_gn").as("union_n"))
+    val cross = repPairs
+      .join(memb.select(col("_gid").as("a"), col("_oid").as("_ida")), Seq("a"))
+      .join(memb.select(col("_gid").as("b"), col("_oid").as("_idb")), Seq("b"))
+      .select(least(col("_ida"), col("_idb")).as("a"),
+        greatest(col("_ida"), col("_idb")).as("b"),
+        col("inter_n"), col("union_n"))
+    cross.unionAll(intra)
   }
 }
