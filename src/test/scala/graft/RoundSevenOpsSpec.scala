@@ -161,6 +161,40 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(byQ.nonEmpty)
   }
 
+  test("q79: merge actions reconcile with the base table and the key rules") {
+    val r = run("q79_merge_upsert").collect()
+      .map(x => x.getAs[String]("action") -> x.getAs[Long]("n")).toMap
+    val orders = graft.etl.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    def n(p: Long => Boolean) = orders.count(k => p(k)).toLong
+    // delete wins over update when both rules match (13 before 7)
+    assert(r("deleted") == n(_ % 13 == 0))
+    assert(r("updated") == n(k => k % 7 == 0 && k % 13 != 0))
+    assert(r("inserted") == n(_ % 11 == 0))
+    assert(r("unchanged") == orders.length - r("deleted") - r("updated"))
+    // every base row is accounted for exactly once (+ the inserts)
+    assert(r.values.sum == orders.length + r("inserted"))
+  }
+
+  test("e32: nDCG grades are bounded, and perfect exactly on perfectly-ordered queries") {
+    val ndcg = run("e32_ndcg_eval").collect()
+      .map(x => x.getAs[Long]("qid") -> x.getAs[Long]("ndcg_pm")).toMap
+    assert(ndcg.nonEmpty)
+    ndcg.values.foreach(v => assert(v >= 0 && v <= 1000, s"ndcg_pm $v out of range"))
+    // a query whose LSH top-k IS the exact top-k in the same order must
+    // score exactly 1000 per-mille; one with fewer hits scores below it
+    val exact = run("e01_knn_brute").collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Int]("rnk"), x.getAs[Long]("cid")))
+    val approx = run("e02_knn_lsh").collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Int]("rnk"), x.getAs[Long]("cid")))
+    val exByQ = exact.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    val apByQ = approx.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    apByQ.foreach { case (q, ap) =>
+      if (exByQ.get(q).contains(ap)) assert(ndcg(q) == 1000L,
+        s"qid $q: identical ordered top-k must grade 1000, got ${ndcg(q)}")
+    }
+  }
+
   test("q78: window functions agree with a per-user brute reference") {
     val rows = run("q78_window_suite").collect()
     val ev = graft.etl.Tables.events(spark, sf0001)
