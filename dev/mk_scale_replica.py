@@ -44,11 +44,49 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# synthetic-offset guards: the suite plants doubled-corpus ids at
+# doc_id/vec_id + 1e6, maps suppliers to +1e9 (t41), and fabricates
+# merge-insert keys at o_orderkey + 1e9 (q79) — replicated ids must stay
+# strictly below these spaces or fixtures silently corrupt
+CEILINGS = {
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+    "o_orderkey": 1_000_000_000,
+    "l_orderkey": 1_000_000_000,
+    "s_suppkey": 1_000_000_000,
+    "l_suppkey": 1_000_000_000,
+    # t41 maps suppliers to +1e9 in a shared id space with customers
+    "c_custkey": 1_000_000_000,
+    "o_custkey": 1_000_000_000,
+    "user_id": 1_000_000_000,
+}
+
+
 def main():
     src, out, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)
+    # refuse shifts that would collide: every shifted column needs
+    # max(value) < shift (replica ranges disjoint) and
+    # max(value) + (n-1)*shift below its synthetic-offset ceiling
+    for t in TABLES:
+        if t in SINGLETON:
+            continue
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+        for c in cols:
+            if c not in SHIFTS:
+                continue
+            hi = con.sql(
+                f"SELECT max({c}) FROM '{src}/{t}.parquet'").fetchone()[0]
+            assert hi < SHIFTS[c], \
+                f"{t}.{c}: max {hi} >= shift {SHIFTS[c]} (replicas collide)"
+            top = hi + (n - 1) * SHIFTS[c]
+            ceil_ = CEILINGS.get(c)
+            assert ceil_ is None or top < ceil_, \
+                f"{t}.{c}: replica {n - 1} reaches {top} >= synthetic " \
+                f"offset {ceil_} — lower the replica count"
     for t in TABLES:
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]

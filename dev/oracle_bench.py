@@ -23,13 +23,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def connect(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
 def main():
     sf_dir, oracle_json = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     timeout = float(os.environ.get("ORACLE_BENCH_TIMEOUT", "0")) or None
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = connect(sf_dir)
     oracle = json.load(open(oracle_json))
     per = {}
     timeouts = []
@@ -49,7 +54,10 @@ def main():
             con.sql(sql).fetchall()
             per[name] = round(time.time() - t0, 4)
         except Exception as e:
-            if interrupted[0]:
+            # classify by elapsed time, not just the flag: a genuine
+            # failure raised moments after the timer fires must not be
+            # laundered into a "timeout"
+            if interrupted[0] and time.time() - t0 >= 0.9 * timeout:
                 per[name] = "timeout"
                 timeouts.append(name)
             else:
@@ -58,6 +66,12 @@ def main():
         finally:
             if timer:
                 timer.cancel()
+        if interrupted[0] and per[name] != "timeout":
+            # the timer fired while (or just as) the query finished —
+            # cancel() cannot un-fire it, and the pending interrupt would
+            # abort the NEXT query. A fresh connection drains it.
+            con.close()
+            con = connect(sf_dir)
         print(f"  {name}: {per[name]}", file=sys.stderr, flush=True)
     total = sum(v for v in per.values() if isinstance(v, float))
     print(json.dumps({"metric": "oracle_total", "value": round(total, 2),

@@ -294,7 +294,7 @@ object Dedup {
       .filter(size(col("_osh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = rows.groupBy(col("_osh"))
-      .agg(min(col("_oid")).as("_id"), count(lit(1)).as("_m"))
+      .agg(min(col("_oid")).as("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val memb = rows
       .join(groups.select(col("_osh"), col("_id").as("_gid")), Seq("_osh"))

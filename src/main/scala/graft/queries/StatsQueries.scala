@@ -264,6 +264,10 @@ object StatsQueries {
       // the distinct-key count either way, but without Expand the map
       // side streams half the rows.
       Tables.lineitem(s, d)
+      // NULL keys would form their own group here where countDistinct
+      // (and the oracle's COUNT(DISTINCT)) exclude them — filter to keep
+      // the rewrite semantics-identical on any input
+      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_returnflag"), col("l_orderkey")).agg(count(lit(1)))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_exact"),

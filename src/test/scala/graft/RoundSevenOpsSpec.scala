@@ -97,9 +97,15 @@ class RoundSevenOpsSpec extends SparkSpec {
     val nTypes = docs.distinct().count()
     assert(rows.map(_.getAs[Long]("n_tokens")).sum == nTokens)
     assert(rows.map(_.getAs[Long]("n_types")).sum >= nTypes)
-    // hapax mass lives exactly in class 0 (this tiny synthetic corpus
-    // may legitimately have none — assert equality, not presence)
-    val nHapax = docs.groupBy(col("t")).count().filter(col("count") === 1).count()
+    // hapax mass lives exactly in class 0 — PER LANGUAGE, matching the
+    // query's (lang, token) grain (a token hapax in two languages is
+    // two class-0 types but would not be a global hapax); the corpus
+    // may legitimately have none — assert equality, not presence
+    val langDocs = graft.etl.Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        explode(graft.etl.TextAnalysis.tokens(col("text"))).as("t"))
+    val nHapax = langDocs.groupBy(col("lang"), col("t")).count()
+      .filter(col("count") === 1).count()
     assert(rows.filter(_.getAs[Long]("freq_class") == 0L)
       .map(_.getAs[Long]("n_types")).sum == nHapax)
   }
@@ -119,9 +125,12 @@ class RoundSevenOpsSpec extends SparkSpec {
     assert(g("n_exact_simhash") <= math.min(g("n_exact"), g("n_simhash")))
     assert(g("n_minhash_simhash") <= math.min(g("n_minhash"), g("n_simhash")))
     assert(g("n_all_three") <= g("n_exact_minhash"))
-    // minhash (near-dup) is the widest decision: it contains every
-    // exact pair (identical text → identical signatures → jaccard 1)
-    assert(g("n_exact_minhash") == g("n_exact"))
+    // identical text → identical signatures → jaccard 1, so exact pairs
+    // are minhash pairs UNLESS the doc has < 3 tokens (no shingles) or
+    // its band bucket trips the maxBucket hot cap — both corpus-shape-
+    // dependent, so pin containment on the PLANTED pairs only (each doc
+    // and its shifted twin, well-formed by fixture construction)
+    assert(g("n_exact_minhash") >= nDocs)
   }
 
   test("e31: hard negatives are label-mismatched, sub-gate, true top-k") {
@@ -146,15 +155,20 @@ class RoundSevenOpsSpec extends SparkSpec {
         assert(labels(r.getAs[Long]("cid")) != labels(qid))
         assert(r.getAs[Double]("sim") < 0.95)
       }
-      // and they are the TRUE top-k under those gates (brute reference)
+      // and they are the TRUE top-k under those gates (brute reference,
+      // sized by the reference — not by the query's own row count, which
+      // would let an under-filled top-k truncate its own expectation)
       val (_, qlab, qe) = normed.find(_._1 == qid).get
-      val expect = normed
+      val eligible = normed
         .filter { case (cid, clab, ce) => clab != qlab && ce != null && cid != qid }
         .map { case (cid, _, ce) =>
           (cid, qe.zip(ce).map { case (a, b) => a * b }.sum) }
         .filter(_._2 < 0.95)
         .sortBy { case (cid, cos) => (-cos, cid) }
-        .take(rows.length).map(_._1).toSet
+      val expectN = math.min(5, eligible.length)
+      assert(rows.length == expectN,
+        s"qid $qid: expected $expectN hard negatives, got ${rows.length}")
+      val expect = eligible.take(expectN).map(_._1).toSet
       assert(rows.map(_.getAs[Long]("cid")).toSet == expect,
         s"qid $qid: not the brute-force top-k under the gates")
     }
@@ -204,8 +218,11 @@ class RoundSevenOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
         r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type"),
         r.getAs[Long]("c")))
+    // order by FULL timestamp precision: getTime alone truncates to
+    // milliseconds while the query's window orders by the microsecond
+    // timestamp (getNanos carries the complete sub-second component)
     val byUser = ev.groupBy(_._1).map { case (u, es) =>
-      u -> es.sortBy { case (_, id, ts, _, _) => (ts.getTime, id) }
+      u -> es.sortBy { case (_, id, ts, _, _) => (ts.getTime, ts.getNanos, id) }
     }
     val got = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) -> r).toMap
     assert(got.size == ev.length)
