@@ -22,15 +22,22 @@ object Artifacts {
 
   /** Cache key = collision-free digest of the dataset path (an Int
     * hashCode can collide across paths within one process) + pid
-    * (cross-process isolation) + tag.
+    * (cross-process isolation) + tag + an optional salt (system
+    * property `graft.artifacts.salt`). The salt exists for tests that
+    * must force a REBUILD under a different session configuration —
+    * AqeParitySpec salts each leg so artifact-building subtrees
+    * actually execute under both AQE modes instead of the second leg
+    * silently reading the first leg's parquet.
     */
   def shared(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+    val salt = Option(System.getProperty("graft.artifacts.salt"))
+      .filter(_.nonEmpty).map("_" + _).getOrElse("")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      s"${digest}_${ProcessHandle.current().pid()}"
+      s"${digest}_${ProcessHandle.current().pid()}$salt"
     lock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         build.write.mode("overwrite").parquet(path)

@@ -37,6 +37,9 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   def train(hist: DataFrame, rounds: Int): DataFrame = {
+    // rounds = 0 would reach the empty out.reduce and throw an opaque
+    // collection error; reject it at the API boundary instead
+    require(rounds >= 1, s"BPE training needs at least 1 round, got $rounds")
     var seg = hist.filter(length(col("w")) >= 2)
       .select(col("cnt"),
         concat(lit(" "),

@@ -66,21 +66,22 @@ object Graph {
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("coalesce(sc, 0L) * 85 div 100")).as("r"))
-      // Eager barrier EVERY round, for two independent reasons:
-      //   1. each round consumes `ranks` TWICE (contribution join +
-      //      rank rebuild), so an uncheckpointed chain re-evaluates
-      //      round r−1 twice per reference — 2^rounds recompute
-      //      (measured: 3 un-barriered rounds run ~2× slower than 3
-      //      barriered ones despite the extra jobs);
-      //   2. under static planning, composing rounds into one tree
-      //      makes the checkpointed edge table appear multiple times,
-      //      and relation deduplication re-instances the repeats with
-      //      fresh attribute ids — divorcing them from the LogicalRDD's
-      //      preserved partitioning and re-inserting the edge-sized
-      //      exchange+sort the pre-partitioning exists to kill. With a
-      //      per-round barrier each round's tree references every
-      //      checkpoint exactly once and the round's only shuffle is
-      //      the node-sized contribution partials (GraphSpec pins it).
+      // Eager barrier EVERY round. `ranks` is referenced once per round
+      // (the contribution join; the rebuild consumes `contrib`, which
+      // already contains it), so there is NO exponential re-evaluation
+      // in an unbarriered chain — the barrier's entire measured benefit
+      // (3 un-barriered rounds run ~2× slower than 3 barriered ones,
+      // despite the extra materialization jobs) comes from plan
+      // mechanics: under static planning, composing rounds into one
+      // tree makes the checkpointed edge table appear multiple times,
+      // and relation deduplication re-instances the repeats with fresh
+      // attribute ids — divorcing them from the LogicalRDD's preserved
+      // partitioning and re-inserting the edge-sized exchange+sort the
+      // pre-partitioning exists to kill. With a per-round barrier each
+      // round's tree references every checkpoint exactly once and the
+      // round's only shuffle is the node-sized contribution partials
+      // (GraphSpec pins it). Bounded lineage for long runs is the
+      // secondary win.
       if (round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_micro"))

@@ -722,13 +722,22 @@ object PipelineQueries {
           .select(lit(s"$child.$fk->$parent").as("rel"), col("k"),
             lit(1).as("present"))
       }.reduce(_ unionAll _)
+      // NULL-key semantics pinned to the oracle's: a NULL fk row counts
+      // in n_child and (never matching any parent) in n_orphan_rows, but
+      // COUNT(DISTINCT fk) semantics exclude NULL from n_keys and
+      // n_orphan_keys — without the k.isNotNull guards the NULL group
+      // would inflate both key counts and hash-diverge on any dataset
+      // with nullable FKs. (The cast('long') assumes integral key types,
+      // true of every declared relationship here; a non-integral key
+      // column would need the native type carried through instead.)
       perKey.join(parents, Seq("rel", "k"), "left")
         .groupBy(col("rel"))
         .agg(sum(col("cnt")).as("n_child"),
-          count(lit(1)).as("n_keys"),
+          sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_keys"),
           coalesce(sum(when(col("present").isNull, col("cnt"))), lit(0L))
             .as("n_orphan_rows"),
-          sum(when(col("present").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+          sum(when(col("present").isNull && col("k").isNotNull, 1L)
+            .otherwise(0L)).as("n_orphan_keys"))
         .select(col("rel").as("relationship"), col("n_child"), col("n_keys"),
           col("n_orphan_rows"), col("n_orphan_keys"))
     },

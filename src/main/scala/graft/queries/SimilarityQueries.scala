@@ -785,9 +785,14 @@ object SimilarityQueries {
     * scores it gates). Assignment is a (dist ASC, cent_id ASC) argmin
     * via min_by — aggregation-only, no window sort.
     */
-  private def ivfLayer(s: SparkSession, d: String, fx: DataFrame)
+  private def ivfLayer(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val cents = fx.filter(col("vec_id") < nCells)
+    // centroids derive from fxVectors HERE, not from a caller-supplied
+    // frame: members and probes below are artifacts built over the full
+    // fxVectors, so a caller passing a filtered/modified vector frame
+    // would silently get centroids inconsistent with the cell layer —
+    // deriving all three from the same source removes the trap
+    val cents = fxVectors(s, d).filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cent_id"), col("q").as("c"))
     // cell assignment + ranked query probes are artifacts: the same
     // coarse layer feeds e11/e16 (via their own shared results), and
@@ -865,7 +870,7 @@ object SimilarityQueries {
 
   private def ivfPqSearchBuild(s: SparkSession, d: String): DataFrame = {
     val fx = fxVectors(s, d)
-    val (_, members, probes) = ivfLayer(s, d, fx)
+    val (_, members, probes) = ivfLayer(s, d)
     // PQ fine layer: shared corpus codes + query-restricted LUT
     val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("k"))
     val lut = pqLut(s, d)
@@ -1277,7 +1282,7 @@ object SimilarityQueries {
 
   private def ivfPqResidualSearchBuild(s: SparkSession, d: String): DataFrame = {
     val fx = fxVectors(s, d)
-    val (cents, members, probes) = ivfLayer(s, d, fx)
+    val (cents, members, probes) = ivfLayer(s, d)
     // residuals: each vector minus ITS cell's centroid (exact integers)
     val res = fx.join(members, Seq("vec_id"))
       .join(broadcast(cents), Seq("cent_id"))

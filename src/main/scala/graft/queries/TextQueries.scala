@@ -2562,10 +2562,15 @@ object TextQueries {
   //
   // Segmentations are encoded as space-delimited symbol strings with
   // sentinel spaces at both ends (" t h e "); tokens are
-  // whitespace-split so a space can never occur INSIDE a symbol, and
-  // merging pair (s1, s2) is then replace(" s1 s2 " → " s1s2 ") —
-  // left-to-right non-overlapping in both engines, which is exactly
-  // BPE's merge order (" a a a " merges to " aa a ", not " a aa ").
+  // whitespace-split so a space can never occur INSIDE a symbol.
+  // Merging pair (s1, s2) is a GREEDY LEFT-TO-RIGHT SCAN over the
+  // symbol sequence (Bpe.train's aggregate fold; the oracle's done/todo
+  // recursive CTE) — NOT a string replace(" s1 s2 " → " s1s2 "), which
+  // is wrong on runs of the same symbol because consecutive matches
+  // share their sentinel space (" a a a a " must merge to " aa aa ",
+  // but replace yields " aa a a "; see Bpe.scala's doc and
+  // BpePropertySpec). Both engines implement the scan, so
+  // " a a a " merges to " aa a ", never " a aa ".
   // The argmax is (freq DESC, s1 ASC, s2 ASC) via a top-1 limit —
   // TakeOrderedAndProject, no global sort. Words reduced to a single
   // symbol stop contributing pairs and are filtered from pair counting.

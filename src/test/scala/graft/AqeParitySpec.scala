@@ -45,12 +45,24 @@ class AqeParitySpec extends SparkSpec {
   test("every registry entry is row-identical with AQE forced on") {
     val on = sess(aqe = true)
     val off = sess(aqe = false)
+    // Salt the Artifacts cache per leg: without it the leg that runs
+    // first MATERIALIZES every Artifacts.shared parquet and the other
+    // leg merely reads it back — the artifact-building subtrees (the
+    // bulk of the e-family pipelines) would execute under only one AQE
+    // mode and the parity assertion would be vacuous for them. (The
+    // pid-scoped filesystem LAYOUT fixtures — fan-out dirs, bucketed
+    // tables, ORC copies — still build once; they are input fabrication,
+    // and the query logic over them runs under both modes.)
+    def withSalt[T](salt: String)(body: => T): T = {
+      System.setProperty("graft.artifacts.salt", salt)
+      try body finally System.clearProperty("graft.artifacts.salt")
+    }
     val failures = Registry.all.map(_.name).sorted.flatMap { name =>
       val fn = Registry.queries(name)
       val r =
         try {
-          val a = canon(fn(on, sf0001))
-          val b = canon(fn(off, sf0001))
+          val a = withSalt("aqeon") { canon(fn(on, sf0001)) }
+          val b = withSalt("aqeoff") { canon(fn(off, sf0001)) }
           if (a == b) None
           else Some(s"$name: AQE-on diverged (${a.size} vs ${b.size} rows)")
         } catch {

@@ -543,15 +543,21 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("sessionization on a durable file source+sink: kill-restart is exactly-once") {
+  test("sessionization on a durable file source+sink: stop-restart is exactly-once") {
     // The production durability story end-to-end: parquet file SOURCE
     // (offset log tracks consumed files), parquet file SINK (manifest
     // commits make emission exactly-once), checkpointed session state,
-    // and a hard query kill in the middle. Three things must hold after
-    // the restart: sessions emitted BEFORE the kill are not re-emitted
-    // (sink manifest), source files consumed before the kill are not
-    // replayed (offset log), and a session OPEN across the kill closes
-    // with events from both sides (state store).
+    // and a stop + cold restart between batches. Three things must hold
+    // after the restart: sessions emitted BEFORE the stop are not
+    // re-emitted (sink manifest), source files consumed before the stop
+    // are not replayed (offset log), and a session OPEN across the stop
+    // closes with events from both sides (state store). Honest scope:
+    // processAllAvailable + stop is a GRACEFUL shutdown at a committed
+    // batch boundary — the restart recovery path (offset log, manifest,
+    // state reload) is fully exercised, but a crash INSIDE the
+    // write-then-commit window (where the manifest protocol's atomicity
+    // does the work) is not deterministically arrangeable from the
+    // public API and is not what this test covers.
     val srcDir = Files.createTempDirectory("sess_src").toString
     val outDir = Files.createTempDirectory("sess_out").toString
     val ckpt = Files.createTempDirectory("sess_ck").toString
