@@ -50,6 +50,11 @@ object AsOf {
         right.select(payload).schema.head.dataType.catalogString))
       .withColumn("_tb", lit(null).cast(tbType))
     val r = right
+      // a NULL-timestamp right row would sort FIRST under asc (nulls
+      // first) and become the running match for every left row that
+      // precedes all real right rows; DuckDB/pandas asof ignore null
+      // keys, so drop them here too
+      .filter(col(tsCol).isNotNull)
       .withColumn("_p", payload)
       .withColumn("_tb", tieBreak)
       .select((keyCols :+ tsCol).map(col) ++ Seq(col("_p"), col("_tb")): _*)

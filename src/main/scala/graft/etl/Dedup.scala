@@ -290,7 +290,18 @@ object Dedup {
     // on an all-distinct corpus the collapse is one extra vocabulary-sized
     // groupBy. Grouping is BY THE ARRAY VALUE itself (no fingerprint, no
     // collision risk) — the arrays shuffle once to form groups.
-    val rows = base.select(col(idCol).as("_oid"), col(shCol).as("_osh"))
+    // Normalize to CANONICAL SETS first — sort + distinct: the contract
+    // is set similarity, so duplicate elements must not double-count in
+    // the intersection (they would make inter_n exceed union_n), and
+    // [a,b] vs [b,a] must land in the SAME collapse group. Callers
+    // passing already-distinct arrays (the shingle builders) pay one
+    // cheap per-row pass.
+    // Persist lifetime note: the three persisted frames back the
+    // returned (lazy) DataFrame, so they cannot be unpersisted here;
+    // callers running many ppJoins in one session should clearCache
+    // between them (the Bench/Verify harness hygiene).
+    val rows = base.select(col(idCol).as("_oid"),
+        array_sort(array_distinct(col(shCol))).as("_osh"))
       .filter(size(col("_osh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = rows.groupBy(col("_osh"))

@@ -153,6 +153,14 @@ object Graph {
       (r.getLong(0), r.getLong(1))
     }
 
+    // node universe BEFORE self-edge removal: a node whose only pair is
+    // a self-pair (or that only appears once the filter drops its edges)
+    // must still appear in the output as its own singleton cluster —
+    // resolveClusters returns it, and the two operators are documented
+    // as interchangeable
+    val allNodes = pairs.select(col(aCol).as("doc_id"))
+      .unionAll(pairs.select(col(bCol).as("doc_id")))
+      .distinct()
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
@@ -178,7 +186,12 @@ object Graph {
     val members = edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
     val centers = edges.select(col("v").as("doc_id")).distinct()
       .withColumn("cluster_rep", col("doc_id"))
+    // every node also contributes (id, id): a component's min id is ≤
+    // every member id, so the groupBy-min keeps true reps unchanged,
+    // while self-pair-only / isolated nodes (absent from `edges`)
+    // surface as their own singleton clusters
     members.unionAll(centers)
+      .unionAll(allNodes.withColumn("cluster_rep", col("doc_id")))
       .groupBy(col("doc_id")).agg(min(col("cluster_rep")).as("cluster_rep"))
   }
 }

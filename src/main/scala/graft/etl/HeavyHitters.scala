@@ -37,6 +37,10 @@ object HeavyHitters {
     * exactly k counters.
     */
   def mgCandidates(toks: Dataset[String], k: Int): Dataset[String] = {
+    // k = 0 would silently emit NOTHING (every token takes the decrement
+    // branch over an empty counter map) — a total false negative where
+    // the guarantee above promises a superset; fail loudly instead
+    require(k >= 1, s"Misra-Gries needs at least one counter, got $k")
     import toks.sparkSession.implicits._
     toks.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]

@@ -28,8 +28,13 @@ object IntervalJoin {
     * `wCol` names the grid-width column and MUST be present with the
     * same scalar value in BOTH frames (a literal the caller attached, or
     * broadcast stats joined onto each side — grid math needs the width
-    * on the side it grids). Domain values must be non-negative (floor by
-    * double division; exact for integer magnitudes below 2^53). The
+    * on the side it grids). Domain values must be non-negative AND
+    * INTEGER-GRANULAR (ids, epoch micros): the top cell is
+    * `floor((end−1)/w)`, which relies on "no point in (end−1, end)" —
+    * true only on an integer domain. A fractional point like 2.3
+    * against interval [0, 2.5) at w=1 would land in a cell the interval
+    * never exploded to and silently miss. (Also floor by double
+    * division: exact for integer magnitudes below 2^53.) The
     * intervals frame's `wCol` is consumed by the cell explode and
     * dropped; the points frame's copy passes through.
     */

@@ -47,13 +47,6 @@ object Kpi {
       .filter(col("月份").isNotNull)
       .withColumn("總綁定", N.zeroFill(N.toNumber(col("總綁定"))))
 
-  /** Year-slice sum of binds per store (aggregate_by_store.py:147–162). */
-  def bindSumByStore(binds: DataFrame, year: String): DataFrame =
-    normBinds(binds)
-      .filter(col("年度") === year)
-      .groupBy(col(S))
-      .agg(sum(col("總綁定")).as("v"))
-
   /** A2 normalization for config 24-1 (aggregate_by_store.py:342–346):
     * like [[normBinds]] but WITHOUT the month parse/filter — 24-1 sums
     * every row of the year slice, including unparseable months. Year

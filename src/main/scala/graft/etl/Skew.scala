@@ -47,6 +47,10 @@ object Skew {
     require(salts > 0, "salts must be positive")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"salted join replicates the small side — only inner/left are row-identical (got $joinType)")
+    // reserved working column (the AsOf/PrefixSum convention): a caller
+    // data column named _salt would be silently overwritten and dropped
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "saltedJoin reserves column _salt; rename the conflicting input column")
     val spark = big.sparkSession
     import spark.implicits._
     val salted = big.withColumn("_salt",

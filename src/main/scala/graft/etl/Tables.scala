@@ -92,18 +92,29 @@ object Tables {
     * the same `TimestampType` column; with the session timezone pinned to
     * UTC (Bench/Verify/Cli/specs) the NTZ→LTZ cast is numerically exact.
     */
-  def events(spark: SparkSession, d: String): DataFrame =
+  def events(spark: SparkSession, d: String): DataFrame = {
     // split artifact stores the POST-conversion frame (plain
     // TIMESTAMP(MICROS)), so consumers read it natively — the nanos
-    // legacy branch runs only in the one-time build
-    Artifacts.shared(spark, d, "split_events") {
-      eventsRaw(spark, d).repartition(
-        spark.sparkContext.defaultParallelism,
-        org.apache.spark.sql.functions.col("user_id"))
+    // legacy branch runs only in the one-time build. The legacy conf is
+    // SCOPED to that build (set/restore): leaving it on would silently
+    // change every later TIMESTAMP(NANOS) parquet read in the session
+    // to raw longs — action-at-a-distance on unrelated sources.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      Artifacts.shared(spark, d, "split_events") {
+        eventsRaw(spark, d).repartition(
+          spark.sparkContext.defaultParallelism,
+          org.apache.spark.sql.functions.col("user_id"))
+      }
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
+  }
 
   private def eventsRaw(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.LongType

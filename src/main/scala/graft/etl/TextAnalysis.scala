@@ -124,12 +124,19 @@ object TextAnalysis {
     val avgTokLen = when(nTok > 0,
       aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok)
       .otherwise(lit(0.0))
-    round(
-      lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
-        lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) +
-        lit(0.2) * least(stopRatio * lit(5.0), lit(1.0)) +
-        lit(0.2) * least(avgTokLen / lit(8.0), lit(1.0)),
-      6)
+    // NULL text must score NULL, not 0.6: without the guard, least()
+    // SKIPS the null length term (both Spark and DuckDB least ignore
+    // NULLs) and a contentless document earns full length + punctuation
+    // credit — outranking real documents through every quality gate.
+    // The oracle mirror (OracleSql.qualityExprSql) carries the same
+    // CASE guard so the engines agree on any input.
+    when(text.isNotNull,
+      round(
+        lit(0.3) * least(nTok / lit(50.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) +
+          lit(0.2) * least(stopRatio * lit(5.0), lit(1.0)) +
+          lit(0.2) * least(avgTokLen / lit(8.0), lit(1.0)),
+        6))
   }
 
   private val fpMod = 1L << 40

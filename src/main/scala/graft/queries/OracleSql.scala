@@ -112,13 +112,19 @@ object OracleSql {
                CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS toklen"""
   }
 
-  /** The quality formula over the [[qualityColsSql]] measures. */
+  /** The quality formula over the [[qualityColsSql]] measures. NULL text
+    * scores NULL (the outer CASE on `len`, which is NULL iff text is —
+    * `text` itself is not in scope in every measure CTE): DuckDB's
+    * least() skips NULLs exactly like Spark's, so without the guard a
+    * contentless doc would earn 0.6 and outrank real documents.
+    */
   val qualityExprSql: String =
-    """round(0.3 * least(ntok / 50.0, 1.0)
+    """CASE WHEN len IS NOT NULL THEN
+               round(0.3 * least(ntok / 50.0, 1.0)
                  + 0.3 * (1.0 - least(CASE WHEN len > 0 THEN punct / len ELSE 0.0 END * 10.0, 1.0))
                  + 0.2 * least(CASE WHEN ntok > 0 THEN stops / ntok ELSE 0.0 END * 5.0, 1.0)
                  + 0.2 * least(CASE WHEN ntok > 0 THEN coalesce(toklen, 0.0) / ntok ELSE 0.0 END / 8.0, 1.0),
-               6)"""
+               6) END"""
 
   /** CJK-character ratio of `text` (`TextAnalysis.cjkRatio`). */
   val cjkSql: String =

@@ -54,6 +54,15 @@ class GraphSpec extends SparkSpec {
       labelsOf(base, Graph.connectedComponentsLSS(_)))
   }
 
+  test("self-pair-only nodes survive as singleton clusters (≡ propagation)") {
+    // node 9 appears ONLY as a self-pair: the self-edge filter drops its
+    // edges, but the node must still label itself — resolveClusters
+    // does, and the operators are documented interchangeable
+    crossCheck(Seq((1L, 2L), (9L, 9L), (2L, 3L)))
+    val lss = labelsOf(Seq((7L, 7L)), Graph.connectedComponentsLSS(_))
+    assert(lss == Seq((7L, 7L)), s"self-pair-only node lost: $lss")
+  }
+
   test("pageRank round plans exactly one node-sized exchange") {
     // the pre-partitioned+sorted edge/node checkpoints must leave a
     // round's SMJs exchange-free and sort-free: the only shuffle left

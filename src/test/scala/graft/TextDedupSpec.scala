@@ -207,4 +207,21 @@ class TextDedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 100L && p._2 == 102L))
     assert(!got.exists(p => (p._1, p._2) == (100L, 103L)))
   }
+
+  test("ppJoinPairs canonicalizes input: duplicate elements and order don't matter") {
+    // the contract is SET similarity: [a,a,b] means {a,b}, and [b,a]
+    // must collapse-group with [a,b] — without normalization duplicates
+    // double-count the intersection (inter_n > union_n, nonsense) and
+    // permuted duplicates defeat the collapse
+    val sets = Seq(
+      1L -> Seq("a", "a", "b"),
+      2L -> Seq("b", "a"),
+      3L -> Seq("a", "b", "c", "c"))
+    val got = Dedup.ppJoinPairs(
+        sets.toDF("id", "sh"), "id", "sh", num = 3, den = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // as sets: {a,b} vs {a,b} J=1; {a,b} vs {a,b,c} J=2/3 ≥ 3/5
+    assert(got == Set((1L, 2L, 2L, 2L), (1L, 3L, 2L, 3L), (2L, 3L, 2L, 3L)),
+      s"set semantics violated: $got")
+  }
 }
