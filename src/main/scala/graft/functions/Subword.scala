@@ -81,6 +81,11 @@ object SubwordCount {
     var i = 0
     val n = toks.numElements()
     while (i < n) {
+      // the type check admits ArrayType(String, containsNull = true):
+      // a null element contributes 0 pieces (TokenShingles' convention)
+      // rather than NPE-ing the task
+      if (toks.isNullAt(i)) { i += 1 }
+      else {
       val w = toks.getUTF8String(i).toString
       val len = w.length
       var pos = 0
@@ -101,6 +106,7 @@ object SubwordCount {
         total += 1L
       }
       i += 1
+      }
     }
     total
   }

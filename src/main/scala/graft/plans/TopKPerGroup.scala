@@ -131,6 +131,29 @@ case class RewriteWindowTopK(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Floating-point partition keys are REFUSED: the physical operator
+    * groups by UnsafeRow byte equality (heap HashMap, hash exchange,
+    * fallback group-change test), while WindowExec's partition keys go
+    * through NormalizeFloatingNumbers — 0.0 vs -0.0 (and non-canonical
+    * NaN bit patterns) are ONE group there but would be TWO here,
+    * silently emitting up to 2k rows with duplicate ranks. Such queries
+    * keep their Window plan; every registry use partitions by
+    * string/integer keys.
+    */
+  private def hasFloatKey(exprs: Seq[Expression]): Boolean = {
+    def floaty(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => floaty(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => floaty(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        floaty(m.keyType) || floaty(m.valueType)
+      case _ => false
+    }
+    exprs.exists(e => floaty(e.dataType))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, w: LogicalWindow)
         if w.windowExpressions.size == 1 =>
@@ -138,7 +161,8 @@ case class RewriteWindowTopK(spark: SparkSession) extends Rule[LogicalPlan] {
         case alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, order, _)), _) if order.nonEmpty =>
           rankBound(cond, alias.toAttribute) match {
-            case Some((k, residual)) if k >= 1 && k <= TopKPerGroup.maxK =>
+            case Some((k, residual)) if k >= 1 && k <= TopKPerGroup.maxK &&
+                !hasFloatKey(w.partitionSpec) =>
               val topk = TopKPerGroupNode(
                 w.partitionSpec, w.orderSpec, k, alias.toAttribute, w.child)
               residual.map(Filter(_, topk)).getOrElse(topk)

@@ -35,7 +35,9 @@ object CsvGen {
       String.format(java.util.Locale.ROOT, "%.3f",
         Double.box(r.nextDouble() * 1000 - 500))
     case "date" => // 2018-01-01 .. 2024-12-31 like csv_gen.py:24–28
-      java.time.LocalDate.of(2018, 1, 1).plusDays(r.nextInt(2556).toLong).toString
+      // 2018-01-01..2024-12-31 inclusive is 2557 dates (two leap years);
+      // nextInt(2556) would silently exclude the documented upper bound
+      java.time.LocalDate.of(2018, 1, 1).plusDays(r.nextInt(2557).toLong).toString
     case "bool" => if (r.nextBoolean()) "true" else "false"
   }
 

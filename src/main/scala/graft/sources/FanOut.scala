@@ -41,6 +41,12 @@ object FanOut {
       bom: Boolean = false): Unit = {
     val spark = df.sparkSession
     val staging = s"$outDir/_staging_$srcName"
+    // reserved partition-helper name: a source column literally named
+    // _gk would be silently overwritten and then stripped from the CSVs
+    // by partitionBy — refuse it (schemas are arbitrary BI exports, so
+    // this is an input-validation contract, not an internal invariant)
+    require(!df.columns.contains("_gk"),
+      "FanOut.write reserves column _gk; rename the conflicting input column")
     val cleaned = df
       .withColumn(keyCol, trim(col(keyCol)))
       .filter(col(keyCol).isNotNull && col(keyCol) =!= "")
@@ -265,6 +271,15 @@ object FanOut {
       .select(col("value").as("_line"),
         regexp_extract(input_file_name(), ".*/([^/]+)/[^/]+$", 1).as("_dir_key"))
       .withColumn("_line", regexp_replace(col("_line"), "^﻿", ""))
+      // Prefix/meta lines are dropped by CONTENT equality: a line-split
+      // text scan has no per-file line offsets, so position-based
+      // skipping (the reference's pandas skiprows) isn't expressible
+      // shuffle-free. Known limitation: a DATA row whose full CSV text
+      // byte-equals a replayed meta line is dropped with it — reachable
+      // only when a key cell equals the meta line's first cell AND every
+      // other cell matches; the reference's dated report headers don't
+      // collide with data rows in practice. A caller needing exactness
+      // under adversarial keys should read per-file with positional skip.
       .filter(!col("_line").isin(prefixSet.toSeq: _*))
       .select(from_csv(col("_line"), schema, Map.empty[String, String]).as("r"),
         // input_file_name is URI-percent-encoded; url_decode additionally

@@ -118,6 +118,18 @@ class TopKPlanSpec extends SparkSpec {
       val rk = fixture(s).withColumn("rnk", rank().over(w))
         .filter(col("rnk") <= 5)
       assert(topkNodes(finalPlan(rk)) == 0)
+      // floating-point partition key → no rewrite (byte-equality groups
+      // would split 0.0 / -0.0 where WindowExec normalizes them); the
+      // window path must also produce ONE group for the two zeros
+      import s.implicits._
+      val fl = Seq((0.0, 1L), (-0.0, 2L), (-0.0, 3L), (1.5, 4L))
+        .toDF("gd", "v")
+      val wf = Window.partitionBy(col("gd")).orderBy(col("v"))
+      val flq = fl.withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= 2)
+      assert(topkNodes(finalPlan(flq)) == 0,
+        "float partition key must refuse the rewrite")
+      assert(flq.count() == 3) // {0.0,-0.0,-0.0} one group → 2 rows + 1.5's 1
     }
   }
 
