@@ -1,66 +1,171 @@
 package graft.etl
 
+import java.awt.geom.AffineTransform
+import java.awt.image.{AffineTransformOp, BufferedImage}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Raw media payload: an opaque binary column keyed by document. */
 final case class MediaRecord(doc_id: Long, media: Array[Byte])
 
-/** Decoded per-media features (from the stub decoder). */
-final case class MediaFeatures(
-    doc_id: Long, n_bytes: Int,
-    f0: Double, f1: Double, f2: Double, f3: Double)
+/** Decoded grayscale-image features (real `javax.imageio` decode). */
+final case class ImageFeatures(
+    doc_id: Long, width: Int, height: Int, n_pix: Int,
+    sum_gray: Long, min_gray: Int, max_gray: Int, px_hex: String)
 
-/** Typed-Dataset decode pipeline for multimodal (binary) columns.
+/** Real JDK-only image codec pipeline for multimodal (binary) columns.
   *
-  * The decode step is a ==STUB== — this container has no image/audio
-  * codecs, so [[decodeStub]] computes deterministic byte statistics in
-  * place of a real `decode → resize → embed` kernel. The *plumbing* is the
-  * real thing a production pipeline needs and what tests cover:
-  * binary-column Dataset with case-class Encoders, `mapPartitions` with
-  * explicit batch grouping (a real decoder amortizes model/codec init per
-  * batch, exactly this loop shape), and partition-local execution (no
-  * shuffle — decode parallelism is pure map parallelism at any scale).
+  * The decode/resize kernels are REAL: PNG encode/decode via
+  * `javax.imageio.ImageIO` and nearest-neighbor scaling via
+  * `java.awt.image.AffineTransformOp` — no external dependency, the JDK
+  * ships both. Grayscale PNG is lossless, so `decode(encodePng(px)) == px`
+  * bit-for-bit; that losslessness is what lets a SQL oracle predict the
+  * decoded pixel statistics from the (deterministic) pixel formula without
+  * itself owning a codec.
+  *
+  * Plumbing is the production shape: binary-column Dataset with case-class
+  * Encoders, `mapPartitions` with explicit batch grouping (a real model
+  * kernel amortizes codec/model init per batch, exactly this loop shape),
+  * and partition-local execution — decode parallelism is pure map
+  * parallelism at any scale, no shuffle anywhere in the pipeline.
+  *
+  * Scaling-semantics pin: on this JDK, `AffineTransformOp` with
+  * TYPE_NEAREST_NEIGHBOR at scale 0.5 maps dst(x,y) ← src(2x+1, 2y+1)
+  * (dest pixel center (x+0.5)/0.5 = 2x+1). MediaDecodeSpec asserts that
+  * mapping against a planted raster so a JDK behavior change fails loudly
+  * at test time instead of silently desyncing the oracle.
   */
 object MediaDecode {
 
   val batchSize = 32
 
-  /** ==STUB decoder== — stands in for image/audio decoding. Deterministic:
-    * mean byte value (unsigned) of each 16-byte quarter, normalized to
-    * [0,1]. Integer summation in ascending index order keeps it bit-exact
-    * vs the SQL oracle's `list_sum`.
-    */
-  def decodeStub(bytes: Array[Byte]): Array[Double] = {
-    val groups = 4
-    val per = bytes.length / groups
-    if (per == 0) return Array.fill(groups)(0.0) // <4-byte payload: no NaNs
-    Array.tabulate(groups) { g =>
-      var s = 0L // Long: an Int sum wraps negative beyond ~8 MB per quarter
-      var i = g * per
-      while (i < (g + 1) * per) { s += bytes(i) & 0xff; i += 1 }
-      s / (per * 255.0)
-    }
+  // ImageIO's default on-disk stream cache costs a temp file per call;
+  // these payloads are tiny in-memory arrays.
+  ImageIO.setUseCache(false)
+
+  /** Encode a grayscale raster (row-major, unsigned bytes) as PNG. */
+  def encodePngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == w * h, s"raster ${px.length} != ${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** (doc_id, media: binary) → decoded feature rows. Batched
-    * `mapPartitions` so a real decoder could hold codec state per batch.
-    * Final rounding happens as a column op so it matches the engine's
-    * round semantics (same as every other oracle-checked query).
+  /** Decode a PNG to (width, height, row-major grayscale raster). */
+  def decodePngGray(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "ImageIO could not decode payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray =
+      if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+      else { // normalize exotic color models through a gray draw
+        val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val gr = g.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+        g
+      }
+    val px = new Array[Byte](w * h)
+    gray.getRaster.getDataElements(0, 0, w, h, px)
+    (w, h, px)
+  }
+
+  /** Nearest-neighbor half-scale via `AffineTransformOp` (real AWT kernel).
+    * Requires even dims so the oracle-visible mapping src(2x+1, 2y+1) is
+    * total (no edge clamping).
+    */
+  def halfScaleNN(w: Int, h: Int, png: Array[Byte]): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, s"even dims required, got ${w}x$h")
+    val src = ImageIO.read(new ByteArrayInputStream(png))
+    val op = new AffineTransformOp(
+      AffineTransform.getScaleInstance(0.5, 0.5),
+      AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+    val dst = new BufferedImage(w / 2, h / 2, BufferedImage.TYPE_BYTE_GRAY)
+    op.filter(src, dst)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic raster: seed/dims/pixels are pure integer
+    * functions of doc_id, so a SQL oracle reproduces the raster without a
+    * codec. Dims are even (4..14) to keep the half-scale mapping total.
+    */
+  def syntheticRaster(id: Long): (Int, Int, Array[Byte]) = {
+    val seed = (id % 251).toInt
+    val w = (2 * ((id % 6) + 2)).toInt
+    val h = (2 * (((id / 7) % 6) + 2)).toInt
+    (w, h, Array.tabulate(w * h)(i => ((seed + i * 17) % 256).toByte))
+  }
+
+  /** doc_id column → (doc_id, media: real PNG bytes) via [[syntheticRaster]]
+    * + a REAL `ImageIO` PNG encode. Partition-local map work, no shuffle.
+    */
+  def syntheticPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { id =>
+          val (w, h, px) = syntheticRaster(id)
+          MediaRecord(id, encodePngGray(w, h, px))
+        }
+      }
+    }.toDF()
+  }
+
+  private def hexOf(px: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(px.length * 2)
+    px.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def features(id: Long, png: Array[Byte]): ImageFeatures = {
+    val (w, h, px) = decodePngGray(png)
+    var s = 0L; var mn = 255; var mx = 0
+    px.foreach { b => val v = b & 0xff; s += v; if (v < mn) mn = v; if (v > mx) mx = v }
+    ImageFeatures(id, w, h, w * h, s, mn, mx, hexOf(px))
+  }
+
+  private def featuresToDf(spark: SparkSession,
+      feats: org.apache.spark.sql.Dataset[ImageFeatures]): DataFrame =
+    feats.toDF().select(col("doc_id"), col("width"), col("height"),
+      col("n_pix"),
+      round(col("sum_gray") / (col("n_pix") * 255.0), 6).as("mean_gray"),
+      col("min_gray"), col("max_gray"),
+      md5(col("px_hex")).as("px_md5"))
+
+  /** (doc_id, media: PNG binary) → decoded feature rows, batched
+    * `mapPartitions` with a real `ImageIO` decode per payload. Final
+    * rounding/md5 happen as column ops so they match the engine's
+    * semantics (same as every other oracle-checked query).
     */
   def decodePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val feats = media.as[MediaRecord].mapPartitions { it =>
+    featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch decoder init would go here (codec/model handle)
+        batch.iterator.map(r => features(r.doc_id, r.media))
+      }
+    })
+  }
+
+  /** (doc_id, media: PNG binary) → decode, NN half-scale, re-encode PNG,
+    * decode again, features of the result. The re-encode→decode leg proves
+    * the encoder inside the same distributed loop (PNG losslessness makes
+    * it a no-op on the pixels, so the oracle still predicts them).
+    */
+  def resizePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val f = decodeStub(r.media)
-          MediaFeatures(r.doc_id, r.media.length, f(0), f(1), f(2), f(3))
+          val (w, h, _) = decodePngGray(r.media)
+          features(r.doc_id, halfScaleNN(w, h, r.media))
         }
       }
-    }
-    feats.toDF().select(col("doc_id"), col("n_bytes"),
-      round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
-      round(col("f2"), 6).as("f2"), round(col("f3"), 6).as("f3"))
+    })
   }
 }

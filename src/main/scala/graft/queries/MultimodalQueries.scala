@@ -7,17 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / frame-sample plumbing.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stub ([[graft.etl.MediaDecode.decodeStub]]);
-  * everything around it — the binary column, metadata schema, partitioned
-  * typed-Dataset `mapPartitions` batching, frame slicing — is real Spark
-  * plumbing and is what this module tests.
+  * The image decode/resize kernels (m03/m04) are REAL JDK codecs:
+  * `javax.imageio` PNG encode/decode and `java.awt.image.AffineTransformOp`
+  * nearest-neighbor scaling — see [[graft.etl.MediaDecode]]. PNG
+  * losslessness is what makes them oracle-checkable: the raster is a
+  * deterministic integer function of doc_id, so DuckDB predicts the
+  * decoded pixels without owning a codec.
   *
-  * Media payloads are fabricated deterministically from document text
-  * (md5 chains → 64-byte blobs) identically in Spark and the DuckDB
-  * oracle, so metadata/frame queries hash-match. The `mapPartitions`
-  * pipeline (m03) also has a SQL oracle because the stub decoder is
-  * deliberately simple byte math.
+  * The frame/audio payloads (m02, m09, m10) are fabricated
+  * deterministically from document text (md5 chains → 64-byte blobs)
+  * identically in Spark and the DuckDB oracle, so metadata/frame queries
+  * hash-match; their byte-extraction seam is where a real audio/video
+  * codec would slot in, exactly as ImageIO does for m03/m04.
   *
   * Scale design: fabrication/decode are per-row map work (no shuffle);
   * frame explode fans out rows but stays partition-local; at 100 TB real
@@ -112,57 +113,80 @@ object MultimodalQueries {
       FROM f WHERE frame_idx % $sampleEvery = 0
     """))
 
-  // ---- m03: typed mapPartitions decode → features --------------------
+  // ---- m03: REAL javax.imageio PNG decode → features -----------------
+  //
+  // Fabricate a deterministic grayscale raster per doc (pure integer
+  // formula of doc_id), REALLY encode it to PNG with ImageIO on the
+  // executors, then REALLY decode it back in the batched mapPartitions
+  // pipeline and report pixel statistics + a pixel checksum. PNG is
+  // lossless, so the DuckDB oracle predicts the decoded raster from the
+  // SAME integer formula without owning a codec — any codec bug (wrong
+  // stride, color model, byte sign) breaks the hash.
+  //
+  // Scale shape: encode and decode are partition-local map work over a
+  // binary column; ZERO shuffles. A JPEG/WebP decoder or an embedding
+  // model slots into the identical batch loop.
+
+  /** Shared oracle CTE: doc_id → (seed, even dims) mirror of
+    * [[graft.etl.MediaDecode.syntheticRaster]].
+    */
+  private val rasterCte = """
+      m AS (SELECT doc_id,
+                   CAST(doc_id % 251 AS BIGINT) AS seed,
+                   CAST(2*((doc_id % 6) + 2) AS BIGINT) AS w,
+                   CAST(2*(((doc_id // 7) % 6) + 2) AS BIGINT) AS h
+            FROM documents)"""
+
+  private def pngMedia(s: SparkSession, d: String): DataFrame =
+    graft.etl.MediaDecode.syntheticPngs(s,
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id")))
 
   private val m03 = Q(
     "m03_decode_features",
-    (s, d) => {
-      val media = graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
-        .select(col("doc_id"), unhex(hexm(col("text"))).as("media"))
-      graft.etl.MediaDecode.decodePipeline(s, media)
-    },
+    (s, d) => graft.etl.MediaDecode.decodePipeline(s, pngMedia(s, d)),
     Some(s"""
-      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents)
-      SELECT doc_id,
-             octet_length(from_hex(h)) AS n_bytes,
-             round(list_sum(list_transform(range(0, 16), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f0,
-             round(list_sum(list_transform(range(16, 32), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f1,
-             round(list_sum(list_transform(range(32, 48), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f2,
-             round(list_sum(list_transform(range(48, 64), i -> ${hexByteSql("h", "i")})) / (16.0 * 255.0), 6) AS f3
-      FROM m
-    """))
-
-  // ---- m04: resize (stub kernel, real plumbing) ----------------------
-  // A ==STUB== resize standing in for an image downsample: keep every
-  // 2nd byte, halve the metadata dimensions. Partition-local map work —
-  // the plan shape (payload in, payload out, derived metadata, checksum)
-  // is what a real resize kernel slots into.
-
-  private val m04 = Q(
-    "m04_resize_stub",
-    (s, d) => {
-      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
-        .select(col("doc_id"), hexm(col("text")).as("h"))
-        .withColumn("rh", array_join(
-          transform(sequence(lit(0), lit(mediaBytes / 2 - 1)),
-            i => col("h").substr(i * 4 + 1, lit(2))), ""))
-        .select(col("doc_id"),
-          floor(length(col("rh")) / 2).cast("int").as("n_bytes"),
-          greatest(floor((hexByte(col("h"), 1) + 1) / 2), lit(1)).cast("int").as("width"),
-          greatest(floor((hexByte(col("h"), 2) + 1) / 2), lit(1)).cast("int").as("height"),
-          md5(col("rh")).as("res_checksum"))
-    },
-    Some(s"""
-      WITH m AS (SELECT doc_id, $hexmSql AS h FROM documents),
-      r AS (SELECT doc_id, h,
-                   array_to_string(list_transform(range(0, ${mediaBytes / 2}),
-                     i -> substr(h, i * 4 + 1, 2)), '') AS rh
+      WITH $rasterCte,
+      p AS (SELECT doc_id, w, h,
+                   list_transform(range(0, w*h), i -> (seed + i*17) % 256) AS px
             FROM m)
       SELECT doc_id,
-             CAST(length(rh) / 2 AS INTEGER) AS n_bytes,
-             CAST(greatest((${hexByteSql("h", "1")} + 1) // 2, 1) AS INTEGER) AS width,
-             CAST(greatest((${hexByteSql("h", "2")} + 1) // 2, 1) AS INTEGER) AS height,
-             md5(rh) AS res_checksum
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(w*h AS INTEGER) AS n_pix,
+             round(list_sum(px) / (w*h*255.0), 6) AS mean_gray,
+             CAST(list_min(px) AS INTEGER) AS min_gray,
+             CAST(list_max(px) AS INTEGER) AS max_gray,
+             md5(array_to_string(list_transform(px, v -> printf('%02x', v)), '')) AS px_md5
+      FROM p
+    """))
+
+  // ---- m04: REAL java.awt nearest-neighbor half-scale resize ---------
+  //
+  // decode (ImageIO) → AffineTransformOp NN 0.5× → re-encode PNG →
+  // decode again → features. The NN mapping dst(x,y) ← src(2x+1, 2y+1)
+  // is pinned by MediaDecodeSpec against a planted raster, so the oracle
+  // reproduces the resized pixels from the source formula. Same
+  // zero-shuffle partition-local plan shape as m03.
+
+  private val m04 = Q(
+    "m04_resize",
+    (s, d) => graft.etl.MediaDecode.resizePipeline(s, pngMedia(s, d)),
+    Some(s"""
+      WITH $rasterCte,
+      p AS (SELECT doc_id, seed, w, w // 2 AS rw, h // 2 AS rh FROM m),
+      r AS (SELECT doc_id, rw, rh,
+                   list_transform(range(0, rw*rh),
+                     j -> (seed + ((2*(j // rw) + 1) * w + 2*(j % rw) + 1) * 17) % 256) AS px
+            FROM p)
+      SELECT doc_id,
+             CAST(rw AS INTEGER) AS width,
+             CAST(rh AS INTEGER) AS height,
+             CAST(rw*rh AS INTEGER) AS n_pix,
+             round(list_sum(px) / (rw*rh*255.0), 6) AS mean_gray,
+             CAST(list_min(px) AS INTEGER) AS min_gray,
+             CAST(list_max(px) AS INTEGER) AS max_gray,
+             md5(array_to_string(list_transform(px, v -> printf('%02x', v)), '')) AS px_md5
       FROM r
     """))
 
@@ -397,9 +421,9 @@ object MultimodalQueries {
   // and open a new shot where the change reaches the threshold. Frame
   // distance = Σ |byte_i(f) − byte_i(f−1)| over the frame's bytes
   // (exact integers, 0..2040 for 8 bytes); a boundary opens a new shot
-  // when the distance reaches the threshold. Real decoders drop in at
-  // the byte-extraction seam (the m04 stub contract) — the shot logic
-  // itself is codec-agnostic.
+  // when the distance reaches the threshold. A real video decoder drops
+  // in at the byte-extraction seam (as ImageIO does for m03/m04) — the
+  // shot logic itself is codec-agnostic.
   //
   // Scale shape: ALL of a clip's frames live in its own payload row, so
   // frame diffs, boundary tests, and the shot count are row-local
@@ -458,7 +482,7 @@ object MultimodalQueries {
   // via the `f − row_number()` island key (consecutive actives share
   // it; any silence gap shifts it). Frame energy = Σ bytes (exact
   // integers); a real energy/VAD kernel drops in at the byte-extraction
-  // seam exactly like m04's decoder contract.
+  // seam exactly as ImageIO does for m03/m04.
   //
   // Scale shape: explode is partition-local and bounded (frames/clip);
   // the ONE shuffle is the island window keyed by clip id — state per

@@ -1,0 +1,74 @@
+package graft
+
+import graft.etl.MediaDecode
+
+/** Pins the REAL JDK codec kernels behind m03/m04:
+  *
+  *  - PNG grayscale encode→decode is bit-lossless (the property the
+  *    DuckDB oracles rely on to predict decoded pixels without a codec);
+  *  - `AffineTransformOp` nearest-neighbor half-scale maps
+  *    dst(x,y) ← src(2x+1, 2y+1) on this JDK — if a JDK upgrade ever
+  *    changes the resample phase, this suite fails loudly instead of the
+  *    oracle silently desyncing;
+  *  - the distributed pipelines produce exactly the formula-predicted
+  *    features over a planted corpus.
+  */
+class MediaDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG gray encode -> decode is bit-lossless for all byte values") {
+    // 16x16 = every unsigned byte value exactly once
+    val px = Array.tabulate(256)(i => i.toByte)
+    val png = MediaDecode.encodePngGray(16, 16, px)
+    // real PNG container, not a passthrough
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (w, h, back) = MediaDecode.decodePngGray(png)
+    assert(w == 16 && h == 16 && back.toSeq == px.toSeq)
+  }
+
+  test("halfScaleNN pins the JDK NN mapping dst(x,y) <- src(2x+1, 2y+1)") {
+    val (w, h) = (10, 6)
+    val px = Array.tabulate(w * h)(i => ((11 + i * 17) % 256).toByte)
+    val resized = MediaDecode.halfScaleNN(w, h, MediaDecode.encodePngGray(w, h, px))
+    val (rw, rh, rpx) = MediaDecode.decodePngGray(resized)
+    assert(rw == w / 2 && rh == h / 2)
+    val expect = for (y <- 0 until rh; x <- 0 until rw)
+      yield px((2 * y + 1) * w + (2 * x + 1))
+    assert(rpx.toSeq == expect)
+    // odd dims must refuse rather than silently clamp at the edge
+    assertThrows[IllegalArgumentException] {
+      MediaDecode.halfScaleNN(5, 6, MediaDecode.encodePngGray(w, h, px))
+    }
+  }
+
+  test("syntheticRaster -> pipelines match formula-predicted features") {
+    val ids = Seq(0L, 1L, 7L, 41L, 250L, 251L, 997L).toDF("doc_id")
+    val media = MediaDecode.syntheticPngs(spark, ids)
+
+    val decoded = MediaDecode.decodePipeline(spark, media)
+      .orderBy("doc_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MediaDecode.syntheticRaster(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == w * h)
+      val u = px.map(_ & 0xff)
+      assert(r.getInt(5) == u.min && r.getInt(6) == u.max)
+      val hex = u.map(v => f"$v%02x").mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getString(7) == md)
+    }
+
+    val resized = MediaDecode.resizePipeline(spark, media)
+      .orderBy("doc_id").collect()
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MediaDecode.syntheticRaster(id)
+      val (rw, rh) = (w / 2, h / 2)
+      assert(r.getInt(1) == rw && r.getInt(2) == rh && r.getInt(3) == rw * rh)
+      val sub = for (y <- 0 until rh; x <- 0 until rw)
+        yield px((2 * y + 1) * w + (2 * x + 1)) & 0xff
+      assert(r.getInt(5) == sub.min && r.getInt(6) == sub.max)
+    }
+  }
+}

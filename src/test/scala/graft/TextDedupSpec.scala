@@ -165,17 +165,15 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("MediaDecode: stub decode is deterministic byte stats") {
-    val bytes = Array.tabulate(64)(i => i.toByte)
-    val f = MediaDecode.decodeStub(bytes)
-    assert(f.length == 4)
-    // quarter g: mean of values g*16..g*16+15 over 255
-    assert(math.abs(f(0) - 7.5 / 255.0) < 1e-12)
-    assert(math.abs(f(3) - 55.5 / 255.0) < 1e-12)
+  test("MediaDecode: real ImageIO pipeline decodes a planted PNG") {
+    val px = Array.tabulate(24)(i => ((3 + i * 17) % 256).toByte)
+    val png = MediaDecode.encodePngGray(6, 4, px)
     val df = MediaDecode.decodePipeline(spark,
-      Seq((1L, bytes)).toDF("doc_id", "media"))
+      Seq((1L, png)).toDF("doc_id", "media"))
     val r = df.collect()(0)
-    assert(r.getInt(1) == 64 && r.getDouble(2) == math.rint(f(0) * 1e6) / 1e6)
+    assert(r.getInt(1) == 6 && r.getInt(2) == 4 && r.getInt(3) == 24)
+    val sum = px.map(_ & 0xff).map(_.toLong).sum
+    assert(r.getDouble(4) == math.rint(sum / (24 * 255.0) * 1e6) / 1e6)
   }
 
   test("ppJoinPairs is EXACT: equals brute force on seeded random sets") {
