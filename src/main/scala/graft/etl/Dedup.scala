@@ -85,6 +85,62 @@ object Dedup {
       .distinct()
   }
 
+  /** Recall-preserving hot-bucket strategy: SPLIT instead of DROP.
+    *
+    * [[capped]] deletes every band row of a bucket hotter than
+    * `maxBucket` — the declared (and oracle-mirrored) skew guard, but on
+    * a boilerplate-heavy crawl the hottest buckets are exactly where
+    * near-identical duplicates live, and a doc whose EVERY band is hot
+    * silently escapes detection. This variant keeps all rows: a bucket of
+    * n rows is split into ⌈n/maxBucket⌉ ordered sub-buckets of at most
+    * `maxBucket` rows, and candidates are generated within each
+    * sub-bucket AND across ADJACENT sub-buckets. Per row that bounds the
+    * comparisons at ~2·maxBucket (total O(n·maxBucket) per bucket, never
+    * O(n²)) with ZERO dropped rows.
+    *
+    * Sub-bucket order is a per-band SALTED hash of the id (ties broken
+    * by id): each of the `numBands` bands shuffles the bucket
+    * independently, so a pair missed in one band's split (assigned
+    * non-adjacent sub-buckets) gets an independent adjacency draw in
+    * every other band — recall degrades gracefully with bucket heat
+    * instead of stepping to zero at the cap. Deterministic (hash order,
+    * no RNG), so the DuckDB oracle mirrors the split bit-exactly.
+    *
+    * Plan shape: the split is two window functions over the SAME
+    * (bidx, bh) partitioning (one shuffle); the sub+1 "adjacent" key is
+    * emitted only for rows of genuinely hot buckets, so cold buckets pay
+    * exactly the [[bandCandidates]] cost. The per-bucket window sort is
+    * O(n log n) on one task — bounded by the hottest bucket's row count,
+    * which is the quantity this operator exists to keep off the
+    * quadratic path.
+    */
+  def splitCandidates(
+      sig: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val w = org.apache.spark.sql.expressions.Window
+    val bucket = w.partitionBy(col("bidx"), col("bh"))
+    val order = bucket.orderBy(
+      Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77), col(idCol))
+    val keyed = banded(sig, idCol, numBands, rowsPerBand)
+      .withColumn("_n", count(lit(1)).over(bucket))
+      .withColumn("_sub",
+        floor((row_number().over(order) - lit(1)) / maxBucket).cast("long"))
+      .select(col(idCol), col("bidx"), col("bh"),
+        explode(when(col("_n") > maxBucket,
+            array(col("_sub"), col("_sub") + 1))
+          .otherwise(array(col("_sub")))).as("_k"))
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
+          col("x._k") === col("y._k") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .distinct()
+  }
+
   /** Signature matrix → the (id, bidx, bh) band rows as a first-class
     * result — the artifact a MANAGED LSH index persists (parquet on
     * storage) and appends to per ingest. Signatures are per-doc, so

@@ -114,6 +114,60 @@ object TextQueries {
       maxBucket: Int, threshold: Double): String =
     lshSql(baseSql, None, k, numBands, rowsPerBand, maxBucket, threshold)
 
+  /** DuckDB mirror of the split-and-salt pipeline (minhashSignatures →
+    * [[graft.etl.Dedup.splitCandidates]] → verifyJaccard): buckets hotter
+    * than maxBucket are SPLIT into ordered sub-buckets (per-band salted
+    * hash order, ties by doc_id) joined within + across adjacent
+    * sub-buckets, instead of dropped.
+    */
+  private def lshSplitPairsSql(
+      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
+      maxBucket: Int, threshold: Double): String = {
+    val consts = Portable.minhashConsts(k)
+    val minCols = (0 until k)
+      .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
+      .mkString(",\n               ")
+    val bandRows = (0 until numBands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH ix AS ($baseSql),
+      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
+             FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
+      sig AS (SELECT doc_id,
+               $minCols
+              FROM ex GROUP BY doc_id),
+      band AS (
+        $bandRows),
+      bandn AS (
+        SELECT doc_id, bidx, bh,
+               count(*) OVER (PARTITION BY bidx, bh) AS n,
+               CAST(floor((row_number() OVER (PARTITION BY bidx, bh
+                      ORDER BY ${hSql("doc_id || '#' || bidx", 77)}, doc_id) - 1)
+                    / $maxBucket) AS BIGINT) AS sub
+        FROM band),
+      keyed AS (
+        SELECT doc_id, bidx, bh,
+               unnest(CASE WHEN n > $maxBucket THEN [sub, sub + 1]
+                           ELSE [sub] END) AS k
+        FROM bandn),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM keyed x JOIN keyed y
+          ON x.bidx = y.bidx AND x.bh = y.bh AND x.k = y.k
+             AND x.doc_id < y.doc_id),
+      j AS (
+        SELECT a AS doc_a, b AS doc_b,
+               round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+                     / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
+        FROM cand JOIN ix ba ON ba.doc_id = cand.a
+                  JOIN ix bb ON bb.doc_id = cand.b)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
+    """
+  }
+
   // ---- t01: token counting -------------------------------------------
 
   private val t01 = Q(
@@ -2756,9 +2810,44 @@ object TextQueries {
       FROM mrg
     """))
 
+  // ---- t70: recall-preserving hot-bucket split (salted sub-buckets) ---
+  //
+  // t06's maxBucket cap DROPS every band row of a hot bucket — the
+  // declared skew guard, but a doc whose EVERY band is hot escapes
+  // near-dup detection entirely, and on a boilerplate-heavy crawl the
+  // hottest buckets are exactly where near-identical duplicates live.
+  // t70 runs t06's geometry with [[graft.etl.Dedup.splitCandidates]]:
+  // hot buckets split into ordered ≤maxBucket-row sub-buckets (per-band
+  // SALTED hash order → each band re-shuffles the bucket independently)
+  // joined within + across adjacent sub-buckets — O(n·maxBucket)
+  // bounded work, ZERO dropped rows. The cap here is deliberately small
+  // (6, vs t06's 20) so the split path genuinely engages at bench scale
+  // (the doubled corpus makes every bucket ≥ 2 rows; boilerplate bands
+  // go far hotter). DedupSplitSpec plants a hot cluster where the drop
+  // cap finds NOTHING and the split finds every member.
+
+  private val splitMaxBucket = 6
+
+  private val t70 = Q(
+    "t70_lsh_hot_split",
+    (s, d) => {
+      val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = Dedup.minhashSignatures(base, "doc_id", "sh", 15)
+      val cand = Dedup.splitCandidates(sig, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
+      Dedup.verifyJaccard(base, "doc_id", "sh", cand, 0.8)
+    },
+    Some(lshSplitPairsSql(tokenLshBaseSql, k = 15, numBands = 3,
+      rowsPerBand = 5, maxBucket = splitMaxBucket, threshold = 0.8)))
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70)
 }

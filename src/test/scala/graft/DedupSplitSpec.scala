@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Dedup
+
+/** Pins the recall-preserving hot-bucket split (t70's operator,
+  * `Dedup.splitCandidates`) against the drop cap (`bandCandidates`):
+  *
+  *  - planted hot cluster: identical docs land every band in ONE bucket
+  *    hotter than maxBucket — the drop cap finds NOTHING, the split
+  *    finds every member in at least one pair;
+  *  - cold corpus: with no bucket over the cap the split produces
+  *    exactly the same candidate set as the capped join (the adjacent
+  *    key is only emitted for hot buckets);
+  *  - boundedness: per-bucket candidate count stays O(n·maxBucket),
+  *    never the O(n²) of an uncapped self-join.
+  */
+class DedupSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 15
+  private val bands = 3
+  private val rows = 5
+
+  /** n docs with IDENTICAL shingle sets → identical signatures → every
+    * band puts all n into the same bucket.
+    */
+  private def hotCluster(n: Int) =
+    (1L to n.toLong).map(id => (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee")))
+      .toDF("doc_id", "sh")
+
+  test("drop cap finds NOTHING in a hot cluster; split finds every member") {
+    val maxBucket = 5
+    val sig = Dedup.minhashSignatures(hotCluster(30), "doc_id", "sh", k)
+    val capped = Dedup.bandCandidates(sig, "doc_id", bands, rows, maxBucket)
+    assert(capped.count() == 0, "cap should drop the single 30-row bucket")
+
+    val split = Dedup.splitCandidates(sig, "doc_id", bands, rows, maxBucket)
+      .as[(Long, Long)].collect()
+    assert(split.nonEmpty)
+    split.foreach { case (a, b) => assert(a < b) }
+    // zero dropped rows: every doc participates in at least one pair
+    val touched = split.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched == (1L to 30L).toSet,
+      s"docs escaped the split: ${(1L to 30L).toSet -- touched}")
+    // bounded: per band a row meets ≤ 2·maxBucket neighbors; across 3
+    // bands the distinct pair count stays far below the n² of an
+    // uncapped join (30 docs → 435 all-pairs)
+    assert(split.length < 435, s"split produced all-pairs (${split.length})")
+  }
+
+  test("cold corpus: split == capped == uncapped candidate set") {
+    // distinct shingle sets with one planted near-dup pair; buckets stay
+    // far below the cap, so the adjacent-sub key must never fire
+    val docs = ((1L to 20L).map(id =>
+      (id, Seq(s"u${id}_a", s"u${id}_b", s"u${id}_c", s"u${id}_d"))) ++
+      Seq((100L, Seq("x_a", "x_b", "x_c", "x_d")),
+        (101L, Seq("x_a", "x_b", "x_c", "x_d")))).toDF("doc_id", "sh")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "sh", k)
+    val cap = Dedup.bandCandidates(sig, "doc_id", bands, rows, 50)
+      .as[(Long, Long)].collect().toSet
+    val split = Dedup.splitCandidates(sig, "doc_id", bands, rows, 50)
+      .as[(Long, Long)].collect().toSet
+    assert(split == cap)
+    assert(split.contains((100L, 101L)))
+  }
+
+  test("split is deterministic across runs (hash order, no RNG)") {
+    val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
+    val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
+      .as[(Long, Long)].collect().toSet
+    val b = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
