@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Width policy for exact fixed-point (integer-unit) SUM accumulators.
+  *
+  * The engine's money/metric sums run on quantized integer terms (cents,
+  * 1e-4 units — see SCALE.md "exact money"): BIGINT accumulation is exact
+  * and fast, but only while the per-group total stays below 2^63. At
+  * 1e-4-unit price terms (~1e9/row) that bounds a group at ~9e9 rows — a
+  * 100 TB fact table's biggest groups (~1e11 rows) would overflow: ANSI
+  * mode fails the job, ANSI-off wraps SILENTLY. This object makes the
+  * width decision a declared, plan-time policy instead of a latent bug.
+  */
+object FixedPoint {
+
+  /** Headroom guard: choose long only if rows·term < 2^62 (half the space,
+    * so a single stray double-magnitude term cannot tip an "in-policy"
+    * sum over the edge).
+    */
+  def longIsSafe(rowsPerGroupBound: Long, termMagnitudeBound: Long): Boolean = {
+    require(rowsPerGroupBound > 0 && termMagnitudeBound > 0,
+      s"bounds must be positive: rows=$rowsPerGroupBound term=$termMagnitudeBound")
+    rowsPerGroupBound <= (Long.MaxValue / 2) / termMagnitudeBound
+  }
+
+  /** Exact SUM of an integer-unit column under DECLARED magnitude bounds:
+    * BIGINT accumulation while `rows·term` fits comfortably in 63 bits,
+    * DECIMAL(38,0) accumulation beyond (exact to 10^38; Spark and DuckDB
+    * both sum decimals exactly, and decimal sums stay map-side
+    * combinable — the cost is ~2× long arithmetic, paid only when the
+    * declared scale requires it).
+    *
+    * The result type follows the policy (LongType or DecimalType(38,0));
+    * callers emitting a fixed schema cast the result explicitly — an
+    * overflow in that final cast is then an ANSI error at the seam, never
+    * a silent wrap inside the accumulator.
+    */
+  def sumExact(c: Column, rowsPerGroupBound: Long,
+               termMagnitudeBound: Long): Column =
+    if (longIsSafe(rowsPerGroupBound, termMagnitudeBound)) sum(c)
+    else sum(c.cast(DecimalType(38, 0)))
+}

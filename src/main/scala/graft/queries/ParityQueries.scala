@@ -69,6 +69,60 @@ object ParityQueries {
       FROM g
     """))
 
+  // ---- q80: DECIMAL(38,0) accumulator seam (q01's aggregate) ----------
+  //
+  // SCALE.md's accumulator-magnitude bound, as a TESTED code path: q01's
+  // 1e-4-unit BIGINT revenue sum is exact only below ~9e9 rows/group; at
+  // 100 TB (~1e11 rows/group) the accumulator must widen to
+  // DECIMAL(38,0). `FixedPoint.sumExact` makes that a declared plan-time
+  // policy; this entry runs q01's aggregate through BOTH widths — the
+  // long accumulator and the decimal accumulator the 100 TB bounds
+  // select (rows=1e11, term=1e9 ⇒ decimal) — and emits their equality
+  // as a hashed column, proving the widened path is bit-identical where
+  // the narrow one is valid. FixedPointSpec covers the other side:
+  // terms that overflow long fail loudly under ANSI on the long path
+  // and sum exactly on the decimal path.
+  private val q80 = Q(
+    "q80_decimal_accumulator",
+    (s, d) => {
+      val terms = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
+      terms.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("rev_e4")).as("rev_long"),
+          graft.etl.FixedPoint.sumExact(col("rev_e4"),
+            rowsPerGroupBound = 100000000000L, // 1e11 rows/group (100 TB)
+            termMagnitudeBound = 1000000000L)  // ~1e9 per 1e-4-unit term
+            .as("_rev_dec"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("rev_long"),
+          col("_rev_dec").cast("long").as("rev_dec"),
+          (col("_rev_dec") === col("rev_long")).as("acc_equal"),
+          col("n"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+        FROM lineitem),
+      g AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(rev_e4) AS BIGINT) AS rev_long,
+               sum(CAST(rev_e4 AS DECIMAL(38,0))) AS rev_dec_w,
+               count(*) AS n
+        FROM t GROUP BY 1, 2)
+      SELECT l_returnflag, l_linestatus, rev_long,
+             CAST(rev_dec_w AS BIGINT) AS rev_dec,
+             rev_dec_w = rev_long AS acc_equal,
+             n
+      FROM g
+    """))
+
   // §2.2 P9/P10 range + IN predicates, P1 projection. Filters sit directly
   // on the scan so parquet gets PushedFilters.
   private val q02 = Q(
@@ -716,5 +770,5 @@ object ParityQueries {
 
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-      q38, q40, q53, q61, q64, q65)
+      q38, q40, q53, q61, q64, q65, q80)
 }
