@@ -40,8 +40,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // optional args: restrict to the named queries (dev iteration)
     val wanted = args.toSet
+    // deprecated-geometry entries stay correctness-pinned (Verify dumps
+    // them) but are off the default bench path — naming them as args or
+    // SPARK_GRAFT_BENCH_LEGACY=true opts them back in
+    val includeLegacy = wanted.nonEmpty ||
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "false").toBoolean
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+      .filter { case (n, _) =>
+        includeLegacy || !graft.queries.Registry.legacyBenchOptOut(n) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

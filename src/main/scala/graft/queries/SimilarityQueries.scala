@@ -241,6 +241,8 @@ object SimilarityQueries {
     * correlated family yields ~93 effective buckets, so the bucket join
     * is ≈ N²/93 — quadratic at corpus scale. New pipelines should use
     * e29_embed_neardup_banded (mixed-family 16×4 banding, e13-audited).
+    * Off the default bench path since round 8
+    * ([[Registry.legacyBenchOptOut]]); Verify still hash-checks it.
     */
   private val e03 = Q(
     "e03_embed_neardup",

@@ -50,4 +50,12 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every registry entry must carry a DuckDB oracle")
   }
+
+  test("legacy bench opt-outs name real entries and stay correctness-pinned") {
+    assert(Registry.legacyBenchOptOut.subsetOf(SparkEntry.queries.keySet),
+      "an opt-out names a query that no longer exists — stale retirement list")
+    // retirement is bench-only: the entries keep their oracles (Verify
+    // dumps them every round, so the frozen hash pins cannot rot silently)
+    assert(Registry.legacyBenchOptOut.subsetOf(SparkEntry.oracleSql.keySet))
+  }
 }
