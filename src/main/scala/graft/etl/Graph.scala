@@ -33,8 +33,10 @@ object Graph {
     *
     * Every node MUST appear as a src (a bidirected edge set satisfies
     * this by construction) — a dangling node would silently leak rank
-    * mass, so callers feeding one-directional graphs add self-loops or
-    * reverse edges first. Returns `(id, rank_micro)` for every node.
+    * mass, so callers feeding one-directional graphs either add
+    * self-loops / reverse edges first or use [[pageRankDanglingMicro]],
+    * which redistributes sink mass. Returns `(id, rank_micro)` for
+    * every node.
     */
   def pageRankMicro(edgesIn: DataFrame, iters: Int): DataFrame = {
     val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
@@ -82,6 +84,62 @@ object Graph {
       // round's only shuffle is the node-sized contribution partials
       // (GraphSpec pins it). Bounded lineage for long runs is the
       // secondary win.
+      if (round < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** PageRank generalized to DANGLING nodes (sinks with no out-edges) —
+    * the real-link-graph case [[pageRankMicro]] excludes by contract.
+    * Same damping (0.85) and integer micro-unit math, plus the standard
+    * dangling-mass redistribution: each step the total rank mass sitting
+    * on sink nodes is collected by ONE scalar aggregation and every node
+    * receives an equal integer share before damping:
+    *
+    *   `r(v) = 150000 + (Σ_{u→v} (r(u) div outdeg(u)) + dm div N) * 85 div 100`
+    *
+    * where `dm = Σ_{u dangling} r(u)` and `N = |nodes|`. Without this a
+    * sink leaks its mass every round and ranks drain toward the
+    * teleport floor; with it mass is conserved up to the deterministic
+    * integer floor losses (GraphSpec bounds them).
+    *
+    * Scale shape per round = [[pageRankMicro]]'s ONE node-sized shuffle
+    * plus two O(1)-output aggregations: the dangling-mass scalar (a
+    * map-side-combined sum over the sink subset) broadcast back into the
+    * rank rebuild — the scalar never forces a shuffle of the rank table.
+    * The node universe is src ∪ dst (dst-only nodes are the sinks).
+    */
+  def pageRankDanglingMicro(edgesIn: DataFrame, iters: Int): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val withDeg = edges.join(deg, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).sortWithinPartitions(col("id"))
+      .localCheckpoint()
+    // sinks: nodes that never appear as a src
+    val dangling = nodes
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    // one driver-side scalar, computed once (the resolveClusters
+    // convergence-count discipline — a count, not a collect of rows)
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRankDanglingMicro: empty edge set")
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    for (round <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      val share = ranks.join(dangling, Seq("id"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(expr(s"dm div ${nNodes}L").as("sh"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(share)) // 1-row scalar — broadcast, no shuffle
+        .select(col("id"),
+          (lit(150000L) +
+            expr("(coalesce(sc, 0L) + sh) * 85 div 100")).as("r"))
       if (round < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("r").as("rank_micro"))

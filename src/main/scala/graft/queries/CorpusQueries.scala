@@ -649,6 +649,74 @@ object CorpusQueries {
       FROM r$prIters
     """))
 
+  // ---- t71: PageRank with DANGLING sinks (directed link graph) --------
+  //
+  // Real link graphs have sinks — pages with no out-links — which t41's
+  // bidirected construction avoids by design. t71 keeps the trade graph
+  // DIRECTED (customer → supplier only): every supplier is then a
+  // planted sink holding ~15× a customer's in-mass, the worst case for
+  // rank leakage. [[graft.etl.Graph.pageRankDanglingMicro]] collects the
+  // sink mass each round with one scalar aggregation and redistributes
+  // an equal integer share to every node before damping — same
+  // micro-unit math, still bit-exact against the unrolled-CTE oracle.
+  //
+  // Scale: identical per-round shape to t41 (one node-sized shuffle)
+  // plus a broadcast 1-row scalar — the dangling correction never
+  // shuffles the rank table.
+
+  private def prDanglIterSql(k: Int): String = s"""
+      dm$k AS (
+        SELECT coalesce(sum(p.r), 0) AS dm
+        FROM r${k - 1} p JOIN dangl USING (id)),
+      sh$k AS (SELECT dm // nn AS sh FROM dm$k, nc),
+      r$k AS (
+        SELECT n.id,
+               CAST(150000 + (coalesce(c.csum, 0) + s.sh) * 85 // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN (
+          SELECT e.dst AS id, sum(p.r // d.odeg) AS csum
+          FROM edges e
+          JOIN r${k - 1} p ON p.id = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) c USING (id),
+        sh$k s)"""
+
+  private val t71 = Q(
+    "t71_pagerank_dangling",
+    (s, d) => {
+      val eg0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+      // DIRECTED: customers link to suppliers; suppliers are sinks
+      val edges = eg0
+        .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
+      graft.etl.Graph.pageRankDanglingMicro(edges, prIters)
+        .select(col("id").as("node_id"),
+          when(col("id") >= suppOffset, lit("s")).otherwise(lit("c"))
+            .as("node_type"),
+          col("rank_micro"))
+    },
+    Some(s"""
+      WITH eg0 AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (SELECT c AS src, sp + $suppOffset AS dst FROM eg0),
+      deg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY 1),
+      nodes AS (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+      nc AS (SELECT count(*) AS nn FROM nodes),
+      dangl AS (SELECT id FROM nodes
+                WHERE id NOT IN (SELECT src FROM edges)),
+      r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${(1 to prIters).map(prDanglIterSql).mkString(",")}
+      SELECT id AS node_id,
+             CASE WHEN id >= $suppOffset THEN 's' ELSE 'c' END AS node_type,
+             r AS rank_micro
+      FROM r$prIters
+    """))
+
   // ---- t31: per-source corpus datacard --------------------------------
   //
   // The "data card" table every corpus release ships: per source, the
@@ -1362,5 +1430,5 @@ object CorpusQueries {
 
   def all: Seq[Q] =
     Seq(t17, t18, t19, t20, t21, t22, t24, t25, t26, t31, t36, t41, t42,
-      t44, t45, t50, t51, t58, t62, q48, q58)
+      t44, t45, t50, t51, t58, t62, t71, q48, q58)
 }

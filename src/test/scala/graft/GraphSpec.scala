@@ -63,6 +63,37 @@ class GraphSpec extends SparkSpec {
     assert(lss == Seq((7L, 7L)), s"self-pair-only node lost: $lss")
   }
 
+  test("dangling pageRank: sinks keep their mass in the system") {
+    // star with planted sinks: 1..4 each link to sink 10 and hub 11;
+    // 10 and 11 have NO out-edges (dangling). Without redistribution
+    // the sinks would absorb and leak ~all mass toward the teleport
+    // floor; with it total mass stays ≈ N·1e6 up to integer floor loss.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 11L), (2L, 11L), (3L, 11L), (4L, 11L)).toDF("src", "dst")
+    val pr = Graph.pageRankDanglingMicro(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    val n = 6
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L))
+    val total = pr.values.sum
+    // each round loses < 1 micro-unit per node per floor division (three
+    // floors: contribution, share, damping) — bound generously
+    assert(total <= n * 1000000L && total > n * 1000000L - 3 * 3 * n - 100,
+      s"mass not conserved: $total vs ${n * 1000000L}")
+    // symmetric sources tie; sinks receive strictly more than sources
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
+    assert(pr(10L) == pr(11L) && pr(10L) > pr(1L))
+  }
+
+  test("dangling pageRank == pageRankMicro when no node is dangling") {
+    // on a bidirected graph the sink set is empty, dm = 0 and the share
+    // term vanishes — the generalization must reduce to the base operator
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val base = Graph.pageRankMicro(edges, 3).as[(Long, Long)].collect().toSet
+    val gen = Graph.pageRankDanglingMicro(edges, 3).as[(Long, Long)].collect().toSet
+    assert(base == gen)
+  }
+
   test("pageRank round plans exactly one node-sized exchange") {
     // the pre-partitioned+sorted edge/node checkpoints must leave a
     // round's SMJs exchange-free and sort-free: the only shuffle left
