@@ -620,6 +620,133 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream-stream interval join: kill-restart recovers buffered join state") {
+    // The q41/q46 operator under the same durability discipline as the
+    // sessionization restart test: parquet sources (offset log), parquet
+    // sink (manifest commits), checkpointed JOIN state, stop + cold
+    // restart. The load-bearing row is V2: a view consumed BEFORE the
+    // kill whose matching purchase arrives only AFTER the restart — the
+    // pair can only emit if the view buffer was recovered from the
+    // checkpoint, not recomputed (file A is not replayed; the offset log
+    // proves it because a replay would double-emit P1×V1 through the
+    // manifest-committed sink).
+    val vDir = Files.createTempDirectory("ssj_v").toString
+    val pDir = Files.createTempDirectory("ssj_p").toString
+    val outDir = Files.createTempDirectory("ssj_out").toString
+    val ckpt = Files.createTempDirectory("ssj_ck").toString
+    val base = 1700000000L * US
+    def writeViews(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(vDir)
+    def writePurchases(rows: Seq[(Long, Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(pDir)
+    def start() = {
+      val v = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP").parquet(vDir)
+      val p = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(pDir)
+      StreamOps.attributePurchases(v, p, horizon = "6 hours", watermark = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // file A: views V1 (u1) and V2 (u2); purchase P1 (u1) matches V1
+    // in-batch and emits pre-kill; V2's purchase does not exist yet
+    writeViews(Seq((1L, 101L, base), (2L, 102L, base + 10 * MIN)))
+    writePurchases(Seq((1L, 201L, base + 30 * MIN, 5.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill
+    val preKill = spark.read.parquet(outDir)
+      .select(col("purchase_id"), col("view_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(preKill == Seq((201L, 101L)),
+      s"P1xV1 should have emitted pre-kill: $preKill")
+    // file B (post-restart): P2 (u2) — its only admissible view is V2,
+    // which lives in the restored state store
+    writePurchases(Seq((2L, 202L, base + 40 * MIN, 7.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select(col("user_id"), col("purchase_id"), col("view_id"), col("value"))
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      val batch = StreamOps.attributePurchases(
+        Seq((1L, 101L, base), (2L, 102L, base + 10 * MIN))
+          .toDF("user_id", "event_id", "us")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts")),
+        Seq((1L, 201L, base + 30 * MIN, 5.0), (2L, 202L, base + 40 * MIN, 7.0))
+          .toDF("user_id", "event_id", "us", "value")
+          .select(col("user_id"), col("event_id"),
+            timestamp_micros(col("us")).as("ts"), col("value")),
+        horizon = "6 hours", watermark = "1 hour")
+        .select(col("user_id"), col("purchase_id"), col("view_id"), col("value"))
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+      assert(batch.length == 2)
+      assert(got == batch, s"stream-across-restart $got != batch $batch")
+    } finally q2.stop()
+  }
+
+  test("chained stateful distinct-count: kill-restart keeps dedup AND window state") {
+    // q63's chained shape (dropDuplicates feeding a windowed count, two
+    // stateful operators) across a stop + cold restart. Load-bearing
+    // rows: u2 appears BEFORE the kill and again (duplicate) AFTER the
+    // restart — if the dedup state store were lost, the window would
+    // count u2 twice; u3 arrives only after the restart — if the window
+    // aggregation state were lost, the count would miss the pre-kill
+    // users. The window emits once (append mode) when the post-restart
+    // sentinel's watermark closes it.
+    val srcDir = Files.createTempDirectory("dc_src").toString
+    val outDir = Files.createTempDirectory("dc_out").toString
+    val ckpt = Files.createTempDirectory("dc_ck").toString
+    val base = 1700000000L * US
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def start() =
+      StreamOps.distinctUsersStream(
+        spark.readStream.schema("user_id LONG, ts TIMESTAMP").parquet(srcDir),
+        windowDur = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    // file A — all inside one event-hour: u1 twice (in-batch dup), u2
+    writeBatch(Seq((1L, base + 5 * MIN), (1L, base + 10 * MIN),
+      (2L, base + 20 * MIN)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill: window still open
+    assert(spark.read.parquet(outDir).isEmpty,
+      "window must not emit before the watermark closes it")
+    // file B: u2 AGAIN (cross-restart dup), u3 (new); sentinel closes
+    // the window (its own window stays open and never emits)
+    writeBatch(Seq((2L, base + 25 * MIN), (3L, base + 40 * MIN)))
+    writeBatch(Seq((99L, base + 5000 * MIN)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .as[(java.sql.Timestamp, Long)].collect().map(r => (r._1.getTime, r._2)).sorted.toSeq
+      val batch = StreamOps.distinctUsersBatch(
+        Seq((1L, base + 5 * MIN), (1L, base + 10 * MIN), (2L, base + 20 * MIN),
+          (2L, base + 25 * MIN), (3L, base + 40 * MIN))
+          .toDF("user_id", "us")
+          .select(col("user_id"), timestamp_micros(col("us")).as("ts")),
+        windowDur = "1 hour")
+        .as[(java.sql.Timestamp, Long)].collect().map(r => (r._1.getTime, r._2)).sorted.toSeq
+      assert(batch.map(_._2) == Seq(3L)) // u1, u2, u3 — dups collapsed
+      assert(got == batch, s"stream-across-restart $got != batch $batch")
+    } finally q2.stop()
+  }
+
   test("enrichEvents: stream-static join matches batch row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Seq((1L, 10L), (2L, 20L), (3L, 10L))
