@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *      (parallel across buckets, each bucket bounded);
   *   3. bucket totals (one tiny groupBy) get their own exclusive cumsum
   *      — |buckets| = N/bucketW rows, bucketW× smaller; at 100 TB a
-  *      third level (bucket-of-buckets) repeats the same step;
+  *      third level (bucket-of-buckets) repeats the same step — that is
+  *      literally the `levels = 3` RECURSION below (each extra level
+  *      shrinks the single-task window by another bucketW×;
+  *      PrefixSumPropertySpec drives depth 3 at a forced tiny width);
   *   4. broadcast-join the bucket offsets back: off = boff + pre.
   * Net: one bounded window + one broadcast join instead of a global
   * sort through one task.
@@ -26,20 +29,43 @@ object PrefixSum {
   /** Adds `offCol` = exclusive prefix sum of `valueCol` in ascending
     * `orderCol` order. `orderCol` must be unique per row and roughly
     * dense (it defines the fixed-width buckets). Reserves `_psb`/`_psp`.
+    *
+    * `levels` is the decomposition depth: 2 (default) runs the bucket
+    * totals through one global-window cumsum (fine while N/bucketW fits
+    * one task); each extra level re-applies the SAME decomposition to
+    * the bucket-total table, shrinking the final single-task window to
+    * N/bucketW^(levels−1) rows — pick levels so that quantity is
+    * task-sized at your N.
     */
   def exclusive(df: DataFrame, orderCol: String, valueCol: String,
-                offCol: String, bucketW: Long): DataFrame = {
+                offCol: String, bucketW: Long, levels: Int = 2): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    require(bucketW >= 2 || levels == 2,
+      s"bucketW=$bucketW cannot shrink the bucket table — recursion would not terminate")
     val b = df.withColumn("_psb", floor(col(orderCol) / bucketW).cast("long"))
     val wIn = Window.partitionBy(col("_psb")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = b.withColumn("_psp",
       coalesce(sum(col(valueCol)).over(wIn), lit(0L)))
-    val wB = Window.orderBy(col("_psb"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = b.groupBy(col("_psb"))
-      .agg(sum(col(valueCol)).as("_btot"))
-      .withColumn("_boff", coalesce(sum(col("_btot")).over(wB), lit(0L)))
-      .select(col("_psb"), col("_boff"))
+    val totals = b.groupBy(col("_psb")).agg(sum(col(valueCol)).as("_btot"))
+    val offsets =
+      if (levels == 2) {
+        val wB = Window.orderBy(col("_psb"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        totals
+          .withColumn("_boff", coalesce(sum(col("_btot")).over(wB), lit(0L)))
+          .select(col("_psb"), col("_boff"))
+      } else {
+        // bucket-of-buckets: the bucket-total table IS a (sparse, unique
+        // ordered id, value) input — recurse with one level fewer.
+        // Rename around the reserved _psb/_psp so the inner call's
+        // bucketing doesn't collide with this level's columns.
+        // offCol must not be one of the inner call's reserved/dropped
+        // names (_psb/_psp/_boff) — "_psoff" survives its final drop
+        exclusive(totals.select(col("_psb").as("_psid"), col("_btot")),
+          "_psid", "_btot", "_psoff", bucketW, levels - 1)
+          .select(col("_psid").as("_psb"), col("_psoff").as("_boff"))
+      }
     inBucket.join(broadcast(offsets), Seq("_psb"))
       .withColumn(offCol, col("_boff") + col("_psp"))
       .drop("_psb", "_psp", "_boff")

@@ -41,6 +41,27 @@ class PrefixSumPropertySpec extends SparkSpec {
     }
   }
 
+  test("three-level recursion equals the sorted-scan running sum") {
+    // forced tiny width (4): ids up to 500 → ~125 buckets → ~32
+    // super-buckets, so the depth-3 path genuinely recurses instead of
+    // degenerating to one bucket per level
+    val cases = Gen.listOfN(10, rowsGen)
+      .apply(Gen.Parameters.default, Seed(13L)).get
+    cases.foreach { rows =>
+      val df = rows.toDF("id", "v")
+      (2 to 4).foreach { levels =>
+        val got = PrefixSum.exclusive(df, "id", "v", "off", 4L, levels)
+          .select(col("id"), col("off")).as[(Long, Long)].collect().toMap
+        assert(got == refOffsets(rows), s"levels=$levels rows=$rows")
+      }
+      // width 1 with levels > 2 must refuse (the bucket table never
+      // shrinks — the recursion would never terminate)
+      assertThrows[IllegalArgumentException] {
+        PrefixSum.exclusive(df, "id", "v", "off", 1L, 3)
+      }
+    }
+  }
+
   test("exclusiveBy() equals the sorted-scan running sum under a coarsened order") {
     val cases = Gen.listOfN(8, rowsGen)
       .apply(Gen.Parameters.default, Seed(12L)).get
