@@ -54,10 +54,13 @@ def main():
             con.sql(sql).fetchall()
             per[name] = round(time.time() - t0, 4)
         except Exception as e:
-            # classify by elapsed time, not just the flag: a genuine
-            # failure raised moments after the timer fires must not be
-            # laundered into a "timeout"
-            if interrupted[0] and time.time() - t0 >= 0.9 * timeout:
+            # classify by exception TYPE: our timer is the only caller of
+            # con.interrupt(), so InterruptException with the flag set is a
+            # timeout; any OTHER exception is a genuine failure even if it
+            # surfaced after the timer fired (an elapsed-time guard here
+            # would be dead code — the flag only sets once `timeout`
+            # seconds have already passed)
+            if interrupted[0] and isinstance(e, duckdb.InterruptException):
                 per[name] = "timeout"
                 timeouts.append(name)
             else:

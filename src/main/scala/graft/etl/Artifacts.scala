@@ -20,21 +20,46 @@ object Artifacts {
     */
   private val lock = new Object
 
+  /** Run `body` holding the artifact build lock — for callers that must
+    * scope a SESSION-GLOBAL conf around a build (Tables.events' legacy
+    * nanos conf): holding the lock serializes the conf window against
+    * every other artifact build. Reentrant (same monitor as [[shared]]),
+    * so `body` may itself call `shared`. Note the remaining assumption:
+    * a concurrent NON-artifact query reading a TIMESTAMP(NANOS) parquet
+    * during the window would still see the legacy conf — the sequential
+    * Verify/Bench/Cli drivers never do that.
+    */
+  def locked[T](body: => T): T = lock.synchronized(body)
+
+  /** Thread-scoped cache-key salt (see [[withSalt]]). */
+  private val saltLocal = new ThreadLocal[String]
+
+  /** Run `body` with the artifact cache key salted by `salt` on THIS
+    * thread — for tests that must force a REBUILD under a different
+    * session configuration (AqeParitySpec salts each leg so
+    * artifact-building subtrees actually execute under both AQE modes
+    * instead of the second leg silently reading the first leg's
+    * parquet). Thread-local, so a parallel suite's `shared` calls can
+    * never observe another thread's salt — the JVM-global system
+    * property this replaced could leak across suites.
+    */
+  def withSalt[T](salt: String)(body: => T): T = {
+    val old = saltLocal.get()
+    saltLocal.set(salt)
+    try body
+    finally if (old == null) saltLocal.remove() else saltLocal.set(old)
+  }
+
   /** Cache key = collision-free digest of the dataset path (an Int
     * hashCode can collide across paths within one process) + pid
-    * (cross-process isolation) + tag + an optional salt (system
-    * property `graft.artifacts.salt`). The salt exists for tests that
-    * must force a REBUILD under a different session configuration —
-    * AqeParitySpec salts each leg so artifact-building subtrees
-    * actually execute under both AQE modes instead of the second leg
-    * silently reading the first leg's parquet.
+    * (cross-process isolation) + tag + the optional [[withSalt]] salt.
     */
   def shared(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    val salt = Option(System.getProperty("graft.artifacts.salt"))
+    val salt = Option(saltLocal.get())
       .filter(_.nonEmpty).map("_" + _).getOrElse("")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"${digest}_${ProcessHandle.current().pid()}$salt"

@@ -352,10 +352,13 @@ object Dedup {
     // [a,b] vs [b,a] must land in the SAME collapse group. Callers
     // passing already-distinct arrays (the shingle builders) pay one
     // cheap per-row pass.
-    // Persist lifetime note: the three persisted frames back the
-    // returned (lazy) DataFrame, so they cannot be unpersisted here;
-    // callers running many ppJoins in one session should clearCache
-    // between them (the Bench/Verify harness hygiene).
+    // Persist lifetime is SELF-CONTAINED: the returned pair set is
+    // eagerly materialized (localCheckpoint) and the three intermediate
+    // persists are released before returning, so long-lived sessions
+    // (Cli, notebooks) calling this repeatedly don't accumulate cache
+    // blocks until memory pressure evicts them. The eager materialize is
+    // the cost a caller of an inherently-multi-pass operator pays anyway
+    // (at cluster scale: a checkpoint to storage, same shape).
     val rows = base.select(col(idCol).as("_oid"),
         array_sort(array_distinct(col(shCol))).as("_osh"))
       .filter(size(col("_osh")) > 0)
@@ -417,6 +420,8 @@ object Dedup {
       .select(least(col("_ida"), col("_idb")).as("a"),
         greatest(col("_ida"), col("_idb")).as("b"),
         col("inter_n"), col("union_n"))
-    cross.unionAll(intra)
+    val out = cross.unionAll(intra).localCheckpoint()
+    rows.unpersist(false); groups.unpersist(false); memb.unpersist(false)
+    out
   }
 }

@@ -99,18 +99,25 @@ object Tables {
     // SCOPED to that build (set/restore): leaving it on would silently
     // change every later TIMESTAMP(NANOS) parquet read in the session
     // to raw longs — action-at-a-distance on unrelated sources.
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try
-      Artifacts.shared(spark, d, "split_events") {
-        eventsRaw(spark, d).repartition(
-          spark.sparkContext.defaultParallelism,
-          org.apache.spark.sql.functions.col("user_id"))
+    // Artifacts.locked: the set/build/restore window is serialized
+    // against every other artifact build, so a concurrent query that
+    // triggers another Artifacts.shared cannot run inside the legacy-conf
+    // window (the residual sequential-driver assumption is documented at
+    // Artifacts.locked).
+    Artifacts.locked {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        Artifacts.shared(spark, d, "split_events") {
+          eventsRaw(spark, d).repartition(
+            spark.sparkContext.defaultParallelism,
+            org.apache.spark.sql.functions.col("user_id"))
+        }
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
       }
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
   }
 

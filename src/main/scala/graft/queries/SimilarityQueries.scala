@@ -2570,14 +2570,22 @@ object SimilarityQueries {
       val rel = knnBrute(s, d)
         .select(col("qid"), col("cid"), (lit(k + 1) - col("rnk")).as("rel"))
       val wArr = array(ndcgW.map(lit): _*)
-      knnLsh(s, d).select(col("qid"), col("cid"), col("rnk"))
+      val dcg = knnLsh(s, d).select(col("qid"), col("cid"), col("rnk"))
         .join(rel, Seq("qid", "cid"), "left")
         .select(col("qid"),
           (coalesce(col("rel"), lit(0L)) * element_at(wArr, col("rnk")))
             .as("g"))
-        .groupBy(col("qid")).agg(sum(col("g")).as("dcg_micro"))
-        .select(col("qid"), col("dcg_micro"),
-          expr(s"(1000 * dcg_micro) div $ndcgIdcg").as("ndcg_pm"))
+        .groupBy(col("qid")).agg(sum(col("g")).as("_dcg"))
+      // anchor universe = the EXACT side (every anchor has k exact rows
+      // by construction): a query whose LSH search returned zero
+      // candidates must still appear, as ndcg_pm = 0 — basing the output
+      // on the approximate side would silently drop total-miss queries
+      // and the audit would under-report exactly its worst case
+      rel.select(col("qid")).distinct()
+        .join(dcg, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("_dcg"), lit(0L)).as("dcg_micro"),
+          expr(s"(1000 * coalesce(_dcg, 0L)) div $ndcgIdcg").as("ndcg_pm"))
     },
     Some(s"""
       WITH $normalizedSql,
@@ -2603,10 +2611,13 @@ object SimilarityQueries {
       g AS (SELECT ap.qid,
                    coalesce(rel.rel, 0) *
                      ([${ndcgW.mkString(", ")}])[ap.rnk] AS g
-            FROM ap LEFT JOIN rel USING (qid, cid))
-      SELECT qid, CAST(sum(g) AS BIGINT) AS dcg_micro,
-             CAST((1000 * sum(g)) // $ndcgIdcg AS BIGINT) AS ndcg_pm
-      FROM g GROUP BY 1
+            FROM ap LEFT JOIN rel USING (qid, cid)),
+      gagg AS (SELECT qid, sum(g) AS sg FROM g GROUP BY 1),
+      qs AS (SELECT DISTINCT qid FROM rel)
+      SELECT qs.qid,
+             CAST(coalesce(sg, 0) AS BIGINT) AS dcg_micro,
+             CAST((1000 * coalesce(sg, 0)) // $ndcgIdcg AS BIGINT) AS ndcg_pm
+      FROM qs LEFT JOIN gagg USING (qid)
     """))
 
   def all: Seq[Q] =

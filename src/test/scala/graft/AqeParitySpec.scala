@@ -53,10 +53,8 @@ class AqeParitySpec extends SparkSpec {
     // pid-scoped filesystem LAYOUT fixtures — fan-out dirs, bucketed
     // tables, ORC copies — still build once; they are input fabrication,
     // and the query logic over them runs under both modes.)
-    def withSalt[T](salt: String)(body: => T): T = {
-      System.setProperty("graft.artifacts.salt", salt)
-      try body finally System.clearProperty("graft.artifacts.salt")
-    }
+    def withSalt[T](salt: String)(body: => T): T =
+      graft.etl.Artifacts.withSalt(salt)(body)
     val failures = Registry.all.map(_.name).sorted.flatMap { name =>
       val fn = Registry.queries(name)
       val r =
