@@ -16,6 +16,11 @@ final case class ImageFeatures(
     doc_id: Long, width: Int, height: Int, n_pix: Int,
     sum_gray: Long, min_gray: Int, max_gray: Int, px_hex: String)
 
+/** Decoded 3-channel features (BGR raster interleave). */
+final case class RgbFeatures(
+    doc_id: Long, width: Int, height: Int, n_pix: Int,
+    sum_b: Long, sum_g: Long, sum_r: Long, px_hex: String)
+
 /** Real JDK-only image codec pipeline for multimodal (binary) columns.
   *
   * The decode/resize kernels are REAL: PNG encode/decode via
@@ -116,6 +121,74 @@ object MediaDecode {
     }.toDF()
   }
 
+  /** Encode a 3-channel raster (row-major, raster-native BGR interleave —
+    * `TYPE_3BYTE_BGR`'s data layout) as PNG. The oracle treats the bytes
+    * as an opaque interleaved sequence, so the channel ORDER is part of
+    * the declared contract, not a hidden codec detail.
+    */
+  def encodePngRgb(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == 3 * w * h, s"raster ${px.length} != 3*${w}x$h")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a color PNG to (width, height, BGR-interleaved raster). */
+  def decodePngRgb(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "ImageIO could not decode payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bgr =
+      if (img.getType == BufferedImage.TYPE_3BYTE_BGR) img
+      else {
+        val g = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val gr = g.createGraphics(); gr.drawImage(img, 0, 0, null); gr.dispose()
+        g
+      }
+    val px = new Array[Byte](3 * w * h)
+    bgr.getRaster.getDataElements(0, 0, w, h, px)
+    (w, h, px)
+  }
+
+  /** Deterministic synthetic 3-channel raster (BGR interleave), integer
+    * formula of doc_id — the RGB twin of [[syntheticRaster]] (different
+    * stride constant so the two corpora differ).
+    */
+  def syntheticRasterRgb(id: Long): (Int, Int, Array[Byte]) = {
+    val seed = (id % 239).toInt
+    val w = (2 * ((id % 5) + 2)).toInt
+    val h = (2 * (((id / 5) % 5) + 2)).toInt
+    (w, h, Array.tabulate(3 * w * h)(i => ((seed + i * 23) % 256).toByte))
+  }
+
+  /** doc_id column → (doc_id, media: real RGB PNG bytes). */
+  def syntheticRgbPngs(spark: SparkSession, ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { id =>
+          val (w, h, px) = syntheticRasterRgb(id)
+          MediaRecord(id, encodePngRgb(w, h, px))
+        }
+      }
+    }.toDF()
+  }
+
+  /** Exact integer ITU-R BT.601 luma of one BGR pixel triple:
+    * `(299·R + 587·G + 114·B) div 1000` — floor division, engine-exact.
+    */
+  def lumaOf(b: Int, g: Int, r: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** BGR raster → gray raster via [[lumaOf]] (OUR kernel, not ImageIO's
+    * internal color convert, precisely so a SQL oracle can mirror it).
+    */
+  def toGray(px: Array[Byte]): Array[Byte] =
+    Array.tabulate(px.length / 3) { p =>
+      lumaOf(px(3 * p) & 0xff, px(3 * p + 1) & 0xff, px(3 * p + 2) & 0xff).toByte
+    }
+
   private def hexOf(px: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(px.length * 2)
     px.foreach(b => sb.append(f"${b & 0xff}%02x"))
@@ -148,6 +221,50 @@ object MediaDecode {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch decoder init would go here (codec/model handle)
         batch.iterator.map(r => features(r.doc_id, r.media))
+      }
+    })
+  }
+
+  /** (doc_id, media: color PNG) → per-channel decoded statistics.
+    * Channel c of pixel p is raster byte 3p+c (BGR interleave — the
+    * declared layout of [[encodePngRgb]]).
+    */
+  def decodeRgbPipeline(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val feats = media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, px) = decodePngRgb(r.media)
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+          RgbFeatures(r.doc_id, w, h, w * h,
+            sums(0), sums(1), sums(2), hexOf(px))
+        }
+      }
+    }
+    feats.toDF().select(col("doc_id"), col("width"), col("height"),
+      col("n_pix"),
+      round(col("sum_b") / (col("n_pix") * 255.0), 6).as("mean_b"),
+      round(col("sum_g") / (col("n_pix") * 255.0), 6).as("mean_g"),
+      round(col("sum_r") / (col("n_pix") * 255.0), 6).as("mean_r"),
+      md5(col("px_hex")).as("px_md5"))
+  }
+
+  /** (doc_id, media: color PNG) → decode, OUR integer-luma grayscale
+    * conversion ([[toGray]]), re-encode as gray PNG, decode again,
+    * grayscale feature stats — the color-transform kernel slot of a
+    * real preprocessing pipeline, with every step either lossless or
+    * integer-exact so the oracle predicts the output bytes.
+    */
+  def grayscalePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (w, h, px) = decodePngRgb(r.media)
+          features(r.doc_id, encodePngGray(w, h, toGray(px)))
+        }
       }
     })
   }

@@ -190,6 +190,85 @@ object MultimodalQueries {
       FROM r
     """))
 
+  // ---- m12: REAL 3-channel PNG decode → per-channel features ---------
+  //
+  // The color twin of m03: a deterministic BGR-interleaved raster per
+  // doc, REALLY encoded/decoded through ImageIO color PNG
+  // (TYPE_3BYTE_BGR — round-trip byte-lossless, MediaDecodeSpec-pinned),
+  // reporting per-channel means + the raster checksum. Channel c of
+  // pixel p is raster byte 3p+c; that interleave is the declared
+  // contract the oracle mirrors. Zero shuffles, same batch loop.
+
+  /** doc_id → (seed, even dims) mirror of
+    * [[graft.etl.MediaDecode.syntheticRasterRgb]].
+    */
+  private val rgbCte = """
+      m AS (SELECT doc_id,
+                   CAST(doc_id % 239 AS BIGINT) AS seed,
+                   CAST(2*((doc_id % 5) + 2) AS BIGINT) AS w,
+                   CAST(2*(((doc_id // 5) % 5) + 2) AS BIGINT) AS h
+            FROM documents)"""
+
+  private def rgbMedia(s: SparkSession, d: String): DataFrame =
+    graft.etl.MediaDecode.syntheticRgbPngs(s,
+      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+        .select(col("doc_id")))
+
+  private def chMeanSql(c: Int): String =
+    s"round(list_sum(list_transform(range(0, w*h), p -> px[3*p + ${c + 1}])) / (w*h*255.0), 6)"
+
+  private val m12 = Q(
+    "m12_decode_rgb",
+    (s, d) => graft.etl.MediaDecode.decodeRgbPipeline(s, rgbMedia(s, d)),
+    Some(s"""
+      WITH $rgbCte,
+      p AS (SELECT doc_id, w, h,
+                   list_transform(range(0, 3*w*h), i -> (seed + i*23) % 256) AS px
+            FROM m)
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(w*h AS INTEGER) AS n_pix,
+             ${chMeanSql(0)} AS mean_b,
+             ${chMeanSql(1)} AS mean_g,
+             ${chMeanSql(2)} AS mean_r,
+             md5(array_to_string(list_transform(px, v -> printf('%02x', v)), '')) AS px_md5
+      FROM p
+    """))
+
+  // ---- m13: RGB → grayscale conversion kernel (integer BT.601 luma) --
+  //
+  // The color-transform slot of a real preprocessing pipeline: decode
+  // the color PNG, convert with OUR exact integer luma
+  // ((299·R + 587·G + 114·B) div 1000 — not ImageIO's internal color
+  // convert, precisely so the oracle can mirror it), re-encode as gray
+  // PNG, decode again, report gray stats. Every step is lossless or
+  // integer-exact, so the oracle predicts the final bytes end-to-end
+  // through two real encode/decode passes.
+
+  private val m13 = Q(
+    "m13_rgb_to_gray",
+    (s, d) => graft.etl.MediaDecode.grayscalePipeline(s, rgbMedia(s, d)),
+    Some(s"""
+      WITH $rgbCte,
+      p AS (SELECT doc_id, w, h,
+                   list_transform(range(0, 3*w*h), i -> (seed + i*23) % 256) AS px
+            FROM m),
+      g AS (SELECT doc_id, w, h,
+                   list_transform(range(0, w*h),
+                     p2 -> (299*px[3*p2 + 3] + 587*px[3*p2 + 2] + 114*px[3*p2 + 1]) // 1000) AS gpx
+            FROM p)
+      SELECT doc_id,
+             CAST(w AS INTEGER) AS width,
+             CAST(h AS INTEGER) AS height,
+             CAST(w*h AS INTEGER) AS n_pix,
+             round(list_sum(gpx) / (w*h*255.0), 6) AS mean_gray,
+             CAST(list_min(gpx) AS INTEGER) AS min_gray,
+             CAST(list_max(gpx) AS INTEGER) AS max_gray,
+             md5(array_to_string(list_transform(gpx, v -> printf('%02x', v)), '')) AS px_md5
+      FROM g
+    """))
+
   // ---- m05: payload block chunking ------------------------------------
   // Split each binary payload into fixed 16-byte blocks with a per-block
   // checksum — the content-addressed chunking an object store / dedup
@@ -594,5 +673,6 @@ object MultimodalQueries {
       FROM o GROUP BY 1
     """))
 
-  def all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  def all: Seq[Q] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 }

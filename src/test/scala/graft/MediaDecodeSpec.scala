@@ -41,6 +41,35 @@ class MediaDecodeSpec extends SparkSpec {
     }
   }
 
+  test("RGB PNG encode -> decode is bit-lossless on the BGR raster") {
+    val (w, h) = (6, 4)
+    val px = Array.tabulate(3 * w * h)(i => ((13 + i * 23) % 256).toByte)
+    val png = MediaDecode.encodePngRgb(w, h, px)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val (rw, rh, back) = MediaDecode.decodePngRgb(png)
+    assert(rw == w && rh == h && back.toSeq == px.toSeq)
+  }
+
+  test("integer luma kernel matches the declared formula, end to end") {
+    assert(MediaDecode.lumaOf(0, 0, 0) == 0)
+    assert(MediaDecode.lumaOf(255, 255, 255) == 255)
+    assert(MediaDecode.lumaOf(100, 50, 200) == // B=100 G=50 R=200
+      (299 * 200 + 587 * 50 + 114 * 100) / 1000)
+    val ids = Seq(3L, 14L, 159L).toDF("doc_id")
+    val gray = MediaDecode.grayscalePipeline(
+      spark, MediaDecode.syntheticRgbPngs(spark, ids))
+      .orderBy("doc_id").collect()
+    gray.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MediaDecode.syntheticRasterRgb(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val g = MediaDecode.toGray(px).map(_ & 0xff)
+      assert(r.getInt(5) == g.min && r.getInt(6) == g.max)
+      val sum = g.map(_.toLong).sum
+      assert(r.getDouble(4) == math.rint(sum / (w * h * 255.0) * 1e6) / 1e6)
+    }
+  }
+
   test("syntheticRaster -> pipelines match formula-predicted features") {
     val ids = Seq(0L, 1L, 7L, 41L, 250L, 251L, 997L).toDF("doc_id")
     val media = MediaDecode.syntheticPngs(spark, ids)
