@@ -59,7 +59,11 @@ object Dedup {
         col("band.bh").as("bh")): _*)
   }
 
-  /** Drop band rows in buckets hotter than `maxBucket`. */
+  /** Drop band rows in buckets hotter than `maxBucket` — the bounded but
+    * recall-losing guard (a doc whose every band is hot escapes
+    * detection); [[splitCandidates]] is the recall-preserving
+    * alternative.
+    */
   private def capped(bands: DataFrame, maxBucket: Int): DataFrame =
     bands
       .withColumn("_n", count(lit(1)).over(
