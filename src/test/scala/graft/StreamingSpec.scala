@@ -694,6 +694,75 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("outer interval join: unmatched purchase emits exactly once across restart") {
+    // q46's right_outer leg under the restart protocol: an unmatched
+    // purchase consumed BEFORE the kill may only emit its null-view row
+    // once the watermark proves no in-horizon view can still arrive —
+    // which happens AFTER the restart here. The recovered state must
+    // (a) still hold the purchase, (b) still hold the pre-kill
+    // watermark (emitting early would be wrong; losing the row, worse),
+    // and (c) emit it exactly once when the post-restart sentinel
+    // advances the watermark past purchase_ts + horizon.
+    val vDir = Files.createTempDirectory("osj_v").toString
+    val pDir = Files.createTempDirectory("osj_p").toString
+    val outDir = Files.createTempDirectory("osj_out").toString
+    val ckpt = Files.createTempDirectory("osj_ck").toString
+    val base = 1700000000L * US
+    def writeViews(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(vDir)
+    def writePurchases(rows: Seq[(Long, Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "event_id", "us", "value")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(pDir)
+    def start() = {
+      val v = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP").parquet(vDir)
+      val p = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE")
+        .parquet(pDir)
+      StreamOps.attributePurchases(v, p,
+        horizon = "1 hour", watermark = "30 minutes", joinType = "right_outer")
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // pre-kill: matched pair (V1, P1) for u1; UNMATCHED purchase P2 for
+    // u2; view sentinel nudges the view-side watermark forward but not
+    // past P2's horizon, so P2 must stay pending across the kill
+    writeViews(Seq((1L, 101L, base), (97L, 900L, base + 30 * MIN)))
+    writePurchases(Seq((1L, 201L, base + 10 * MIN, 5.0),
+      (2L, 202L, base + 20 * MIN, 7.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // kill
+    val preKill = spark.read.parquet(outDir)
+      .filter(col("user_id") < 90)
+      .select(col("purchase_id"), col("view_id"))
+      .as[(Long, java.lang.Long)].collect().toSeq
+    assert(preKill == Seq((201L, java.lang.Long.valueOf(101L))),
+      s"only the matched pair may emit pre-kill: $preKill")
+    // post-restart: sentinels on BOTH sides push the joint watermark
+    // past P2's ts + horizon -> the outer row must emit, exactly once
+    writeViews(Seq((98L, 901L, base + 500 * MIN)))
+    writePurchases(Seq((99L, 299L, base + 500 * MIN, 0.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .filter(col("user_id") < 90)
+        .select(col("user_id"), col("purchase_id"), col("view_id"))
+        .as[(Long, Long, java.lang.Long)].collect().sortBy(_._2).toSeq
+      assert(got == Seq(
+        (1L, 201L, java.lang.Long.valueOf(101L)),
+        (2L, 202L, null: java.lang.Long)),
+        s"outer row must emit exactly once with null view: $got")
+    } finally q2.stop()
+  }
+
   test("chained stateful distinct-count: kill-restart keeps dedup AND window state") {
     // q63's chained shape (dropDuplicates feeding a windowed count, two
     // stateful operators) across a stop + cold restart. Load-bearing
