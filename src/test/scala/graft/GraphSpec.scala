@@ -94,6 +94,25 @@ class GraphSpec extends SparkSpec {
     assert(base == gen)
   }
 
+  test("dangling pageRank round never re-shuffles the edge table") {
+    // same discipline as the base operator's one-exchange pin, relaxed
+    // for the two O(1)-output additions (the dangling-mass scalar agg
+    // plans a SinglePartition exchange of partial sums; the share joins
+    // back as a broadcast, never a hash exchange): the EDGE-sized table
+    // must still satisfy its SMJ from the pre-partitioned checkpoint.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    import s.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (11L, 2L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRankDanglingMicro(edges, 2)
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"edge side of the round join re-shuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar share must broadcast, not cartesian:\n$plan")
+  }
+
   test("pageRank round plans exactly one node-sized exchange") {
     // the pre-partitioned+sorted edge/node checkpoints must leave a
     // round's SMJs exchange-free and sort-free: the only shuffle left
