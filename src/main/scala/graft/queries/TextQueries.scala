@@ -2821,12 +2821,17 @@ object TextQueries {
   // SALTED hash order → each band re-shuffles the bucket independently)
   // joined within + across adjacent sub-buckets — O(n·maxBucket)
   // bounded work, ZERO dropped rows. The cap here is deliberately small
-  // (6, vs t06's 20) so the split path genuinely engages at bench scale
-  // (the doubled corpus makes every bucket ≥ 2 rows; boilerplate bands
-  // go far hotter). DedupSplitSpec plants a hot cluster where the drop
-  // cap finds NOTHING and the split finds every member.
+  // (3, vs t06's 20) so the split path GENUINELY engages at every
+  // tested scale: the doubled corpus makes bucket sizes even (each doc
+  // has a twin with an identical signature), and measured bucket
+  // histograms put 240/244/2548 band rows in >3-buckets at
+  // sf0.001/0.01/0.1 — with a larger cap the operator would be
+  // hash-pinned but never actually split anything at the correctness
+  // scale. DedupSplitSpec plants a hot cluster where the drop cap
+  // finds NOTHING and the split finds every member; t72 hashes the
+  // capped-⊆-split candidate algebra on this corpus.
 
-  private val splitMaxBucket = 6
+  private val splitMaxBucket = 3
 
   private val t70 = Q(
     "t70_lsh_hot_split",
@@ -2845,9 +2850,100 @@ object TextQueries {
     Some(lshSplitPairsSql(tokenLshBaseSql, k = 15, numBands = 3,
       rowsPerBand = 5, maxBucket = splitMaxBucket, threshold = 0.8)))
 
+  // ---- t72: drop-cap vs split recall audit (candidate-set algebra) ----
+  //
+  // The e09/e13 discipline applied to the hot-bucket strategy choice:
+  // at EQUAL maxBucket the drop cap's candidate set is provably a
+  // subset of the split's (cold buckets produce identical pairs; hot
+  // buckets produce nothing vs something), and this entry makes that
+  // claim a HASHED integer fact — capped count, split count, their
+  // intersection, and the subset invariant as a boolean column. The
+  // gap (n_split − n_capped) is exactly the recall the cap silently
+  // forfeits on this corpus. Candidates are audited pre-verify: the
+  // Jaccard gate is a deterministic per-pair filter, so the subset
+  // relation is decided here.
+
+  private val t72 = Q(
+    "t72_hot_split_audit",
+    (s, d) => {
+      val base = doubledCorpus(s, d)
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"),
+          Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      // both candidate joins read the one signature matrix
+      val sig = Dedup.minhashSignatures(base, "doc_id", "sh", 15)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cap = Dedup.bandCandidates(sig, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
+        .withColumn("in_cap", lit(1L))
+      val split = Dedup.splitCandidates(sig, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
+        .withColumn("in_split", lit(1L))
+      cap.join(split, Seq("a", "b"), "full_outer")
+        .agg(
+          coalesce(sum(col("in_cap")), lit(0L)).as("n_capped"),
+          coalesce(sum(col("in_split")), lit(0L)).as("n_split"),
+          coalesce(sum(col("in_cap") * col("in_split")), lit(0L)).as("n_common"))
+        .select(col("n_capped"), col("n_split"), col("n_common"),
+          (col("n_common") === col("n_capped")).as("subset_ok"))
+    },
+    Some {
+      val consts = Portable.minhashConsts(15)
+      val minCols = (0 until 15)
+        .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
+        .mkString(",\n               ")
+      val bandRows = (0 until 3).map { b =>
+        val ms = (b * 5 until (b + 1) * 5).map(i => s"m$i").mkString("||'|'||")
+        s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH ix AS ($tokenLshBaseSql),
+      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
+             FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
+      sig AS (SELECT doc_id,
+               $minCols
+              FROM ex GROUP BY doc_id),
+      band AS (
+        $bandRows),
+      bandn AS (
+        SELECT doc_id, bidx, bh,
+               count(*) OVER (PARTITION BY bidx, bh) AS n,
+               CAST(floor((row_number() OVER (PARTITION BY bidx, bh
+                      ORDER BY ${hSql("doc_id || '#' || bidx", 77)}, doc_id) - 1)
+                    / $splitMaxBucket) AS BIGINT) AS sub
+        FROM band),
+      capc AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bandn x JOIN bandn y
+          ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id
+        WHERE x.n <= $splitMaxBucket AND y.n <= $splitMaxBucket),
+      keyed AS (
+        SELECT doc_id, bidx, bh,
+               unnest(CASE WHEN n > $splitMaxBucket THEN [sub, sub + 1]
+                           ELSE [sub] END) AS k
+        FROM bandn),
+      splc AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM keyed x JOIN keyed y
+          ON x.bidx = y.bidx AND x.bh = y.bh AND x.k = y.k
+             AND x.doc_id < y.doc_id),
+      j AS (
+        SELECT coalesce(c.a, s.a) AS a, coalesce(c.b, s.b) AS b,
+               CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS in_cap,
+               CASE WHEN s.a IS NULL THEN 0 ELSE 1 END AS in_split
+        FROM capc c FULL OUTER JOIN splc s ON c.a = s.a AND c.b = s.b)
+      SELECT CAST(sum(in_cap) AS BIGINT) AS n_capped,
+             CAST(sum(in_split) AS BIGINT) AS n_split,
+             CAST(sum(in_cap * in_split) AS BIGINT) AS n_common,
+             sum(in_cap * in_split) = sum(in_cap) AS subset_ok
+      FROM j
+      """
+    })
+
   def all: Seq[Q] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69, t70)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72)
 }
