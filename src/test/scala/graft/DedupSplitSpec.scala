@@ -66,6 +66,28 @@ class DedupSplitSpec extends SparkSpec {
     assert(split.contains((100L, 101L)))
   }
 
+  test("capped candidates are ALWAYS a subset of split candidates (t72's invariant)") {
+    // random shingle sets with forced collisions + a planted hot cluster,
+    // across cap widths: cold buckets produce identical pairs in both
+    // strategies, hot buckets produce nothing under the cap — so
+    // capped ⊆ split must hold everywhere, which is what t72 hashes
+    val rnd = new scala.util.Random(7)
+    val docs = ((1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(4)
+      (id, Seq.fill(n)(s"w${rnd.nextInt(12)}").distinct)
+    } ++ (100L to 109L).map(id => (id, Seq("h_a", "h_b", "h_c"))))
+      .filter(_._2.nonEmpty).toDF("doc_id", "sh")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "sh", k)
+    Seq(2, 4, 8).foreach { mb =>
+      val cap = Dedup.bandCandidates(sig, "doc_id", bands, rows, mb)
+        .as[(Long, Long)].collect().toSet
+      val split = Dedup.splitCandidates(sig, "doc_id", bands, rows, mb)
+        .as[(Long, Long)].collect().toSet
+      assert(cap.subsetOf(split),
+        s"maxBucket=$mb: capped pairs escaped the split: ${cap -- split}")
+    }
+  }
+
   test("split is deterministic across runs (hash order, no RNG)") {
     val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
     val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
