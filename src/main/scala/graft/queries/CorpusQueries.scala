@@ -615,13 +615,24 @@ object CorpusQueries {
         JOIN deg d ON d.src = e.src
         GROUP BY n.id)"""
 
-  private val t41 = Q(
-    "t41_graph_pagerank",
-    (s, d) => {
-      val eg0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+  /** Distinct (customer, supplier) trade pairs — the edge base BOTH
+    * PageRank entries derive their graphs from, materialized once
+    * (`Artifacts.shared`): the orders⋈lineitem distinct is the
+    * expensive part of graph construction and a production pipeline
+    * checkpoints its edge list, not each consumer's rebuild of it.
+    */
+  private def tradePairs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "tradepairs") {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
+    }
+
+  private val t41 = Q(
+    "t41_graph_pagerank",
+    (s, d) => {
+      val eg0 = tradePairs(s, d)
       val edges = eg0
         .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
         .unionAll(eg0
@@ -685,12 +696,10 @@ object CorpusQueries {
   private val t71 = Q(
     "t71_pagerank_dangling",
     (s, d) => {
-      val eg0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp")).distinct()
-      // DIRECTED: customers link to suppliers; suppliers are sinks
-      val edges = eg0
+      // DIRECTED: customers link to suppliers; suppliers are sinks.
+      // Edge base read from the shared tradePairs checkpoint (built
+      // once for t41 + t71).
+      val edges = tradePairs(s, d)
         .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
       graft.etl.Graph.pageRankDanglingMicro(edges, prIters)
         .select(col("id").as("node_id"),

@@ -137,10 +137,19 @@ object MultimodalQueries {
                    CAST(2*(((doc_id // 7) % 6) + 2) AS BIGINT) AS h
             FROM documents)"""
 
+  /** The gray PNG corpus, fabricated (real ImageIO encode) ONCE per
+    * (dataset, process) and stored as a binary-column parquet artifact —
+    * m03 and m04 both read it, which is exactly the production shape: a
+    * media corpus is a stored table, not something each query
+    * re-fabricates. Column pruning keeps the blobs out of any query
+    * that doesn't touch them.
+    */
   private def pngMedia(s: SparkSession, d: String): DataFrame =
-    graft.etl.MediaDecode.syntheticPngs(s,
-      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
-        .select(col("doc_id")))
+    graft.etl.Artifacts.shared(s, d, "png_gray") {
+      graft.etl.MediaDecode.syntheticPngs(s,
+        graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+          .select(col("doc_id")))
+    }
 
   private val m03 = Q(
     "m03_decode_features",
@@ -209,10 +218,15 @@ object MultimodalQueries {
                    CAST(2*(((doc_id // 5) % 5) + 2) AS BIGINT) AS h
             FROM documents)"""
 
+  /** RGB PNG corpus artifact — same stored-table contract as
+    * [[pngMedia]], shared by m12 + m13.
+    */
   private def rgbMedia(s: SparkSession, d: String): DataFrame =
-    graft.etl.MediaDecode.syntheticRgbPngs(s,
-      graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
-        .select(col("doc_id")))
+    graft.etl.Artifacts.shared(s, d, "png_rgb") {
+      graft.etl.MediaDecode.syntheticRgbPngs(s,
+        graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+          .select(col("doc_id")))
+    }
 
   private def chMeanSql(c: Int): String =
     s"round(list_sum(list_transform(range(0, w*h), p -> px[3*p + ${c + 1}])) / (w*h*255.0), 6)"

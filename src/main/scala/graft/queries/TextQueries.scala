@@ -2833,6 +2833,24 @@ object TextQueries {
 
   private val splitMaxBucket = 3
 
+  /** The token-shingle signature matrix, materialized once and shared by
+    * t70 (split pair pipeline) and t72 (strategy audit) — the
+    * checkpoint-the-expensive-stage contract one level up from
+    * [[sharedTokenLshPairs]]: both consumers run DIFFERENT candidate
+    * strategies over the SAME signatures, so the signatures are the
+    * artifact, not the pairs.
+    */
+  private def sharedSplitSignatures(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "splitsig") {
+      Dedup.minhashSignatures(
+        doubledCorpus(s, d)
+          .withColumn("_toks", TA.tokens(col("text")))
+          .select(col("doc_id"),
+            Portable.tokenShingles(col("_toks"), 3).as("sh"))
+          .filter(size(col("sh")) > 0),
+        "doc_id", "sh", 15)
+    }
+
   private val t70 = Q(
     "t70_lsh_hot_split",
     (s, d) => {
@@ -2842,8 +2860,7 @@ object TextQueries {
           Portable.tokenShingles(col("_toks"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = Dedup.minhashSignatures(base, "doc_id", "sh", 15)
-      val cand = Dedup.splitCandidates(sig, "doc_id",
+      val cand = Dedup.splitCandidates(sharedSplitSignatures(s, d), "doc_id",
         numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
       Dedup.verifyJaccard(base, "doc_id", "sh", cand, 0.8)
     },
@@ -2866,14 +2883,9 @@ object TextQueries {
   private val t72 = Q(
     "t72_hot_split_audit",
     (s, d) => {
-      val base = doubledCorpus(s, d)
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"),
-          Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      // both candidate joins read the one signature matrix
-      val sig = Dedup.minhashSignatures(base, "doc_id", "sh", 15)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both candidate joins read the one signature-matrix artifact
+      // (shared with t70 — parquet read, no persist lifetime to manage)
+      val sig = sharedSplitSignatures(s, d)
       val cap = Dedup.bandCandidates(sig, "doc_id",
         numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
         .withColumn("in_cap", lit(1L))
