@@ -44,7 +44,8 @@ object Bench {
     // them) but are off the default bench path — naming them as args or
     // SPARK_GRAFT_BENCH_LEGACY=true opts them back in
     val includeLegacy = wanted.nonEmpty ||
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "false").toBoolean
+      Set("true", "1", "yes").contains(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "false").toLowerCase)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .filter { case (n, _) =>

@@ -318,6 +318,12 @@ object Dedup {
     * probabilistic recall (the LSH family's trade), no doubles anywhere
     * (the threshold runs as (den+num)·i >= num·(na+nb)).
     *
+    * EXECUTION CONTRACT: calling this RUNS the pipeline — the returned
+    * frame is a materialized checkpoint (a table, not a lazy view), so
+    * the operator's persist lifetime is self-contained. Plan-only
+    * callers (schema inspection, plan audits) therefore pay full
+    * compute and see a LogicalRDD, not the join tree.
+    *
     * Exactness argument: order all distinct elements by ascending
     * global frequency (ties by value — a total order); a set of n
     * elements keeps its first n − ceil(t·n) + 1 as the prefix. If

@@ -78,13 +78,14 @@ object MediaDecode {
     (w, h, px)
   }
 
-  /** Nearest-neighbor half-scale via `AffineTransformOp` (real AWT kernel).
-    * Requires even dims so the oracle-visible mapping src(2x+1, 2y+1) is
-    * total (no edge clamping).
+  /** Nearest-neighbor half-scale via `AffineTransformOp` (real AWT kernel)
+    * on an ALREADY-DECODED image — the hot-loop form ([[resizePipeline]]
+    * decodes each payload exactly once). Requires even dims so the
+    * oracle-visible mapping src(2x+1, 2y+1) is total (no edge clamping).
     */
-  def halfScaleNN(w: Int, h: Int, png: Array[Byte]): Array[Byte] = {
+  def halfScaleNN(src: BufferedImage): Array[Byte] = {
+    val (w, h) = (src.getWidth, src.getHeight)
     require(w % 2 == 0 && h % 2 == 0, s"even dims required, got ${w}x$h")
-    val src = ImageIO.read(new ByteArrayInputStream(png))
     val op = new AffineTransformOp(
       AffineTransform.getScaleInstance(0.5, 0.5),
       AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
@@ -93,6 +94,15 @@ object MediaDecode {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(dst, "png", bos)
     bos.toByteArray
+  }
+
+  /** PNG-bytes convenience form of [[halfScaleNN]] (one decode). */
+  def halfScaleNN(w: Int, h: Int, png: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "ImageIO could not decode payload")
+    require(img.getWidth == w && img.getHeight == h,
+      s"declared ${w}x$h != decoded ${img.getWidth}x${img.getHeight}")
+    halfScaleNN(img)
   }
 
   /** Deterministic synthetic raster: seed/dims/pixels are pure integer
@@ -279,8 +289,11 @@ object MediaDecode {
     featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val (w, h, _) = decodePngGray(r.media)
-          features(r.doc_id, halfScaleNN(w, h, r.media))
+          // ONE decode per payload: the decoded image feeds the resize
+          // directly (dims come from it, no second ImageIO.read)
+          val img = ImageIO.read(new ByteArrayInputStream(r.media))
+          require(img != null, "ImageIO could not decode payload")
+          features(r.doc_id, halfScaleNN(img))
         }
       }
     })

@@ -114,15 +114,14 @@ object TextQueries {
       maxBucket: Int, threshold: Double): String =
     lshSql(baseSql, None, k, numBands, rowsPerBand, maxBucket, threshold)
 
-  /** DuckDB mirror of the split-and-salt pipeline (minhashSignatures →
-    * [[graft.etl.Dedup.splitCandidates]] → verifyJaccard): buckets hotter
-    * than maxBucket are SPLIT into ordered sub-buckets (per-band salted
-    * hash order, ties by doc_id) joined within + across adjacent
-    * sub-buckets, instead of dropped.
+  /** Shared CTE body (ex → sig → band → bandn → keyed) of the
+    * salted-split geometry — ONE source of truth for t70's pair oracle
+    * and t72's audit oracle (a semantics change edited in one copy but
+    * not the other would silently desync the two entries). Expects an
+    * `ix(doc_id, sh)` CTE already in scope.
     */
-  private def lshSplitPairsSql(
-      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
-      maxBucket: Int, threshold: Double): String = {
+  private def splitBandCtes(
+      k: Int, numBands: Int, rowsPerBand: Int, maxBucket: Int): String = {
     val consts = Portable.minhashConsts(k)
     val minCols = (0 until k)
       .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
@@ -132,9 +131,7 @@ object TextQueries {
         .map(i => s"m$i").mkString("||'|'||")
       s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""
-      WITH ix AS ($baseSql),
-      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
+    s"""ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
              FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
       sig AS (SELECT doc_id,
                $minCols
@@ -152,7 +149,21 @@ object TextQueries {
         SELECT doc_id, bidx, bh,
                unnest(CASE WHEN n > $maxBucket THEN [sub, sub + 1]
                            ELSE [sub] END) AS k
-        FROM bandn),
+        FROM bandn)"""
+  }
+
+  /** DuckDB mirror of the split-and-salt pipeline (minhashSignatures →
+    * [[graft.etl.Dedup.splitCandidates]] → verifyJaccard): buckets hotter
+    * than maxBucket are SPLIT into ordered sub-buckets (per-band salted
+    * hash order, ties by doc_id) joined within + across adjacent
+    * sub-buckets, instead of dropped.
+    */
+  private def lshSplitPairsSql(
+      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
+      maxBucket: Int, threshold: Double): String =
+    s"""
+      WITH ix AS ($baseSql),
+      ${splitBandCtes(k, numBands, rowsPerBand, maxBucket)},
       cand AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM keyed x JOIN keyed y
@@ -166,7 +177,6 @@ object TextQueries {
                   JOIN ix bb ON bb.doc_id = cand.b)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
     """
-  }
 
   // ---- t01: token counting -------------------------------------------
 
@@ -2854,12 +2864,15 @@ object TextQueries {
   private val t70 = Q(
     "t70_lsh_hot_split",
     (s, d) => {
+      // no persist: signatures come from the shared artifact, so the
+      // shingle base is only read by the verify join's two sides — two
+      // cheap column-work scans beat an unreleased cache entry in a
+      // long-lived session (the ppJoinPairs lifetime lesson)
       val base = doubledCorpus(s, d)
         .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"),
           Portable.tokenShingles(col("_toks"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = Dedup.splitCandidates(sharedSplitSignatures(s, d), "doc_id",
         numBands = 3, rowsPerBand = 5, maxBucket = splitMaxBucket)
       Dedup.verifyJaccard(base, "doc_id", "sh", cand, 0.8)
@@ -2901,40 +2914,14 @@ object TextQueries {
           (col("n_common") === col("n_capped")).as("subset_ok"))
     },
     Some {
-      val consts = Portable.minhashConsts(15)
-      val minCols = (0 until 15)
-        .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
-        .mkString(",\n               ")
-      val bandRows = (0 until 3).map { b =>
-        val ms = (b * 5 until (b + 1) * 5).map(i => s"m$i").mkString("||'|'||")
-        s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM sig"
-      }.mkString("\n        UNION ALL ")
       s"""
       WITH ix AS ($tokenLshBaseSql),
-      ex AS (SELECT doc_id, ${hSql("s", 0)} AS h
-             FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
-      sig AS (SELECT doc_id,
-               $minCols
-              FROM ex GROUP BY doc_id),
-      band AS (
-        $bandRows),
-      bandn AS (
-        SELECT doc_id, bidx, bh,
-               count(*) OVER (PARTITION BY bidx, bh) AS n,
-               CAST(floor((row_number() OVER (PARTITION BY bidx, bh
-                      ORDER BY ${hSql("doc_id || '#' || bidx", 77)}, doc_id) - 1)
-                    / $splitMaxBucket) AS BIGINT) AS sub
-        FROM band),
+      ${splitBandCtes(15, 3, 5, splitMaxBucket)},
       capc AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bandn x JOIN bandn y
           ON x.bidx = y.bidx AND x.bh = y.bh AND x.doc_id < y.doc_id
         WHERE x.n <= $splitMaxBucket AND y.n <= $splitMaxBucket),
-      keyed AS (
-        SELECT doc_id, bidx, bh,
-               unnest(CASE WHEN n > $splitMaxBucket THEN [sub, sub + 1]
-                           ELSE [sub] END) AS k
-        FROM bandn),
       splc AS (
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM keyed x JOIN keyed y
@@ -2945,10 +2932,11 @@ object TextQueries {
                CASE WHEN c.a IS NULL THEN 0 ELSE 1 END AS in_cap,
                CASE WHEN s.a IS NULL THEN 0 ELSE 1 END AS in_split
         FROM capc c FULL OUTER JOIN splc s ON c.a = s.a AND c.b = s.b)
-      SELECT CAST(sum(in_cap) AS BIGINT) AS n_capped,
-             CAST(sum(in_split) AS BIGINT) AS n_split,
-             CAST(sum(in_cap * in_split) AS BIGINT) AS n_common,
-             sum(in_cap * in_split) = sum(in_cap) AS subset_ok
+      SELECT CAST(coalesce(sum(in_cap), 0) AS BIGINT) AS n_capped,
+             CAST(coalesce(sum(in_split), 0) AS BIGINT) AS n_split,
+             CAST(coalesce(sum(in_cap * in_split), 0) AS BIGINT) AS n_common,
+             coalesce(sum(in_cap * in_split), 0) = coalesce(sum(in_cap), 0)
+               AS subset_ok
       FROM j
       """
     })

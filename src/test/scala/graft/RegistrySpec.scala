@@ -21,7 +21,11 @@ class RegistrySpec extends SparkSpec {
 
   test("every query plan resolves at sf0.001 with sane output columns") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val schema = fn(spark, sfDir).schema // analysis only — no execution
+      // mostly analysis-only; entries built on eager artifacts
+      // (Artifacts.shared) or eagerly-materialized operators
+      // (Dedup.ppJoinPairs — see its EXECUTION CONTRACT) do execute
+      // here, which sf0.001 keeps cheap
+      val schema = fn(spark, sfDir).schema
       assert(schema.nonEmpty, s"$name: empty schema")
       val cols = schema.map(_.name)
       assert(cols.distinct.length == cols.length, s"$name: duplicate columns $cols")
