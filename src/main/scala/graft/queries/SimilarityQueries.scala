@@ -2620,8 +2620,113 @@ object SimilarityQueries {
       FROM qs LEFT JOIN gagg USING (qid)
     """))
 
+  // ---- e33: semantic split-leakage audit (embedding decontamination) --
+  //
+  // The embedding-space twin of the t33 n-gram leakage audit, and the
+  // decontamination gate labs actually run before training: a HELDOUT
+  // document whose nearest TRAIN neighbor is a near-duplicate
+  // (cos ≥ 0.95) leaks the eval set into training even when no n-gram
+  // matches (paraphrases, reformatting). Splits follow t15's
+  // deterministic hash rule (bucket = hash60(id, 13) % 100, < 90 train)
+  // so the two audits compose over the same partition of the corpus.
+  //
+  // Corpus = the doubled fixture (the e03/e29 convention): every vector
+  // gains one exact copy at +dupShift whose split is assigned
+  // INDEPENDENTLY (hash of the new id) — copies landing on the other
+  // side of the split from their source are PLANTED leaks (cos = 1)
+  // the audit must find, and exact duplicates collide in every band,
+  // so the banded geometry cannot miss them. On the raw corpus the
+  // gate honestly reports clean (max cross-split cos ≈ 0.34).
+  //
+  // Scale shape: the banded mix16x4 geometry (e29's production family)
+  // as a PROBE join — the ~10% heldout side's band rows equi-join the
+  // train side's (at 100 TB the heldout bands broadcast; the train
+  // corpus is bucketed once and never self-joined). Exact cosine only on
+  // candidates; the output universe is EVERY heldout doc (the e32
+  // lesson: a doc with zero candidates must appear, as n_cand = 0 /
+  // leaked = 0 — dropping it would hide exactly the docs the geometry
+  // can't see).
+
+  private val e33 = Q(
+    "e33_semantic_leakage",
+    (s, d) => {
+      val sp = doubledEmb(s, d)
+        .withColumn("split",
+          when(pmod(Portable.hash60(col("vec_id").cast("string"), 13),
+            lit(100L)) < 90, lit("train")).otherwise(lit("heldout")))
+      val bands = sp.select(col("vec_id"), col("split"),
+          explode(array(bandedPlanes.zipWithIndex.map { case (ps, b) =>
+            struct(lit(b).as("band"),
+              bucketOf(ps, planeVecMix)(col("e")).as("bkt")) }: _*)).as("bb"))
+        .select(col("vec_id"), col("split"),
+          col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      val cand = bands.filter(col("split") === "heldout")
+        .select(col("vec_id").as("hid"), col("band"), col("bkt"))
+        .join(bands.filter(col("split") === "train")
+          .select(col("vec_id").as("tid"), col("band"), col("bkt")),
+          Seq("band", "bkt"))
+        .select(col("hid"), col("tid")).distinct()
+      val sc = cand
+        .join(sp.select(col("vec_id").as("hid"), col("en").as("he")), Seq("hid"))
+        .join(sp.select(col("vec_id").as("tid"), col("en").as("te")), Seq("tid"))
+        .select(col("hid"), col("tid"),
+          Portable.dot(col("he"), col("te")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hid"))
+      val best = sc
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("cos").desc, col("tid").asc)))
+        .withColumn("nc", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+      sp.filter(col("split") === "heldout").select(col("vec_id"))
+        .join(best.select(col("hid").as("vec_id"), col("nc"),
+          col("tid").as("best_train_id"), col("cos")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("nc"), lit(0L)).as("n_cand"),
+          col("best_train_id"),
+          round(col("cos"), 6).as("best_cos"),
+          when(col("cos") >= 0.95, 1).otherwise(0).as("leaked"))
+    },
+    Some {
+      val bandsSql = bandedPlanes.zipWithIndex.map { case (ps, b) =>
+        s"SELECT vec_id, split, $b AS band, ${bucketSqlOf(ps, planeVecMix, "e")} AS bkt FROM sp"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH $normalizedSql,
+      dbl AS (
+        SELECT vec_id, e, en FROM emb
+        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
+      sp AS (SELECT vec_id, e, en,
+                    CASE WHEN ${OracleSql.hSql("CAST(vec_id AS VARCHAR)", 13)} % 100 < 90
+                         THEN 'train' ELSE 'heldout' END AS split
+             FROM dbl),
+      bands AS (
+        $bandsSql),
+      cand AS (
+        SELECT DISTINCT h.vec_id AS hid, t.vec_id AS tid
+        FROM bands h JOIN bands t ON h.band = t.band AND h.bkt = t.bkt
+        WHERE h.split = 'heldout' AND t.split = 'train'),
+      sc AS (
+        SELECT hid, tid, list_dot_product(h.en, t.en) AS cos
+        FROM cand JOIN sp h ON h.vec_id = cand.hid
+                  JOIN sp t ON t.vec_id = cand.tid),
+      rn AS (
+        SELECT hid, tid, cos,
+               row_number() OVER (PARTITION BY hid ORDER BY cos DESC, tid ASC) AS rn,
+               count(*) OVER (PARTITION BY hid) AS nc
+        FROM sc),
+      best AS (SELECT hid, tid, cos, nc FROM rn WHERE rn = 1)
+      SELECT u.vec_id,
+             CAST(coalesce(b.nc, 0) AS BIGINT) AS n_cand,
+             b.tid AS best_train_id,
+             round(b.cos, 6) AS best_cos,
+             CASE WHEN b.cos >= 0.95 THEN 1 ELSE 0 END AS leaked
+      FROM (SELECT vec_id FROM sp WHERE split = 'heldout') u
+      LEFT JOIN best b ON b.hid = u.vec_id
+      """
+    })
+
   def all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
-      e28, e29, e30, e31, e32)
+      e28, e29, e30, e31, e32, e33)
 }
