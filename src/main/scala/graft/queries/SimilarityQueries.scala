@@ -208,13 +208,33 @@ object SimilarityQueries {
   private def scoredCandidates(
       s: SparkSession, d: String, tag: String,
       bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): DataFrame =
+    scoredCandidatesFrom(s, d, tag,
+      bandRowsOf(doubledEmb(s, d), bandPlanes, fam))
+
+  /** (vec_id, band, bkt) rows of `emb` under the given geometry. */
+  private def bandRowsOf(emb: DataFrame, bandPlanes: Seq[Seq[Int]],
+                         fam: Int => Seq[Double]): DataFrame =
+    emb.select(col("vec_id"),
+        explode(array(bandPlanes.zipWithIndex.map { case (ps, b) =>
+          struct(lit(b).as("band"),
+            bucketOf(ps, fam)(col("e")).as("bkt")) }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+
+  /** The doubled corpus's band table under the PRODUCTION mix16x4
+    * geometry, as its own artifact: the banding is the index a managed
+    * deployment persists, and it has two independent consumers — the
+    * e29/e30 pair build and the e33 leakage probe — that must not each
+    * recompute the 64-dot-products-per-vector bucketing.
+    */
+  private def dblBandsMix(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "dbl_bands_mix") {
+      bandRowsOf(doubledEmb(s, d), bandedPlanes, planeVecMix)
+    }
+
+  private def scoredCandidatesFrom(
+      s: SparkSession, d: String, tag: String, bands: DataFrame): DataFrame =
     graft.etl.Artifacts.shared(s, d, tag) {
       val emb = doubledEmb(s, d)
-      val bands = emb.select(col("vec_id"),
-          explode(array(bandPlanes.zipWithIndex.map { case (ps, b) =>
-            struct(lit(b).as("band"),
-              bucketOf(ps, fam)(col("e")).as("bkt")) }: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
       val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bkt"))
         .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkt")),
           Seq("band", "bkt"))
@@ -1104,7 +1124,7 @@ object SimilarityQueries {
     (s, d) => lshGeometryStats("hp8x1",
         scoredCandidates(s, d, "nd_scored_legacy", Seq(0 until numPlanes), planeVec))
       .unionAll(lshGeometryStats("mix16x4",
-        scoredCandidates(s, d, "nd_scored_banded", bandedPlanes, planeVecMix))),
+        scoredCandidatesFrom(s, d, "nd_scored_banded", dblBandsMix(s, d)))),
     Some(s"""
       WITH $normalizedSql,
       dbl AS (
@@ -2419,7 +2439,7 @@ object SimilarityQueries {
     * once (same contract as [[neardupPairs]]).
     */
   private def neardupPairsBanded(s: SparkSession, d: String): DataFrame =
-    scoredCandidates(s, d, "nd_scored_banded", bandedPlanes, planeVecMix)
+    scoredCandidatesFrom(s, d, "nd_scored_banded", dblBandsMix(s, d))
       .filter(col("cos") >= 0.95)
 
   /** DuckDB mirror of the banded candidate chain, ending in CTE
@@ -2654,12 +2674,10 @@ object SimilarityQueries {
         .withColumn("split",
           when(pmod(Portable.hash60(col("vec_id").cast("string"), 13),
             lit(100L)) < 90, lit("train")).otherwise(lit("heldout")))
-      val bands = sp.select(col("vec_id"), col("split"),
-          explode(array(bandedPlanes.zipWithIndex.map { case (ps, b) =>
-            struct(lit(b).as("band"),
-              bucketOf(ps, planeVecMix)(col("e")).as("bkt")) }: _*)).as("bb"))
-        .select(col("vec_id"), col("split"),
-          col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      // band rows from the SHARED mix16x4 index artifact (built once for
+      // e29/e30/e13); the split label joins on by id
+      val bands = dblBandsMix(s, d)
+        .join(sp.select(col("vec_id"), col("split")), Seq("vec_id"))
       val cand = bands.filter(col("split") === "heldout")
         .select(col("vec_id").as("hid"), col("band"), col("bkt"))
         .join(bands.filter(col("split") === "train")
