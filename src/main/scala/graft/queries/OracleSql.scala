@@ -1,6 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, pmod, when}
+
 import graft.etl.{TextAnalysis => TA}
+import graft.functions.Portable
 
 /** Shared DuckDB-side fragments for the oracle SQL — ONE copy of each
   * normalization/scoring formula, mirrored 1:1 against its Spark
@@ -61,6 +65,23 @@ object OracleSql {
   /** DuckDB equivalent of `Portable.hash60(x, seed)`. */
   def hSql(x: String, seed: Int): String =
     s"CAST(('0x'||substr(md5($x||'#$seed'),1,15)) AS BIGINT)"
+
+  /** The t15 deterministic hash-split rule — the ONE source of truth for
+    * every operator that composes over the corpus partition
+    * (t15/t33/t48/t58/e33): bucket = hash60(id, 13) % 100, < 90 train,
+    * < 95 val, else test. A seed/threshold change edits THIS pair and
+    * every dependent audit follows in lock-step.
+    */
+  def splitOf(id: Column): Column = {
+    val b = pmod(Portable.hash60(id.cast("string"), 13), lit(100L))
+    when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
+  }
+
+  /** DuckDB mirror of [[splitOf]]. */
+  def splitSql(id: String): String =
+    s"""CASE WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 90 THEN 'train'
+             WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 95 THEN 'val'
+             ELSE 'test' END"""
 
   /** `TextAnalysis.tokens(text)`. */
   val toksSql =

@@ -2670,23 +2670,24 @@ object SimilarityQueries {
   private val e33 = Q(
     "e33_semantic_leakage",
     (s, d) => {
-      val sp = doubledEmb(s, d)
-        .withColumn("split",
-          when(pmod(Portable.hash60(col("vec_id").cast("string"), 13),
-            lit(100L)) < 90, lit("train")).otherwise(lit("heldout")))
-      // band rows from the SHARED mix16x4 index artifact (built once for
-      // e29/e30/e13); the split label joins on by id
-      val bands = dblBandsMix(s, d)
-        .join(sp.select(col("vec_id"), col("split")), Seq("vec_id"))
-      val cand = bands.filter(col("split") === "heldout")
+      // split is a pure function of vec_id (the canonical t15 rule,
+      // OracleSql.splitOf — ONE source of truth; e33 collapses val/test
+      // to 'heldout'), so it is computed as a COLUMN on the shared band
+      // artifact — no label join, and the normalized corpus is only
+      // scanned where vectors are actually needed (the two cosine
+      // lookup sides)
+      val isTrain = OracleSql.splitOf(col("vec_id")) === "train"
+      val bands = dblBandsMix(s, d).withColumn("in_train", isTrain)
+      val cand = bands.filter(!col("in_train"))
         .select(col("vec_id").as("hid"), col("band"), col("bkt"))
-        .join(bands.filter(col("split") === "train")
+        .join(bands.filter(col("in_train"))
           .select(col("vec_id").as("tid"), col("band"), col("bkt")),
           Seq("band", "bkt"))
         .select(col("hid"), col("tid")).distinct()
+      val emb = doubledEmb(s, d)
       val sc = cand
-        .join(sp.select(col("vec_id").as("hid"), col("en").as("he")), Seq("hid"))
-        .join(sp.select(col("vec_id").as("tid"), col("en").as("te")), Seq("tid"))
+        .join(emb.select(col("vec_id").as("hid"), col("en").as("he")), Seq("hid"))
+        .join(emb.select(col("vec_id").as("tid"), col("en").as("te")), Seq("tid"))
         .select(col("hid"), col("tid"),
           Portable.dot(col("he"), col("te")).as("cos"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hid"))
@@ -2695,7 +2696,10 @@ object SimilarityQueries {
           w.orderBy(col("cos").desc, col("tid").asc)))
         .withColumn("nc", count(lit(1)).over(w))
         .filter(col("rn") === 1)
-      sp.filter(col("split") === "heldout").select(col("vec_id"))
+      // heldout universe from the (already-materialized) band artifact:
+      // every vector carries exactly one row per band, so distinct ids
+      // of the non-train band rows are the universe — no corpus rescan
+      bands.filter(!col("in_train")).select(col("vec_id")).distinct()
         .join(best.select(col("hid").as("vec_id"), col("nc"),
           col("tid").as("best_train_id"), col("cos")), Seq("vec_id"), "left")
         .select(col("vec_id"),
@@ -2714,7 +2718,7 @@ object SimilarityQueries {
         SELECT vec_id, e, en FROM emb
         UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
       sp AS (SELECT vec_id, e, en,
-                    CASE WHEN ${OracleSql.hSql("CAST(vec_id AS VARCHAR)", 13)} % 100 < 90
+                    CASE WHEN (${OracleSql.splitSql("vec_id")}) = 'train'
                          THEN 'train' ELSE 'heldout' END AS split
              FROM dbl),
       bands AS (

@@ -1143,15 +1143,11 @@ object TextQueries {
   // splits differ`. The audit itself is O(|pairs|) — negligible next to
   // the dedup that produced them.
 
-  private def splitOf(id: Column): Column = {
-    val b = pmod(Portable.hash60(id.cast("string"), 13), lit(100L))
-    when(b < 90, lit("train")).when(b < 95, lit("val")).otherwise(lit("test"))
-  }
+  // canonical split rule hoisted to OracleSql (shared with e33's
+  // embedding-space leakage audit); these delegates keep the local names
+  private def splitOf(id: Column): Column = OracleSql.splitOf(id)
 
-  private def splitSql(id: String): String =
-    s"""CASE WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 90 THEN 'train'
-             WHEN ${hSql(s"CAST($id AS VARCHAR)", 13)} % 100 < 95 THEN 'val'
-             ELSE 'test' END"""
+  private def splitSql(id: String): String = OracleSql.splitSql(id)
 
   private val t33 = Q(
     "t33_split_leakage",
