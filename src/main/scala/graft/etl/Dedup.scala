@@ -89,6 +89,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Band rows with their split sub-bucket join keys — the assignment
+    * stage of [[splitCandidates]], package-visible so DedupSplitSpec can
+    * audit key-group sizes directly.
+    *
+    * Sub-bucket assignment is SORT-FREE and fully distributed:
+    *   1. per-bucket counts come from one `groupBy(bidx, bh)` aggregate
+    *      (map-side partial — the hottest bucket contributes one count
+    *      row per input partition, never its row set);
+    *   2. only buckets over the cap survive the filter, so the joined-
+    *      back table holds ≤ |bands|/maxBucket rows — usually tiny (AQE
+    *      picks a broadcast join at runtime) and, when a pathological
+    *      corpus makes it large, still a plain equi-join AQE can
+    *      skew-split — unlike a Window partitioned by (bidx, bh), which
+    *      is un-splittable by construction;
+    *   3. each hot-bucket row's sub-bucket label is a pure map-side
+    *      expression: `pmod(salted_hash, ⌈n/maxBucket⌉)` — no rank, no
+    *      per-bucket sort, no task that ever holds a whole bucket.
+    * Cold rows take label 0 and emit no adjacent key, paying exactly the
+    * [[bandCandidates]] cost.
+    */
+  private[graft] def splitKeyed(
+      sig: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val bands = banded(sig, idCol, numBands, rowsPerBand)
+    val hot = bands.groupBy(col("bidx"), col("bh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket)
+    // ⌈n/maxBucket⌉ in exact integer math (DIV) — mirrored verbatim by
+    // the DuckDB oracle's `//`
+    val nsub = expr(s"CAST((_n + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+    val salted = Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77)
+    bands.join(hot, Seq("bidx", "bh"), "left")
+      .withColumn("_sub",
+        when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
+      .select(col(idCol), col("bidx"), col("bh"),
+        explode(when(col("_n").isNotNull,
+            array(col("_sub"), col("_sub") + lit(1L)))
+          .otherwise(array(col("_sub")))).as("_k"))
+  }
+
   /** Recall-preserving hot-bucket strategy: SPLIT instead of DROP.
     *
     * [[capped]] deletes every band row of a bucket hotter than
@@ -96,27 +140,31 @@ object Dedup {
     * a boilerplate-heavy crawl the hottest buckets are exactly where
     * near-identical duplicates live, and a doc whose EVERY band is hot
     * silently escapes detection. This variant keeps all rows: a bucket of
-    * n rows is split into ⌈n/maxBucket⌉ ordered sub-buckets of at most
-    * `maxBucket` rows, and candidates are generated within each
-    * sub-bucket AND across ADJACENT sub-buckets. Per row that bounds the
-    * comparisons at ~2·maxBucket (total O(n·maxBucket) per bucket, never
-    * O(n²)) with ZERO dropped rows.
+    * n rows is partitioned into nsub = ⌈n/maxBucket⌉ sub-buckets of
+    * expected size ≤ maxBucket via a per-band salted-hash modulus
+    * (`pmod(hash60(id#bidx, 77), nsub)`), and candidates are generated
+    * within each sub-bucket AND across the ADJACENT label (k with k+1).
+    * Per row that bounds the comparisons at ~2·maxBucket expected (total
+    * O(n·maxBucket) per bucket, never O(n²)) with ZERO dropped rows.
     *
-    * Sub-bucket order is a per-band SALTED hash of the id (ties broken
-    * by id): each of the `numBands` bands shuffles the bucket
-    * independently, so a pair missed in one band's split (assigned
-    * non-adjacent sub-buckets) gets an independent adjacency draw in
+    * The label is salted per band: each of the `numBands` bands
+    * partitions the bucket independently, so a pair missed in one band's
+    * split (assigned non-adjacent labels) gets an independent draw in
     * every other band — recall degrades gracefully with bucket heat
-    * instead of stepping to zero at the cap. Deterministic (hash order,
-    * no RNG), so the DuckDB oracle mirrors the split bit-exactly.
+    * instead of stepping to zero at the cap. Deterministic (hash
+    * arithmetic, no RNG), so the DuckDB oracle mirrors the split
+    * bit-exactly.
     *
-    * Plan shape: the split is two window functions over the SAME
-    * (bidx, bh) partitioning (one shuffle); the sub+1 "adjacent" key is
-    * emitted only for rows of genuinely hot buckets, so cold buckets pay
-    * exactly the [[bandCandidates]] cost. The per-bucket window sort is
-    * O(n log n) on one task — bounded by the hottest bucket's row count,
-    * which is the quantity this operator exists to keep off the
-    * quadratic path.
+    * Plan shape (the round-9 revision): NO window anywhere — the former
+    * per-bucket `row_number` sort ran a hot bucket's entire row set on
+    * ONE task, the exact straggler/OOM shape this operator exists to
+    * kill at 100 TB. Now the assignment is an agg + equi-join + map
+    * (see [[splitKeyed]]); the candidate self-join keys on
+    * (bidx, bh, _k), so a hot bucket's shuffle work spreads over its
+    * nsub+1 labels instead of landing on one partition. If `sig` is
+    * expensive to compute, persist it (or read it from an
+    * [[graft.etl.Artifacts]] parquet, as t70/t72 do) — the band table is
+    * traversed once for counts and twice for the self-join.
     */
   def splitCandidates(
       sig: DataFrame,
@@ -124,19 +172,7 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val w = org.apache.spark.sql.expressions.Window
-    val bucket = w.partitionBy(col("bidx"), col("bh"))
-    val order = bucket.orderBy(
-      Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77), col(idCol))
-    val keyed = banded(sig, idCol, numBands, rowsPerBand)
-      .withColumn("_n", count(lit(1)).over(bucket))
-      .withColumn("_sub",
-        floor((row_number().over(order) - lit(1)) / maxBucket).cast("long"))
-      .select(col(idCol), col("bidx"), col("bh"),
-        explode(when(col("_n") > maxBucket,
-            array(col("_sub"), col("_sub") + 1))
-          .otherwise(array(col("_sub")))).as("_k"))
+    val keyed = splitKeyed(sig, idCol, numBands, rowsPerBand, maxBucket)
     keyed.as("x")
       .join(keyed.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&

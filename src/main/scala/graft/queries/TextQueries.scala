@@ -139,12 +139,12 @@ object TextQueries {
       band AS (
         $bandRows),
       bandn AS (
-        SELECT doc_id, bidx, bh,
-               count(*) OVER (PARTITION BY bidx, bh) AS n,
-               CAST(floor((row_number() OVER (PARTITION BY bidx, bh
-                      ORDER BY ${hSql("doc_id || '#' || bidx", 77)}, doc_id) - 1)
-                    / $maxBucket) AS BIGINT) AS sub
-        FROM band),
+        SELECT doc_id, bidx, bh, n,
+               CAST(${hSql("doc_id || '#' || bidx", 77)}
+                    % ((n + ${maxBucket - 1}) // $maxBucket) AS BIGINT) AS sub
+        FROM (SELECT doc_id, bidx, bh,
+                     count(*) OVER (PARTITION BY bidx, bh) AS n
+              FROM band)),
       keyed AS (
         SELECT doc_id, bidx, bh,
                unnest(CASE WHEN n > $maxBucket THEN [sub, sub + 1]
@@ -154,9 +154,9 @@ object TextQueries {
 
   /** DuckDB mirror of the split-and-salt pipeline (minhashSignatures →
     * [[graft.etl.Dedup.splitCandidates]] → verifyJaccard): buckets hotter
-    * than maxBucket are SPLIT into ordered sub-buckets (per-band salted
-    * hash order, ties by doc_id) joined within + across adjacent
-    * sub-buckets, instead of dropped.
+    * than maxBucket are SPLIT into ⌈n/maxBucket⌉ sub-buckets by per-band
+    * salted-hash modulus, joined within + across adjacent labels,
+    * instead of dropped.
     */
   private def lshSplitPairsSql(
       baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
@@ -2823,9 +2823,10 @@ object TextQueries {
   // near-dup detection entirely, and on a boilerplate-heavy crawl the
   // hottest buckets are exactly where near-identical duplicates live.
   // t70 runs t06's geometry with [[graft.etl.Dedup.splitCandidates]]:
-  // hot buckets split into ordered ≤maxBucket-row sub-buckets (per-band
-  // SALTED hash order → each band re-shuffles the bucket independently)
-  // joined within + across adjacent sub-buckets — O(n·maxBucket)
+  // hot buckets split into ⌈n/maxBucket⌉ sub-buckets by per-band
+  // SALTED-hash modulus (each band partitions the bucket independently;
+  // no sort, no window — round 9 removed the per-bucket row_number)
+  // joined within + across adjacent labels — O(n·maxBucket) expected
   // bounded work, ZERO dropped rows. The cap here is deliberately small
   // (3, vs t06's 20) so the split path GENUINELY engages at every
   // tested scale: the doubled corpus makes bucket sizes even (each doc

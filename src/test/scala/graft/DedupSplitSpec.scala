@@ -88,6 +88,33 @@ class DedupSplitSpec extends SparkSpec {
     }
   }
 
+  test("mega-bucket: split is sort-free — no Window, bounded key groups") {
+    // one planted mega-bucket (identical docs ⇒ every band ONE bucket):
+    // the round-9 revision must never rank/sort the whole bucket on one
+    // task — assignment is agg + equi-join + map, and the candidate
+    // self-join keys on (bidx, bh, _k) so the bucket's shuffle work
+    // spreads over its nsub+1 labels
+    val maxBucket = 10
+    val n = 400
+    val sig = Dedup.minhashSignatures(hotCluster(n), "doc_id", "sh", k)
+    val split = Dedup.splitCandidates(sig, "doc_id", bands, rows, maxBucket)
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"split subtree contains a window/sort-rank:\n$plan")
+    // hash-modulus labels concentrate around maxBucket rows per group —
+    // no single (bidx, bh, _k) group may approach the whole bucket
+    val maxGroup = Dedup.splitKeyed(sig, "doc_id", bands, rows, maxBucket)
+      .groupBy("bidx", "bh", "_k").count()
+      .agg(max("count")).as[Long].collect().head
+    assert(maxGroup <= 4L * maxBucket,
+      s"one key group holds $maxGroup of the $n-row bucket (cap=$maxBucket)")
+    // zero dropped rows: every member of the mega-bucket still pairs up
+    val touched = split.as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(touched == (1L to n.toLong).toSet,
+      s"docs escaped the split: ${(1L to n.toLong).toSet -- touched}")
+  }
+
   test("split is deterministic across runs (hash order, no RNG)") {
     val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
     val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
