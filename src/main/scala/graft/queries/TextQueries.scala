@@ -109,11 +109,6 @@ object TextQueries {
     """
   }
 
-  private def lshPairsSql(
-      baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
-      maxBucket: Int, threshold: Double): String =
-    lshSql(baseSql, None, k, numBands, rowsPerBand, maxBucket, threshold)
-
   /** Shared CTE body (ex → sig → band → bandn → keyed) of the
     * salted-split geometry — ONE source of truth for t70's pair oracle
     * and t72's audit oracle (a semantics change edited in one copy but
@@ -319,7 +314,13 @@ object TextQueries {
   // candidate pairs — it's the LSH analogue of a non-selective pushdown.
   // maxBucket = 20: a bucket only exceeds ~copies-per-near-dup-cluster
   // when a band value is boilerplate-hot, and each such bucket costs
-  // O(bucket²) candidates.
+  // O(bucket²) candidates. Round 9 re-pinned the flagship entries from
+  // the DROP cap to the recall-preserving SPLIT (t72 measured the cap
+  // forfeiting 21% of candidate pairs at an aggressive cap; a
+  // production user copying t06/t08 now gets the zero-recall-loss
+  // geometry by default). The drop cap survives as the PROBE-side guard
+  // of the incremental entries (t23/t32/t34 — capping a persisted index
+  // at probe time has no split analogue) and as t72's audited baseline.
 
   private val maxBucket = 20
 
@@ -330,7 +331,7 @@ object TextQueries {
     // (at cluster scale this is a checkpoint to storage, same shape).
     val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = Dedup.minhashSignatures(cached, "doc_id", "sh", k)
-    val cand = Dedup.bandCandidates(sig, "doc_id", bands, rows, maxBucket)
+    val cand = Dedup.splitCandidates(sig, "doc_id", bands, rows, maxBucket)
     Dedup.verifyJaccard(cached, "doc_id", "sh", cand, threshold)
   }
 
@@ -376,12 +377,20 @@ object TextQueries {
               FROM $doubledSql AS documents(doc_id, text))
         WHERE len(toks) >= 3"""
 
+  /** The ONE oracle formulation of the token-shingle near-dup pair set —
+    * split geometry since round 9 — embedded by every consumer (t06,
+    * t09/t46's closure, t33, t55, t69) so a semantics change cannot
+    * desync them.
+    */
+  private lazy val tokenPairsSql: String =
+    lshSplitPairsSql(tokenLshBaseSql,
+      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
+      threshold = 0.8)
+
   private val t06 = Q(
     "t06_minhash_lsh_pairs",
     (s, d) => sharedTokenLshPairs(s, d),
-    Some(lshPairsSql(tokenLshBaseSql,
-      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-      threshold = 0.8)))
+    Some(tokenPairsSql))
 
   // ---- t07: SimHash --------------------------------------------------
 
@@ -453,7 +462,7 @@ object TextQueries {
         .filter(size(col("sh")) > 0)
       lshPairs(base, k = 16, bands = 2, rows = 8, threshold = 0.9)
     },
-    Some(lshPairsSql(
+    Some(lshSplitPairsSql(
       s"""
         SELECT doc_id,
                list_distinct(list_transform(range(1, length(s) - 1),
@@ -478,16 +487,7 @@ object TextQueries {
     * fixpoint.
     */
   private lazy val neardupResolveCtes: String = {
-    val pairsSql = lshPairsSql(
-      s"""
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
-        FROM (SELECT doc_id, $toksSql AS toks
-              FROM $doubledSql AS documents(doc_id, text))
-        WHERE len(toks) >= 3""",
-      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-      threshold = 0.8)
+    val pairsSql = tokenPairsSql
     s"""
     WITH RECURSIVE pairs AS ($pairsSql),
     ud(src, dst) AS (
@@ -1162,9 +1162,7 @@ object TextQueries {
       WITH sp AS (
         SELECT least(sa, sb) AS split_x, greatest(sa, sb) AS split_y
         FROM (SELECT ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb
-              FROM (${lshPairsSql(tokenLshBaseSql,
-                k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-                threshold = 0.8)})))
+              FROM ($tokenPairsSql)))
       SELECT split_x, split_y, count(*) AS n_pairs,
              split_x <> split_y AS leaked
       FROM sp GROUP BY 1, 2
@@ -2172,9 +2170,7 @@ object TextQueries {
           coalesce(col("_q"), lit(false)).as("quarantined"))
     },
     Some(s"""
-      WITH pairs AS (${lshPairsSql(tokenLshBaseSql,
-        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-        threshold = 0.8)}),
+      WITH pairs AS ($tokenPairsSql),
       sp AS (SELECT doc_a, doc_b,
                     ${splitSql("doc_a")} AS sa, ${splitSql("doc_b")} AS sb
              FROM pairs),
@@ -2789,9 +2785,7 @@ object TextQueries {
           sum(col("e") * col("m") * col("sm")).as("n_all_three"))
     },
     Some(s"""
-      WITH pairs_m AS (${lshPairsSql(tokenLshBaseSql,
-        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
-        threshold = 0.8)}),
+      WITH pairs_m AS ($tokenPairsSql),
       $simhashCtesSql,
       fp AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
              FROM $doubledSql AS documents(doc_id, text)),
