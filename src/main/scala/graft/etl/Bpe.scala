@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * the separator the next match needs and [a,a,a,a] comes out
   * [aa,a,a] — caught by BpePropertySpec against the in-memory
   * reference.) Words reduced to one symbol stop contributing pairs.
-  * Each round's segmentation is eagerly localCheckpoint'ed (the
-  * pageRankMicro lineage discipline).
+  * Each round's segmentation is eagerly barriered (the pageRankMicro
+  * lineage discipline); `policy` picks the barrier's placement
+  * ([[CheckpointPolicy]] — Local default, Reliable for cluster runs
+  * that must survive executor loss across a long merge schedule).
   *
   * Returns `(round, s1, s2, freq)` — one row per round that still had
   * a candidate pair (a dried-up corpus yields fewer than `rounds`
@@ -36,17 +38,17 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  def train(hist: DataFrame, rounds: Int): DataFrame = {
+  def train(hist: DataFrame, rounds: Int,
+            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     // rounds = 0 would reach the empty out.reduce and throw an opaque
     // collection error; reject it at the API boundary instead
     require(rounds >= 1, s"BPE training needs at least 1 round, got $rounds")
-    var seg = hist.filter(length(col("w")) >= 2)
+    var seg = policy.barrier(hist.filter(length(col("w")) >= 2)
       .select(col("cnt"),
         concat(lit(" "),
           expr("array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), ' ')"),
-          lit(" ")).as("seg"))
-      .localCheckpoint()
+          lit(" ")).as("seg")))
     val out = (1 to rounds).map { r =>
       val syms = seg
         .withColumn("sy",
@@ -59,9 +61,9 @@ object Bpe {
           .as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(sum(col("cnt")).as("freq"))
-      val best = pairCounts
+      val best = policy.barrier(pairCounts
         .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
-        .limit(1).localCheckpoint()
+        .limit(1))
       seg = seg
         .crossJoin(broadcast(
           best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
@@ -74,7 +76,7 @@ object Bpe {
             "concat(acc, array(x))))"))
         .select(col("cnt"),
           concat(lit(" "), array_join(col("sy2"), " "), lit(" ")).as("seg"))
-        .localCheckpoint()
+      seg = policy.barrier(seg)
       best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
     }
     out.reduce(_ unionAll _)

@@ -276,21 +276,23 @@ object Dedup {
     * neighbors; converges in O(diameter) rounds (near-dup clusters are
     * dense, so typically 2–4). The driver loop is over ITERATIONS, not
     * groups; each round is one join + one aggregation, all data stays
-    * distributed. Each round's eager localCheckpoint pins one copy of
-    * the (small) label table until the ContextCleaner reclaims it —
-    * bounded by maxIter copies of edge-set-sized data.
+    * distributed. Each round's eager barrier pins one copy of the
+    * (small) label table until the ContextCleaner reclaims it — bounded
+    * by maxIter copies of edge-set-sized data. `policy` picks the
+    * barrier's placement ([[CheckpointPolicy]]): Local for bench/local
+    * runs, Reliable for cluster jobs that must survive executor loss.
     */
   def resolveClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                      maxIter: Int = 20): DataFrame = {
-    // eager localCheckpoint per round truncates the lineage — iterative
+                      maxIter: Int = 20,
+                      policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    // eager barrier per round truncates the lineage — iterative
     // self-joins otherwise nest the whole plan history and the driver
     // dies on plan size long before the data is large
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint()
+    val edges = policy.barrier(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = policy.barrier(edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -299,11 +301,11 @@ object Dedup {
       // old and new label sit in the same row, so convergence detection
       // rides along in a flag column — one job per round (the eager
       // checkpoint), plus a cheap scan of the checkpointed frame
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
-          (coalesce(col("nrep"), col("rep")) < col("rep")).as("_chg"))
-        .localCheckpoint()
+      val stepped = policy.barrier(
+        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"),
+            (coalesce(col("nrep"), col("rep")) < col("rep")).as("_chg")))
       converged = stepped.filter(col("_chg")).limit(1).count() == 0
       labels = stepped.drop("_chg")
       i += 1
@@ -377,7 +379,8 @@ object Dedup {
     * the load balancer); verification explodes candidate pairs only.
     */
   def ppJoinPairs(base: DataFrame, idCol: String, shCol: String,
-                  num: Int, den: Int): DataFrame = {
+                  num: Int, den: Int,
+                  policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     require(0 < num && num <= den, s"threshold $num/$den outside (0,1]")
     val w = org.apache.spark.sql.expressions.Window
     // Exact-duplicate collapse (the PPJoin+ duplicate-elimination step):
@@ -466,7 +469,13 @@ object Dedup {
       .select(least(col("_ida"), col("_idb")).as("a"),
         greatest(col("_ida"), col("_idb")).as("b"),
         col("inter_n"), col("union_n"))
-    val out = cross.unionAll(intra).localCheckpoint()
+    // the eager materialize keeps the operator's persist lifetime
+    // self-contained; `policy` decides where it lands — executor-local
+    // blocks (default; non-replayable, fine for local/bench) or a
+    // reliable storage checkpoint (the ADVICE-flagged executor-loss
+    // trade at cluster scale — callers wanting a NAMED durable artifact
+    // instead use the Artifacts.shared parquet contract one level up)
+    val out = policy.barrier(cross.unionAll(intra))
     rows.unpersist(false); groups.unpersist(false); memb.unpersist(false)
     out
   }

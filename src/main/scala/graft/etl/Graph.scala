@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the [[Dedup.resolveClusters]] discipline): every
   * iteration is TWO keyed shuffles — edges ⋈ ranks on src, then the
-  * contribution agg on dst — with an eager localCheckpoint per round so
-  * the lineage never nests (iterative self-joins otherwise grow the
-  * plan exponentially). The edge list with out-degrees is checkpointed
-  * ONCE and re-read each round; on a cluster you'd persist it
-  * hash-partitioned by src so the per-round join is shuffle-free on the
-  * edge side and only the node-sized rank table moves.
+  * contribution agg on dst — with an eager barrier per round so the
+  * lineage never nests (iterative self-joins otherwise grow the plan
+  * exponentially). The barrier's placement is the caller's
+  * [[CheckpointPolicy]]: executor-local blocks by default (bench/local
+  * runs), a reliable storage checkpoint for cluster jobs that must
+  * survive executor loss mid-iteration. The edge list with out-degrees
+  * is checkpointed ONCE and re-read each round; on a cluster you'd
+  * persist it hash-partitioned by src so the per-round join is
+  * shuffle-free on the edge side and only the node-sized rank table
+  * moves.
   */
 object Graph {
 
@@ -37,9 +41,14 @@ object Graph {
     * self-loops / reverse edges first or use [[pageRankDanglingMicro]],
     * which redistributes sink mass. Returns `(id, rank_micro)` for
     * every node.
+    *
+    * `policy` picks where each round's barrier materializes
+    * ([[CheckpointPolicy]]): Local for bench/local runs, Reliable for
+    * cluster jobs that must survive executor loss mid-iteration.
     */
-  def pageRankMicro(edgesIn: DataFrame, iters: Int): DataFrame = {
-    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+  def pageRankMicro(edgesIn: DataFrame, iters: Int,
+                    policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val edges = policy.barrier(edgesIn.select(col("src"), col("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // (src, dst, odeg): the per-round join input, pinned once —
     // PRE-PARTITIONED and PRE-SORTED by src. localCheckpoint preserves
@@ -54,12 +63,10 @@ object Graph {
     // exactly the clustering the NEXT round's join needs. Steady-state
     // round cost: ONE node-sized shuffle (the map-side-combined
     // contribution partials moving to their dst), nothing edge-sized.
-    val withDeg = edges.join(deg, Seq("src"))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("id")).distinct()
-      .repartition(col("id")).sortWithinPartitions(col("id"))
-      .localCheckpoint()
+    val withDeg = policy.barrier(edges.join(deg, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src")))
+    val nodes = policy.barrier(edges.select(col("src").as("id")).distinct()
+      .repartition(col("id")).sortWithinPartitions(col("id")))
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     for (round <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("id"))
@@ -84,7 +91,7 @@ object Graph {
       // round's only shuffle is the node-sized contribution partials
       // (GraphSpec pins it). Bounded lineage for long runs is the
       // secondary win.
-      if (round < iters) ranks = ranks.localCheckpoint()
+      if (round < iters) ranks = policy.barrier(ranks)
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
@@ -109,20 +116,18 @@ object Graph {
     * rank rebuild — the scalar never forces a shuffle of the rank table.
     * The node universe is src ∪ dst (dst-only nodes are the sinks).
     */
-  def pageRankDanglingMicro(edgesIn: DataFrame, iters: Int): DataFrame = {
-    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+  def pageRankDanglingMicro(edgesIn: DataFrame, iters: Int,
+                            policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val edges = policy.barrier(edgesIn.select(col("src"), col("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val withDeg = edges.join(deg, Seq("src"))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("id"))
+    val withDeg = policy.barrier(edges.join(deg, Seq("src"))
+      .repartition(col("src")).sortWithinPartitions(col("src")))
+    val nodes = policy.barrier(edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).sortWithinPartitions(col("id"))
-      .localCheckpoint()
+      .repartition(col("id")).sortWithinPartitions(col("id")))
     // sinks: nodes that never appear as a src
-    val dangling = nodes
-      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint()
+    val dangling = policy.barrier(nodes
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_anti"))
     // one driver-side scalar, computed once (the resolveClusters
     // convergence-count discipline — a count, not a collect of rows)
     val nNodes = nodes.count()
@@ -140,7 +145,7 @@ object Graph {
         .select(col("id"),
           (lit(150000L) +
             expr("(coalesce(sc, 0L) + sh) * 85 div 100")).as("r"))
-      if (round < iters) ranks = ranks.localCheckpoint()
+      if (round < iters) ranks = policy.barrier(ranks)
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
@@ -178,7 +183,8 @@ object Graph {
     * exact output shape of [[Dedup.resolveClusters]].
     */
   def connectedComponentsLSS(pairs: DataFrame, aCol: String = "a",
-                             bCol: String = "b", maxIter: Int = 15): DataFrame = {
+                             bCol: String = "b", maxIter: Int = 15,
+                             policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val bi = e.select(col("u"), col("v"))
         .unionAll(e.select(col("v").as("u"), col("u").as("v")))
@@ -219,17 +225,17 @@ object Graph {
     val allNodes = pairs.select(col(aCol).as("doc_id"))
       .unionAll(pairs.select(col(bCol).as("doc_id")))
       .distinct()
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    var edges = policy.barrier(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     var prev = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // localCheckpoint per round: iterative self-joins otherwise nest
-      // the whole round history into one Catalyst plan
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      // barrier per round: iterative self-joins otherwise nest the
+      // whole round history into one Catalyst plan
+      edges = policy.barrier(smallStar(largeStar(edges)))
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur
