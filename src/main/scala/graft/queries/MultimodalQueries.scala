@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * deterministic integer function of doc_id, so DuckDB predicts the
   * decoded pixels without owning a codec.
   *
-  * The frame/audio payloads (m02, m09, m10) are fabricated
-  * deterministically from document text (md5 chains → 64-byte blobs)
-  * identically in Spark and the DuckDB oracle, so metadata/frame queries
-  * hash-match; their byte-extraction seam is where a real audio/video
-  * codec would slot in, exactly as ImageIO does for m03/m04.
+  * The audio decode/VAD kernels (m14/m15) are REAL too:
+  * `javax.sound.sampled` WAV/PCM parse — see [[graft.etl.AudioDecode]];
+  * WAV losslessness plays the role PNG losslessness plays for images.
+  *
+  * The frame/video payloads (m02, m09; m10's fabricated formulation)
+  * are fabricated deterministically from document text (md5 chains →
+  * 64-byte blobs) identically in Spark and the DuckDB oracle, so
+  * metadata/frame queries hash-match; their byte-extraction seam is
+  * where a real video codec would slot in, exactly as ImageIO/
+  * AudioSystem do for m03/m14. Video stays fabricated BY DESIGN: the
+  * JDK ships no video codec (ImageIO covers images, AudioSystem covers
+  * WAV/PCM), and the zero-new-dependency rule is part of the repo's
+  * build contract.
   *
   * Scale design: fabrication/decode are per-row map work (no shuffle);
   * frame explode fans out rows but stays partition-local; at 100 TB real
@@ -514,9 +522,13 @@ object MultimodalQueries {
   // and open a new shot where the change reaches the threshold. Frame
   // distance = Σ |byte_i(f) − byte_i(f−1)| over the frame's bytes
   // (exact integers, 0..2040 for 8 bytes); a boundary opens a new shot
-  // when the distance reaches the threshold. A real video decoder drops
-  // in at the byte-extraction seam (as ImageIO does for m03/m04) — the
-  // shot logic itself is codec-agnostic.
+  // when the distance reaches the threshold. The payloads here are (and
+  // stay) FABRICATED md5 chains: the JDK ships no video codec — images
+  // got real ImageIO kernels (m03/m04/m12/m13) and audio got real
+  // AudioSystem kernels (m14/m15), but video decode would need an
+  // external dependency the build contract forbids. A real video
+  // decoder drops in at the byte-extraction seam exactly as those do —
+  // the shot logic itself is codec-agnostic.
   //
   // Scale shape: ALL of a clip's frames live in its own payload row, so
   // frame diffs, boundary tests, and the shot count are row-local
@@ -574,8 +586,10 @@ object MultimodalQueries {
   // frames, keep the active ones, and group consecutive frame indices
   // via the `f − row_number()` island key (consecutive actives share
   // it; any silence gap shifts it). Frame energy = Σ bytes (exact
-  // integers); a real energy/VAD kernel drops in at the byte-extraction
-  // seam exactly as ImageIO does for m03/m04.
+  // integers) over FABRICATED payloads — m15 is the same segmentation
+  // re-based on REAL `AudioSystem`-decoded PCM; this formulation stays
+  // for its distinct plan-shape lesson (modality gate filters BEFORE
+  // the fan-out).
   //
   // Scale shape: explode is partition-local and bounded (frames/clip);
   // the ONE shuffle is the island window keyed by clip id — state per
@@ -621,6 +635,105 @@ object MultimodalQueries {
       fr AS (SELECT doc_id, h, unnest(range(0, $nFrames)) AS f FROM a),
       en AS (SELECT doc_id, f, CAST($energySql AS BIGINT) AS energy FROM fr),
       sp AS (SELECT doc_id, f, energy FROM en WHERE energy > $vadThr),
+      isl AS (SELECT doc_id, f, energy,
+                     f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                       AS island
+              FROM sp)
+      SELECT doc_id, CAST(min(f) AS BIGINT) AS seg_start,
+             CAST(max(f) AS BIGINT) AS seg_end,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS energy_sum
+      FROM isl GROUP BY doc_id, island
+    """ })
+
+  // ---- m14: REAL javax.sound.sampled WAV decode → PCM features --------
+  //
+  // The m03 playbook at the audio seam: fabricate a deterministic 16-bit
+  // PCM clip per doc (pure integer formula of doc_id), REALLY encode it
+  // into a WAV container with `AudioSystem` on the executors, then
+  // REALLY parse it back in the batched mapPartitions pipeline and
+  // report sample statistics + a PCM checksum. WAV/PCM is lossless, so
+  // the DuckDB oracle predicts the decoded samples from the SAME
+  // integer formula without owning a codec — a parser bug (endianness,
+  // header offset, sign extension) breaks the hash. The reported
+  // sample_rate comes from the DECODED header, pinning that the real
+  // parser read it. Zero shuffles; same batch loop as m03.
+
+  /** Shared oracle CTE: doc_id → (seed, sample count, PCM list) mirror
+    * of [[graft.etl.AudioDecode.syntheticSamples]].
+    */
+  private val pcmCte = """
+      a AS (SELECT doc_id,
+                   CAST(doc_id % 211 AS BIGINT) AS seed,
+                   CAST(64 + 16*(doc_id % 8) AS BIGINT) AS n
+            FROM documents),
+      s AS (SELECT doc_id, n,
+                   list_transform(range(0, n),
+                     i -> (seed + 37*i) % 4001 - 2000) AS pcm
+            FROM a)"""
+
+  /** WAV corpus artifact (real `AudioSystem` encode) — same stored-table
+    * contract as [[pngMedia]], shared by m14 + m15.
+    */
+  private def wavMedia(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "wav_pcm") {
+      graft.etl.AudioDecode.syntheticWavs(s,
+        graft.etl.Tables.spread(graft.etl.Tables.documents(s, d))
+          .select(col("doc_id")))
+    }
+
+  private val m14 = Q(
+    "m14_audio_decode",
+    (s, d) => graft.etl.AudioDecode.decodePipeline(s, wavMedia(s, d)),
+    Some(s"""
+      WITH $pcmCte
+      SELECT doc_id,
+             CAST(${graft.etl.AudioDecode.sampleRate} AS INTEGER) AS sample_rate,
+             CAST(n AS INTEGER) AS n_samples,
+             CAST(list_sum(list_transform(pcm, v -> abs(v))) AS BIGINT) AS sum_abs,
+             CAST(list_min(pcm) AS INTEGER) AS min_s,
+             CAST(list_max(pcm) AS INTEGER) AS max_s,
+             md5(array_to_string(pcm, ',')) AS pcm_md5
+      FROM s
+    """))
+
+  // ---- m15: VAD segmentation over REAL decoded audio -------------------
+  //
+  // m10's gaps-and-islands segmentation re-based on the real codec:
+  // frame energies (Σ |sample| over 16-sample frames) come from
+  // REAL `AudioSystem`-decoded PCM in the batch loop, then the same
+  // explode → threshold → island-window chain as m10. The decode pass
+  // is shuffle-free; the ONE shuffle is the island window keyed by
+  // clip id — state per clip is its own frames. m10 stays as the
+  // fabricated-payload formulation (different plan-shape lesson:
+  // filter-before-fanout on the modality gate).
+
+  private val vadThrReal = 16000L
+
+  private val m15 = Q(
+    "m15_audio_vad_real",
+    (s, d) => {
+      val frames = graft.etl.AudioDecode.frameEnergyPipeline(s, wavMedia(s, d))
+      val speech = frames.filter(col("energy") > vadThrReal)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      speech.withColumn("island", col("f") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("f")).as("seg_start"), max(col("f")).as("seg_end"),
+          count(lit(1)).as("n_frames"), sum(col("energy")).as("energy_sum"))
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_frames"), col("energy_sum"))
+    },
+    Some {
+      val fs = graft.etl.AudioDecode.frameSamples
+      s"""
+      WITH $pcmCte,
+      fr AS (SELECT doc_id, unnest(range(0, n // $fs)) AS f, pcm FROM s),
+      en AS (SELECT doc_id, f,
+                    CAST(list_sum(list_transform(range(0, $fs),
+                      i -> abs(pcm[f*$fs + i + 1]))) AS BIGINT) AS energy
+             FROM fr),
+      sp AS (SELECT doc_id, f, energy FROM en WHERE energy > $vadThrReal),
       isl AS (SELECT doc_id, f, energy,
                      f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
                        AS island
@@ -688,5 +801,6 @@ object MultimodalQueries {
     """))
 
   def all: Seq[Q] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13,
+      m14, m15)
 }

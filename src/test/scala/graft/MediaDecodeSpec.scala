@@ -1,8 +1,9 @@
 package graft
 
-import graft.etl.MediaDecode
+import graft.etl.{AudioDecode, MediaDecode}
 
-/** Pins the REAL JDK codec kernels behind m03/m04:
+/** Pins the REAL JDK codec kernels behind m03/m04 (and the audio twins
+  * behind m14/m15):
   *
   *  - PNG grayscale encode→decode is bit-lossless (the property the
   *    DuckDB oracles rely on to predict decoded pixels without a codec);
@@ -10,6 +11,8 @@ import graft.etl.MediaDecode
   *    dst(x,y) ← src(2x+1, 2y+1) on this JDK — if a JDK upgrade ever
   *    changes the resample phase, this suite fails loudly instead of the
   *    oracle silently desyncing;
+  *  - WAV 16-bit PCM encode→parse via `javax.sound.sampled` is
+  *    bit-lossless and round-trips the declared header;
   *  - the distributed pipelines produce exactly the formula-predicted
   *    features over a planted corpus.
   */
@@ -68,6 +71,52 @@ class MediaDecodeSpec extends SparkSpec {
       val sum = g.map(_.toLong).sum
       assert(r.getDouble(4) == math.rint(sum / (w * h * 255.0) * 1e6) / 1e6)
     }
+  }
+
+  test("WAV PCM16 encode -> parse is bit-lossless, header round-trips") {
+    // full 16-bit envelope: extremes, zero, both signs
+    val s = Array(Short.MinValue.toInt, -1, 0, 1, Short.MaxValue.toInt,
+      -2000, 2000, 1234, -4321) ++ Array.tabulate(55)(i => (i * 997) % 4001 - 2000)
+    val wav = AudioDecode.encodeWavPcm16(s)
+    // real RIFF/WAVE container, not a passthrough
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, back) = AudioDecode.decodeWavPcm16(wav)
+    assert(rate == AudioDecode.sampleRate && back.toSeq == s.toSeq)
+    // out-of-range samples must refuse rather than silently truncate
+    assertThrows[IllegalArgumentException] {
+      AudioDecode.encodeWavPcm16(Array(40000))
+    }
+  }
+
+  test("syntheticSamples -> audio pipelines match formula predictions") {
+    val ids = Seq(0L, 1L, 7L, 41L, 210L, 211L, 997L).toDF("doc_id")
+    val media = AudioDecode.syntheticWavs(spark, ids)
+
+    val decoded = AudioDecode.decodePipeline(spark, media)
+      .orderBy("doc_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val s = AudioDecode.syntheticSamples(id)
+      assert(r.getInt(1) == AudioDecode.sampleRate)
+      assert(r.getInt(2) == s.length)
+      assert(r.getLong(3) == s.map(v => math.abs(v).toLong).sum)
+      assert(r.getInt(4) == s.min && r.getInt(5) == s.max)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.mkString(",").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(r.getString(6) == md)
+    }
+
+    val frames = AudioDecode.frameEnergyPipeline(spark, media)
+      .orderBy("doc_id", "f").as[(Long, Long, Long)].collect()
+    val expect = Seq(0L, 1L, 7L, 41L, 210L, 211L, 997L).flatMap { id =>
+      val s = AudioDecode.syntheticSamples(id)
+      s.grouped(AudioDecode.frameSamples).zipWithIndex.map { case (fr, f) =>
+        (id, f.toLong, fr.map(v => math.abs(v).toLong).sum)
+      }
+    }.sorted
+    assert(frames.toSeq == expect)
   }
 
   test("syntheticRaster -> pipelines match formula-predicted features") {
