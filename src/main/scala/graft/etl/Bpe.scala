@@ -49,7 +49,10 @@ object Bpe {
           expr("array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), ' ')"),
           lit(" ")).as("seg")))
-    val out = (1 to rounds).map { r =>
+    val out = Seq.newBuilder[DataFrame]
+    var dried = false
+    var r = 1
+    while (r <= rounds && !dried) {
       val syms = seg
         .withColumn("sy",
           expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
@@ -64,21 +67,57 @@ object Bpe {
       val best = policy.barrier(pairCounts
         .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
         .limit(1))
-      seg = seg
-        .crossJoin(broadcast(
-          best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
-        .withColumn("sy",
-          expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
-        .withColumn("sy2", expr(
-          "aggregate(sy, cast(array() as array<string>), (acc, x) -> " +
-            "IF(size(acc) > 0 AND element_at(acc, -1) = _m1 AND x = _m2, " +
-            "concat(slice(acc, 1, size(acc) - 1), array(concat(_m1, _m2))), " +
-            "concat(acc, array(x))))"))
-        .select(col("cnt"),
-          concat(lit(" "), array_join(col("sy2"), " "), lit(" ")).as("seg"))
-      seg = policy.barrier(seg)
-      best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
+      // dried-up corpus (no adjacent pair left): stop the driver loop —
+      // output semantics are unchanged (later rounds could only emit
+      // empty frames) but a vocab-size target far past the corpus's
+      // merge capacity no longer pays for dead rounds. `best` is the
+      // eagerly-barriered 1-row frame, so isEmpty is a cheap scan.
+      if (best.isEmpty) dried = true
+      else {
+        seg = seg
+          .crossJoin(broadcast(
+            best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
+          .withColumn("sy",
+            expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
+          .withColumn("sy2", expr(
+            "aggregate(sy, cast(array() as array<string>), (acc, x) -> " +
+              "IF(size(acc) > 0 AND element_at(acc, -1) = _m1 AND x = _m2, " +
+              "concat(slice(acc, 1, size(acc) - 1), array(concat(_m1, _m2))), " +
+              "concat(acc, array(x))))"))
+          .select(col("cnt"),
+            concat(lit(" "), array_join(col("sy2"), " "), lit(" ")).as("seg"))
+        seg = policy.barrier(seg)
+        out += best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
+      }
+      r += 1
     }
-    out.reduce(_ unionAll _)
+    val frames = out.result()
+    if (frames.isEmpty)
+      hist.sparkSession.emptyDataFrame
+        .select(lit(0).as("round"), lit("").as("s1"), lit("").as("s2"),
+          lit(0L).as("freq")).limit(0)
+    else frames.reduce(_ unionAll _)
+  }
+
+  /** Run merges to a VOCABULARY-SIZE target — the stop condition a real
+    * tokenizer build uses (SentencePiece/HF `vocab_size`): the final
+    * vocabulary is the distinct initial symbols (single characters of
+    * the histogram words) plus ONE new symbol per completed merge, so
+    * the merge budget is `vocabSize − |base alphabet|`. One tiny
+    * driver-side scalar (a distinct-count over the character explode —
+    * alphabet-sized, not corpus-sized) picks the round count; training
+    * stops early if the corpus dries up first, in which case the
+    * achievable vocabulary is smaller than the target (the returned
+    * merge table's row count says by how much).
+    */
+  def trainToVocab(hist: DataFrame, vocabSize: Int,
+                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val base = hist
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .distinct().count()
+    require(vocabSize > base,
+      s"vocabSize $vocabSize must exceed the base alphabet ($base symbols)")
+    train(hist, (vocabSize - base).toInt, policy)
   }
 }

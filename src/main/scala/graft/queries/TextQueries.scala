@@ -2631,7 +2631,12 @@ object TextQueries {
   // TakeOrderedAndProject, no global sort. Words reduced to a single
   // symbol stop contributing pairs and are filtered from pair counting.
 
-  private val bpeRounds = 3
+  // 10 merges: enough that the trainer is visibly a LOOP (several of
+  // them land on multi-character symbols produced by earlier rounds),
+  // while the vocabulary-sized per-round cost keeps the entry benchable.
+  // A 30k-merge production build is the same driver loop via
+  // `Bpe.trainToVocab` (vocab-size stop condition).
+  private val bpeRounds = 10
 
   private val t67 = Q(
     "t67_bpe_train",
@@ -2650,6 +2655,13 @@ object TextQueries {
       // separator and yield [aa,a,a], diverging from the Spark fold —
       // BpePropertySpec pins the semantics against an in-memory
       // reference).
+      // MATERIALIZED is load-bearing at 10 rounds: DuckDB inlines plain
+      // CTEs, and each round references its predecessor ~3× (pair count,
+      // merge-scan anchor, best join) — inlined, seg0 would re-expand
+      // 3^R times (observed as "too many open files" on the parquet at
+      // R=10). Materializing each round's seg/best pins the per-round
+      // cost, which is exactly the Spark side's eager-barrier discipline
+      // expressed in the oracle.
       val roundCtes = (1 to bpeRounds).map { r =>
         s"""
       sy$r AS (SELECT cnt,
@@ -2661,7 +2673,7 @@ object TextQueries {
                       sum(cnt) AS freq
                FROM sy$r, LATERAL unnest(generate_series(1, len(sy) - 1)) g(i)
                WHERE len(sy) >= 2 GROUP BY 1, 2),
-      b$r AS (SELECT s1, s2, CAST(freq AS BIGINT) AS freq,
+      b$r AS MATERIALIZED (SELECT s1, s2, CAST(freq AS BIGINT) AS freq,
                      ' ' || s1 || ' ' || s2 || ' ' AS pat,
                      ' ' || s1 || s2 AS rep
               FROM pc$r ORDER BY freq DESC, s1 ASC, s2 ASC LIMIT 1),
@@ -2673,7 +2685,7 @@ object TextQueries {
                substr(m.todo, strpos(m.todo, b.pat) + length(b.pat) - 1)
         FROM mg$r m, b$r b
         WHERE strpos(m.todo, b.pat) > 0),
-      seg$r AS (
+      seg$r AS MATERIALIZED (
         SELECT m.cnt, m.done || m.todo AS seg
         FROM mg$r m, b$r b
         WHERE strpos(m.todo, b.pat) = 0)"""
@@ -2686,7 +2698,7 @@ object TextQueries {
         SELECT tok AS w, count(*) AS cnt
         FROM (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY 1),
-      seg0 AS (
+      seg0 AS MATERIALIZED (
         SELECT cnt,
                ' ' || array_to_string(list_transform(range(1, length(w) + 1),
                  i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seg

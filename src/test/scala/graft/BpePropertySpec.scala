@@ -15,9 +15,12 @@ import graft.etl.Bpe
   */
 class BpePropertySpec extends SparkSpec {
 
-  /** In-memory reference BPE over a word histogram. */
-  private def refBpe(
-      hist: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] = {
+  /** In-memory reference BPE over a word histogram: returns the merge
+    * schedule and the per-round segmentation history (round 0 = the
+    * character split; round k = after k merges) keyed by word.
+    */
+  private def refBpeFull(hist: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Seq[Map[String, Vector[String]]]) = {
     def mergeSeq(s: Vector[String], p: (String, String)): Vector[String] = {
       val b = Vector.newBuilder[String]
       var i = 0
@@ -28,28 +31,36 @@ class BpePropertySpec extends SparkSpec {
       }
       b.result()
     }
-    // segmentation vectors concatenate back to their word, so distinct
-    // words keep distinct keys through any merge sequence
-    var segs: Map[Vector[String], Long] = hist
+    // segmentations keyed by WORD (they concatenate back to it), so
+    // distinct words keep distinct keys through any merge sequence
+    var segs: Map[String, Vector[String]] = hist
       .filter(_._1.length >= 2)
-      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+      .map { case (w, _) => (w, w.map(_.toString).toVector) }
+    val cnt = hist
     val out = Seq.newBuilder[(Int, String, String, Long)]
+    val history = Seq.newBuilder[Map[String, Vector[String]]]
+    history += segs
     var r = 1
     var done = false
     while (r <= rounds && !done) {
       val pc = collection.mutable.Map[(String, String), Long]()
-      for ((s, c) <- segs if s.length >= 2; i <- 0 until s.length - 1)
-        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + c
+      for ((w, s) <- segs if s.length >= 2; i <- 0 until s.length - 1)
+        pc((s(i), s(i + 1))) = pc.getOrElse((s(i), s(i + 1)), 0L) + cnt(w)
       if (pc.isEmpty) done = true
       else {
         val ((s1, s2), f) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
         out += ((r, s1, s2, f))
-        segs = segs.map { case (s, c) => (mergeSeq(s, (s1, s2)), c) }
+        segs = segs.map { case (w, s) => (w, mergeSeq(s, (s1, s2))) }
+        history += segs
         r += 1
       }
     }
-    out.result()
+    (out.result(), history.result())
   }
+
+  private def refBpe(
+      hist: Map[String, Long], rounds: Int): Seq[(Int, String, String, Long)] =
+    refBpeFull(hist, rounds)._1
 
   private val word: Gen[String] =
     Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
@@ -74,6 +85,77 @@ class BpePropertySpec extends SparkSpec {
       val exp = refBpe(hist, rounds = 3)
       assert(got == exp, s"hist=$hist")
     }
+  }
+
+  test("deep schedules: distributed ≡ reference at 12 merge rounds") {
+    import spark.implicits._
+    // a repetition-heavy corpus that sustains many merges (t67 runs 10
+    // on the real corpus; this pins the loop well past that depth)
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L, "cabcab" -> 2L, "abc" -> 9L, "ab" -> 6L)
+    val got = Bpe.train(hist.toSeq.toDF("w", "cnt"), rounds = 12).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val exp = refBpe(hist, rounds = 12)
+    assert(got == exp && got.length >= 10,
+      s"schedule too shallow (${got.length}) or diverged")
+    // several late merges must consume EARLIER merge outputs (the
+    // sequential dependency a one-shot pair count cannot express)
+    assert(got.exists { case (r, s1, s2, _) =>
+      r > 3 && (s1.length > 1 || s2.length > 1) })
+  }
+
+  test("round k's segmentation is a refinement of round k-1's") {
+    // every round-k symbol must be the concatenation of CONSECUTIVE
+    // round-(k-1) symbols — merging can only coarsen, never re-cut.
+    // Pinned on the reference history; the distributed trainer emits
+    // the identical merge schedule (previous tests), and segmentation
+    // is a deterministic function of the schedule, so the property
+    // transfers.
+    val hists = Gen.listOfN(15, corpus)
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    (hists :+ Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L))
+      .foreach { hist =>
+        val (_, history) = refBpeFull(hist, rounds = 12)
+        history.sliding(2).foreach {
+          case Seq(prev, cur) =>
+            cur.foreach { case (w, seg) =>
+              val fine = prev(w)
+              // walk seg against fine: each coarse symbol must equal the
+              // concatenation of the next 1..n fine symbols
+              var i = 0
+              seg.foreach { sym =>
+                var acc = new StringBuilder
+                while (acc.length < sym.length && i < fine.length) {
+                  acc ++= fine(i); i += 1
+                }
+                assert(acc.toString == sym,
+                  s"round-k symbol '$sym' is not a run of round-(k-1) " +
+                    s"symbols $fine (word $w)")
+              }
+              assert(i == fine.length, s"leftover fine symbols in $w")
+            }
+          case _ => ()
+        }
+      }
+  }
+
+  test("trainToVocab: merge budget = vocabSize - base alphabet") {
+    import spark.implicits._
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L)
+    val df = hist.toSeq.toDF("w", "cnt")
+    // base alphabet {a, b, c} = 3; target 8 → exactly 5 merges
+    val merges = Bpe.trainToVocab(df, vocabSize = 8).collect()
+    assert(merges.length == 5)
+    assert(merges.map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    // a target below the alphabet is a contract violation, not 0 rounds
+    assertThrows[IllegalArgumentException] {
+      Bpe.trainToVocab(df, vocabSize = 3)
+    }
+    // a dried-up corpus stops early: "ab"x1 supports exactly 1 merge
+    val tiny = Seq(("ab", 1L)).toDF("w", "cnt")
+    assert(Bpe.trainToVocab(tiny, vocabSize = 10).collect().length == 1)
   }
 
   test("aaa-style overlap merges left-to-right, not greedily re-paired") {

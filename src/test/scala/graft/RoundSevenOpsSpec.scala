@@ -66,12 +66,12 @@ class RoundSevenOpsSpec extends SparkSpec {
       }
   }
 
-  test("t67: three distinct merges, non-increasing frequency") {
+  test("t67: ten distinct merges, non-increasing frequency") {
     val rows = run("t67_bpe_train").collect()
       .sortBy(_.getAs[Int]("round"))
-    assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 10))
     val merges = rows.map(r => (r.getAs[String]("s1"), r.getAs[String]("s2")))
-    assert(merges.distinct.length == 3, s"repeated merge: ${merges.toSeq}")
+    assert(merges.distinct.length == 10, s"repeated merge: ${merges.toSeq}")
     val freqs = rows.map(_.getAs[Long]("freq"))
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b },
       s"round frequencies must be non-increasing: ${freqs.toSeq}")
