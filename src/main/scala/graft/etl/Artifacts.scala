@@ -31,23 +31,40 @@ object Artifacts {
     */
   def locked[T](body: => T): T = lock.synchronized(body)
 
-  /** Thread-scoped cache-key salt (see [[withSalt]]). */
-  private val saltLocal = new ThreadLocal[String]
+  /** Thread-scoped cache-key salt (see [[withSalt]]). INHERITABLE so a
+    * thread SPAWNED inside a salted `body` (a streaming query thread, a
+    * parallel-collection task thread created there) sees the caller's
+    * salt instead of silently reading the unsalted artifact — the
+    * stale-artifact failure the salt exists to prevent. Remaining
+    * caveat, by JDK semantics: threads from a pool CREATED BEFORE the
+    * salt was set inherit nothing; [[shared]] records the salting
+    * thread and warns on a cross-thread build so that case is loud.
+    */
+  private val saltLocal = new InheritableThreadLocal[String]
+
+  /** The thread that set the current salt (mismatch diagnostics). */
+  private val saltThread = new InheritableThreadLocal[Thread]
 
   /** Run `body` with the artifact cache key salted by `salt` on THIS
-    * thread — for tests that must force a REBUILD under a different
-    * session configuration (AqeParitySpec salts each leg so
-    * artifact-building subtrees actually execute under both AQE modes
-    * instead of the second leg silently reading the first leg's
-    * parquet). Thread-local, so a parallel suite's `shared` calls can
-    * never observe another thread's salt — the JVM-global system
-    * property this replaced could leak across suites.
+    * thread (and threads it spawns — inheritable) — for tests that must
+    * force a REBUILD under a different session configuration
+    * (AqeParitySpec salts each leg so artifact-building subtrees
+    * actually execute under both AQE modes instead of the second leg
+    * silently reading the first leg's parquet). Thread-scoped, so a
+    * parallel suite's `shared` calls can never observe another thread's
+    * salt — the JVM-global system property this replaced could leak
+    * across suites.
     */
   def withSalt[T](salt: String)(body: => T): T = {
     val old = saltLocal.get()
+    val oldT = saltThread.get()
     saltLocal.set(salt)
+    saltThread.set(Thread.currentThread())
     try body
-    finally if (old == null) saltLocal.remove() else saltLocal.set(old)
+    finally {
+      if (old == null) saltLocal.remove() else saltLocal.set(old)
+      if (oldT == null) saltThread.remove() else saltThread.set(oldT)
+    }
   }
 
   /** Cache key = collision-free digest of the dataset path (an Int
@@ -61,6 +78,18 @@ object Artifacts {
       .map("%02x".format(_)).mkString
     val salt = Option(saltLocal.get())
       .filter(_.nonEmpty).map("_" + _).getOrElse("")
+    // a salted build landing on a thread that did NOT set (or inherit)
+    // the salt is the cross-thread seam withSalt's scaladoc warns about
+    // — it still works (the salt was inherited if this line runs), but
+    // a build from a PRE-EXISTING pool thread would arrive here
+    // unsalted; make the diagnosis possible rather than silent
+    if (salt.nonEmpty && (saltThread.get() ne Thread.currentThread()))
+      System.err.println(
+        s"[artifacts] NOTE: salted build '$tag' runs on " +
+          s"${Thread.currentThread().getName}, salt set by " +
+          s"${Option(saltThread.get()).map(_.getName).getOrElse("?")} — " +
+          "inherited correctly, but pool threads created before the salt " +
+          "would not inherit it")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"${digest}_${ProcessHandle.current().pid()}$salt"
     lock.synchronized {

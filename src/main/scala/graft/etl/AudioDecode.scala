@@ -44,6 +44,20 @@ object AudioDecode {
   private def pcmFormat: AudioFormat =
     new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
 
+  /** One-time JDK-behavior sentinel (the [[MediaDecode]] pattern):
+    * encode→parse a known 8-sample clip and assert exact samples + the
+    * declared header, once per JVM that runs a decode pipeline — a JDK
+    * change to the WAV writer/parser fails HERE with a named error, not
+    * as a remote oracle hash mismatch.
+    */
+  private lazy val jdkSentinel: Unit = {
+    val s = Array(Short.MinValue.toInt, -1, 0, 1, Short.MaxValue.toInt,
+      -2000, 2000, 777)
+    val (rate, back) = decodeWavPcm16(encodeWavPcm16(s))
+    require(rate == sampleRate && java.util.Arrays.equals(back, s),
+      "JDK sentinel: WAV PCM16 encode→parse no longer bit-lossless")
+  }
+
   /** Encode 16-bit signed samples as a WAV file (real `AudioSystem`
     * container writer, little-endian PCM payload).
     */
@@ -119,6 +133,7 @@ object AudioDecode {
   def decodePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel // once per executor JVM: fail at the decode site
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (rate, s) = decodeWavPcm16(r.media)
@@ -143,6 +158,7 @@ object AudioDecode {
   def frameEnergyPipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (_, s) = decodeWavPcm16(r.media)

@@ -37,9 +37,24 @@ object FixedPoint {
     * callers emitting a fixed schema cast the result explicitly — an
     * overflow in that final cast is then an ANSI error at the seam, never
     * a silent wrap inside the accumulator.
+    *
+    * ANSI PRECONDITION, enforced: the long path's fail-loudly guarantee
+    * on a LYING bound (declared bound too small → overflow) is ANSI
+    * overflow checking. With `spark.sql.ansi.enabled=false` the long sum
+    * would wrap SILENTLY — the exact latent bug this object exists to
+    * eliminate — so choosing the long path under ANSI-off throws here at
+    * plan time instead. The decimal path needs no such check (decimal
+    * sums can't wrap; they fail or stay exact in either mode).
     */
   def sumExact(c: Column, rowsPerGroupBound: Long,
                termMagnitudeBound: Long): Column =
-    if (longIsSafe(rowsPerGroupBound, termMagnitudeBound)) sum(c)
-    else sum(c.cast(DecimalType(38, 0)))
+    if (longIsSafe(rowsPerGroupBound, termMagnitudeBound)) {
+      val ansiOn = org.apache.spark.sql.SparkSession.getActiveSession
+        .forall(_.conf.get("spark.sql.ansi.enabled", "true").toBoolean)
+      require(ansiOn,
+        "FixedPoint.sumExact long path requires spark.sql.ansi.enabled=true " +
+          "(with ANSI off a lying magnitude bound would wrap silently); " +
+          "enable ANSI or declare bounds that select the decimal path")
+      sum(c)
+    } else sum(c.cast(DecimalType(38, 0)))
 }

@@ -51,6 +51,33 @@ object MediaDecode {
   // these payloads are tiny in-memory arrays.
   ImageIO.setUseCache(false)
 
+  /** One-time JDK-behavior sentinel, forced on every JVM that runs a
+    * decode pipeline (lazy val referenced from the batch loops, so each
+    * executor JVM pays it once): encode→decode→resize a known 4×4
+    * raster and assert the exact bytes. The oracle contract leans on
+    * two JDK-specific behaviors pinned otherwise only in tests — PNG
+    * gray round-trip losslessness and `AffineTransformOp`'s NN phase
+    * dst(x,y) ← src(2x+1, 2y+1) — and a JDK upgrade changing either
+    * would otherwise surface as a remote oracle hash mismatch, far from
+    * the cause. This fails AT THE DECODE SITE with a named error
+    * instead.
+    */
+  private lazy val jdkSentinel: Unit = {
+    val px = Array.tabulate(16)(i => (i * 17).toByte)
+    val (w, h, back) = decodePngGray(encodePngGray(4, 4, px))
+    require(w == 4 && h == 4 && java.util.Arrays.equals(back, px),
+      "JDK sentinel: PNG gray encode→decode no longer bit-lossless")
+    val (rw, rh, rpx) = decodePngGray(halfScaleNN(4, 4, encodePngGray(4, 4, px)))
+    val expect = Array(px(5), px(7), px(13), px(15)) // src(2x+1, 2y+1)
+    require(rw == 2 && rh == 2 && java.util.Arrays.equals(rpx, expect),
+      "JDK sentinel: AffineTransformOp NN phase changed (expected " +
+        "dst(x,y) <- src(2x+1, 2y+1))")
+    val cpx = Array.tabulate(48)(i => (i * 11).toByte)
+    val (cw, ch, cback) = decodePngRgb(encodePngRgb(4, 4, cpx))
+    require(cw == 4 && ch == 4 && java.util.Arrays.equals(cback, cpx),
+      "JDK sentinel: PNG BGR encode→decode no longer bit-lossless")
+  }
+
   /** Encode a grayscale raster (row-major, unsigned bytes) as PNG. */
   def encodePngGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
     require(px.length == w * h, s"raster ${px.length} != ${w}x$h")
@@ -228,6 +255,7 @@ object MediaDecode {
   def decodePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel // once per executor JVM: fail at the decode site
       it.grouped(batchSize).flatMap { batch =>
         // per-batch decoder init would go here (codec/model handle)
         batch.iterator.map(r => features(r.doc_id, r.media))
@@ -242,6 +270,7 @@ object MediaDecode {
   def decodeRgbPipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     val feats = media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (w, h, px) = decodePngRgb(r.media)
@@ -270,6 +299,7 @@ object MediaDecode {
   def grayscalePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val (w, h, px) = decodePngRgb(r.media)
@@ -287,6 +317,7 @@ object MediaDecode {
   def resizePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     featuresToDf(spark, media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           // ONE decode per payload: the decoded image feeds the resize

@@ -43,6 +43,25 @@ class FixedPointSpec extends SparkSpec {
     assert(BigInt(exact.toBigInteger) == expect)
   }
 
+  test("ANSI-off: the long path refuses at plan time (no silent wrap)") {
+    // with ANSI off the long path's fail-loudly guarantee evaporates —
+    // sumExact must refuse to hand back a silently-wrapping accumulator
+    val key = "spark.sql.ansi.enabled"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val e = intercept[IllegalArgumentException] {
+        Seq(1L).toDF("v").agg(FixedPoint.sumExact(col("v"), 2L, 2L))
+      }
+      assert(e.getMessage.contains("ansi"))
+      // the decimal path stays available under either mode (can't wrap)
+      val d = Seq(1L, 2L).toDF("v")
+        .agg(FixedPoint.sumExact(col("v"), 100000000000L, 1000000000L))
+        .as[java.math.BigDecimal].head()
+      assert(d.longValueExact() == 3L)
+    } finally spark.conf.set(key, old)
+  }
+
   test("decimal accumulator equals long accumulator where long is valid") {
     val df = (1L to 1000L).toDF("v")
     val r = df.agg(
