@@ -20,6 +20,22 @@ object Artifacts {
     */
   private val lock = new Object
 
+  /** Wall seconds spent BUILDING each shared artifact in this JVM (tag →
+    * sec). The first consumer query of an artifact pays its build inside
+    * its own timed window; Bench reports this map as a separate
+    * `build_sec`/`builds` line so the steady-state (artifact-warm)
+    * per-query cost is visible next to the total-including-builds budget
+    * number — a one-time table build and a per-run query cost scale
+    * differently at 100 TB and should be read differently.
+    */
+  private val buildTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+
+  def buildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildTimes.asScala.map { case (k, v) => (k, v.doubleValue) }.toMap
+  }
+
   /** Run `body` holding the artifact build lock — for callers that must
     * scope a SESSION-GLOBAL conf around a build (Tables.events' legacy
     * nanos conf): holding the lock serializes the conf window against
@@ -94,7 +110,10 @@ object Artifacts {
       s"${digest}_${ProcessHandle.current().pid()}$salt"
     lock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
         build.write.mode("overwrite").parquet(path)
+        buildTimes.merge(tag, (System.nanoTime() - t0) / 1e9,
+          (a, b) => a.doubleValue + b.doubleValue)
         // per-process artifact: clean up on JVM exit (same hygiene as
         // the t34 index — repeated runs must not accumulate in tmpdir)
         sys.addShutdownHook {

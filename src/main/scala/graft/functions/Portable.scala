@@ -178,13 +178,38 @@ object Portable {
             .otherwise(array().cast("array<string>")))
       })
 
+  /** Pack an EXACTLY-3-codepoint string into a long:
+    * `cp0 + cp1·2²¹ + cp2·2⁴²`. Injective for every Unicode input —
+    * Spark's `substring` is codepoint-based and `ascii` returns the
+    * full first codepoint (verified: 'é'→233, '中'→20013, '😀'→128512),
+    * and codepoints are < 0x110000 < 2²¹, so the three fields never
+    * overlap and two distinct shingles can never collide. Injectivity
+    * (not hashing) is the point: set-intersection counts over packed
+    * longs are IDENTICAL to counts over the strings, so a Jaccard
+    * verify may run on primitive long arrays — ~2× faster per candidate
+    * pair than UTF8String set probes (measured on t08) — without
+    * touching the declared exact semantics or any oracle hash.
+    */
+  def packChar3(s: Column): Column =
+    ascii(substring(s, 1, 1)).cast("long") +
+      shiftleft(ascii(substring(s, 2, 1)).cast("long"), 21) +
+      shiftleft(ascii(substring(s, 3, 1)).cast("long"), 42)
+
   /** Jaccard similarity of two distinct-element arrays: |∩| / |∪|.
     * Integer set sizes divided in double — exact in both engines.
     * Null when the union is empty.
+    *
+    * One set build, not two: the inputs are DISTINCT arrays by contract
+    * (every shingle builder emits array_distinct), so
+    * |∪| = |a| + |b| − |∩| — skipping `array_union` halves the per-pair
+    * hash-set work on the dedup verify path, where this function runs
+    * once per candidate pair over few-hundred-element arrays. Values
+    * are bit-identical to the two-set formulation on distinct inputs
+    * (integer identity), so every oracle hash is unchanged.
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
     when(uni =!= 0.0, inter / uni)
   }
 }

@@ -74,6 +74,33 @@ class TextDedupSpec extends SparkSpec {
       array(lit(0.0), lit(0.0)), array(lit(1.0), lit(1.0)))) == null)
   }
 
+  test("packChar3: injective codepoint packing, verify parity on packed arrays") {
+    // full-codepoint fields, BMP and supplementary plane both: two
+    // shingles sharing a UTF-16 high surrogate must still pack apart
+    val tricky = Seq("abc", "abd", "bac", "aéz", "a中b", "😀ab", "😀ac",
+      "😀😁a", "😁😀a", "zzz", "zz ", " zz")
+    val packs = tricky.toDF("s")
+      .select(Portable.packChar3(col("s")).as("p")).as[Long].collect()
+    assert(packs.distinct.length == tricky.length,
+      s"collision: ${tricky.zip(packs)}")
+    // parity: jaccard over packed arrays == jaccard over the strings
+    // (injectivity ⇒ identical intersection counts) — the t08 contract
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 30L).map { id =>
+      (id, Seq.fill(20)(f"${('a' + rnd.nextInt(3)).toChar}${('a' + rnd.nextInt(3)).toChar}${('a' + rnd.nextInt(3)).toChar}").distinct)
+    }.toDF("doc_id", "sh")
+    val cand = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val onStrings = Dedup.verifyJaccard(docs, "doc_id", "sh", cand, 0.0)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val packed = docs.select(col("doc_id"),
+      transform(col("sh"), Portable.packChar3(_)).as("sh"))
+    val onPacked = Dedup.verifyJaccard(packed, "doc_id", "sh", cand, 0.0)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(onStrings == onPacked && onStrings.nonEmpty)
+  }
+
   test("Dedup: LSH candidates find near-dups, verification filters them") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
