@@ -150,6 +150,39 @@ object AudioDecode {
       md5(col("pcm_csv")).as("pcm_md5"))
   }
 
+  /** (doc_id, media: WAV binary) → decode, 2× DECIMATION (keep every
+    * 2nd sample — the integer-exact resample kernel, the audio twin of
+    * [[MediaDecode.resizePipeline]]'s NN half-scale), re-encode WAV,
+    * parse again, features of the result. The re-encode→parse leg
+    * proves the writer inside the same distributed loop (WAV/PCM
+    * losslessness makes it a no-op on the samples, so the oracle still
+    * predicts them: sample i of the output = source sample 2i).
+    * Sample counts are multiples of [[frameSamples]] = 16, so halving
+    * never leaves a ragged frame.
+    */
+  def decimatePipeline(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      jdkSentinel
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val (_, s) = decodeWavPcm16(r.media)
+          val half = Array.tabulate(s.length / 2)(i => s(2 * i))
+          val (rate, back) = decodeWavPcm16(encodeWavPcm16(half))
+          var sa = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          back.foreach { v =>
+            sa += math.abs(v).toLong
+            if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          AudioFeatures(r.doc_id, rate, back.length, sa, mn, mx,
+            back.mkString(","))
+        }
+      }
+    }.toDF().select(col("doc_id"), col("sample_rate"), col("n_samples"),
+      col("sum_abs"), col("min_s"), col("max_s"),
+      md5(col("pcm_csv")).as("pcm_md5"))
+  }
+
   /** (doc_id, media: WAV binary) → (doc_id, f, energy): per-frame
     * absolute energy (Σ |sample| over [[frameSamples]]-sample frames)
     * computed from REAL decoded samples in the batch loop, then exploded

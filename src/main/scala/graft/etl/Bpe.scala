@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-round BPE training over a weighted word histogram (the t67
@@ -98,6 +98,32 @@ object Bpe {
           lit(0L).as("freq")).limit(0)
     else frames.reduce(_ unionAll _)
   }
+
+  /** The APPLY half of the tokenizer (train/apply asymmetry — e19's
+    * build/probe contract for subword vocabularies): segment a word
+    * column with an ORDERED merge list, replaying each merge as the
+    * same greedy left-to-right fold [[train]] uses, so a word present
+    * in the training histogram segments EXACTLY as round R left it and
+    * an unseen word segments the way the trained tokenizer would.
+    *
+    * The merge list rides in the PLAN as literals — a 10–100-merge
+    * table is plan-sized; a production 30k-merge vocabulary instead
+    * broadcasts the merge table and applies a priority-queue merge in a
+    * mapPartitions kernel (same seam, different constant). Callers
+    * should segment the DISTINCT word table and join back (vocabulary-
+    * sized work, the t65/t67 scale argument), not call this per token
+    * occurrence.
+    */
+  def segment(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))) {
+      case (seg, (s1, s2)) =>
+        aggregate(seg, array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(s1) && x === lit(s2),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+            .otherwise(concat(acc, array(x))))
+    }
 
   /** Run merges to a VOCABULARY-SIZE target — the stop condition a real
     * tokenizer build uses (SentencePiece/HF `vocab_size`): the final

@@ -249,6 +249,52 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Recall-preserving PROBE of a persisted band table — the
+    * [[splitKeyed]] strategy applied at the index/probe seam, closing
+    * the asymmetry where [[probeBandTable]]'s cap DELETES every hot
+    * index row (a probe whose near-duplicate lives in a
+    * boilerplate-hot bucket silently misses it). Index rows take ONE
+    * sub-bucket label (`pmod(salted_hash, ⌈n/maxBucket⌉)`, counts over
+    * the FULL persisted table so cross-ingest hot buckets are counted
+    * correctly — the [[bandTable]] contract); probe rows take their own
+    * label AND the adjacent one. Per probe row the hot-bucket join work
+    * is bounded at ~2·maxBucket expected with ZERO index rows dropped;
+    * per band a hot pair is caught when the index label ∈
+    * {probe label, probe label+1} (≈ 2/nsub), independently per band —
+    * the [[splitCandidates]] recall algebra at the probe seam. Cold
+    * buckets behave exactly like the capped probe. Same sort-free plan
+    * shape: one map-side-partial count agg, two equi-joins, no window.
+    */
+  def splitProbeBandTable(
+      probeSig: DataFrame,
+      indexBands: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val hot = indexBands.groupBy(col("bidx"), col("bh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket)
+    val nsub = expr(s"CAST((_n + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+    val salted = Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77)
+    val ix = indexBands.join(hot, Seq("bidx", "bh"), "left")
+      .withColumn("_k",
+        when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
+      .select(col(idCol).as("b"), col("bidx"), col("bh"), col("_k"))
+    val p = banded(probeSig, idCol, numBands, rowsPerBand)
+      .join(hot, Seq("bidx", "bh"), "left")
+      .withColumn("_sub",
+        when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
+      .select(col(idCol).as("a"), col("bidx"), col("bh"),
+        explode(when(col("_n").isNotNull,
+            array(col("_sub"), col("_sub") + lit(1L)))
+          .otherwise(array(col("_sub")))).as("_k"))
+    p.join(ix, Seq("bidx", "bh", "_k"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** Incremental probe: candidate (probe, index) pairs — the probe
     * batch's bands equi-join the INDEX's bands only (never
     * corpus×corpus). The hot-bucket cap applies to the index side (a

@@ -745,6 +745,35 @@ object MultimodalQueries {
       FROM isl GROUP BY doc_id, island
     """ })
 
+  // ---- m16: 2x audio decimation through the real codec -----------------
+  //
+  // The audio twin of m04's NN half-scale: decode the WAV, keep every
+  // 2nd sample (integer-exact decimation — output sample i = source
+  // sample 2i, no filter, no float resampler), re-encode through the
+  // REAL AudioSystem writer, parse again, report the stats. Both codec
+  // directions run inside the timed distributed loop; losslessness
+  // keeps the oracle closed-form. (A production anti-aliased resampler
+  // replaces the kernel at the same seam; decimation is the variant
+  // with an exact cross-engine spec.) Zero shuffles.
+
+  private val m16 = Q(
+    "m16_audio_decimate",
+    (s, d) => graft.etl.AudioDecode.decimatePipeline(s, wavMedia(s, d)),
+    Some(s"""
+      WITH $pcmCte,
+      h AS (SELECT doc_id, n // 2 AS hn,
+                   list_transform(range(0, n // 2), i -> pcm[2*i + 1]) AS half
+            FROM s)
+      SELECT doc_id,
+             CAST(${graft.etl.AudioDecode.sampleRate} AS INTEGER) AS sample_rate,
+             CAST(hn AS INTEGER) AS n_samples,
+             CAST(list_sum(list_transform(half, v -> abs(v))) AS BIGINT) AS sum_abs,
+             CAST(list_min(half) AS INTEGER) AS min_s,
+             CAST(list_max(half) AS INTEGER) AS max_s,
+             md5(array_to_string(half, ',')) AS pcm_md5
+      FROM h
+    """))
+
   // ---- m11: shard manifest (WebDataset-style size-targeted shards) ----
   //
   // Multimodal training data ships as size-targeted archive shards
@@ -802,5 +831,5 @@ object MultimodalQueries {
 
   def all: Seq[Q] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13,
-      m14, m15)
+      m14, m15, m16)
 }

@@ -173,6 +173,74 @@ object TextQueries {
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
     """
 
+  /** DuckDB mirror of the split-PROBE incremental pipeline
+    * (minhashSignatures ×2 → [[graft.etl.Dedup.splitProbeBandTable]] →
+    * two-sided verifyJaccard): hot INDEX buckets are split into
+    * salted-modulus sub-buckets; the probe joins its own label and the
+    * adjacent one, instead of the hot bucket being dropped.
+    */
+  private def lshSplitProbeSql(
+      indexSql: String, probeSql: String, k: Int, numBands: Int,
+      rowsPerBand: Int, maxBucket: Int, threshold: Double): String = {
+    val consts = Portable.minhashConsts(k)
+    val minCols = (0 until k)
+      .map(i => s"min(${Portable.minhashTransformSql("h", consts(i))}) AS m$i")
+      .mkString(",\n               ")
+    def bandRows(sig: String) = (0 until numBands).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS bidx, ${hSql(s"($ms)", 1000 + b)} AS bh FROM $sig"
+    }.mkString("\n        UNION ALL ")
+    val nsub = s"((h.n + ${maxBucket - 1}) // $maxBucket)"
+    s"""
+      WITH ix AS ($indexSql),
+      pb AS ($probeSql),
+      exi AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM ix)),
+      sigi AS (SELECT doc_id,
+               $minCols
+              FROM exi GROUP BY doc_id),
+      exp AS (SELECT doc_id, ${hSql("s", 0)} AS h
+              FROM (SELECT doc_id, unnest(sh) AS s FROM pb)),
+      sigp AS (SELECT doc_id,
+               $minCols
+              FROM exp GROUP BY doc_id),
+      bandi AS (
+        ${bandRows("sigi")}),
+      bandp AS (
+        ${bandRows("sigp")}),
+      hotn AS (SELECT bidx, bh, count(*) AS n FROM bandi
+               GROUP BY 1, 2 HAVING count(*) > $maxBucket),
+      ixk AS (
+        SELECT i.doc_id, i.bidx, i.bh,
+               CASE WHEN h.n IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE ${hSql("i.doc_id || '#' || i.bidx", 77)} % $nsub
+               END AS k
+        FROM bandi i LEFT JOIN hotn h USING (bidx, bh)),
+      pbs AS (
+        SELECT p.doc_id, p.bidx, p.bh, h.n,
+               CASE WHEN h.n IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE ${hSql("p.doc_id || '#' || p.bidx", 77)} % $nsub
+               END AS s
+        FROM bandp p LEFT JOIN hotn h USING (bidx, bh)),
+      pbk AS (
+        SELECT doc_id, bidx, bh,
+               unnest(CASE WHEN n IS NULL THEN [s] ELSE [s, s + 1] END) AS k
+        FROM pbs),
+      cand AS (
+        SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+        FROM pbk p JOIN ixk i USING (bidx, bh, k)
+        WHERE p.doc_id <> i.doc_id),
+      j AS (
+        SELECT a AS doc_a, b AS doc_b,
+               round(CAST(len(list_intersect(ba.sh, bb.sh)) AS DOUBLE)
+                     / len(list_distinct(ba.sh || bb.sh)), 6) AS jaccard
+        FROM cand JOIN pb ba ON ba.doc_id = cand.a
+                  JOIN ix bb ON bb.doc_id = cand.b)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold
+    """
+  }
+
   // ---- t01: token counting -------------------------------------------
 
   private val t01 = Q(
@@ -318,9 +386,10 @@ object TextQueries {
   // the DROP cap to the recall-preserving SPLIT (t72 measured the cap
   // forfeiting 21% of candidate pairs at an aggressive cap; a
   // production user copying t06/t08 now gets the zero-recall-loss
-  // geometry by default). The drop cap survives as the PROBE-side guard
-  // of the incremental entries (t23/t32/t34 — capping a persisted index
-  // at probe time has no split analogue) and as t72's audited baseline.
+  // geometry by default). The drop cap survives as the default
+  // PROBE-side guard of the incremental entries (t32/t34, frozen
+  // semantics) with t74's split probe as the recall-preserving
+  // alternative, and as t72's audited baseline.
 
   private val maxBucket = 20
 
@@ -1109,6 +1178,24 @@ object TextQueries {
 
   private val incShift = 3000000L
 
+  /** (doc_id, sh) index/probe bases of the incremental fixture — shared
+    * by t32 (capped probe) and t74 (split probe).
+    */
+  private val incIndexSql = s"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+        WHERE len(toks) >= 3"""
+
+  private val incProbeSql = s"""
+        SELECT doc_id + $incShift AS doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
+        FROM (SELECT doc_id, $toksSql AS toks FROM documents
+              WHERE doc_id % 10 = 0)
+        WHERE len(toks) >= 3"""
+
   private val t32 = Q(
     "t32_incremental_neardup",
     (s, d) => {
@@ -1130,21 +1217,54 @@ object TextQueries {
       Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
     },
     Some(lshSql(
-      indexSql = s"""
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-        WHERE len(toks) >= 3""",
-      probeSql = Some(s"""
-        SELECT doc_id + $incShift AS doc_id,
-               list_distinct(list_transform(range(1, len(toks) - 1),
-                 i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
-        FROM (SELECT doc_id, $toksSql AS toks FROM documents
-              WHERE doc_id % 10 = 0)
-        WHERE len(toks) >= 3"""),
+      indexSql = incIndexSql,
+      probeSql = Some(incProbeSql),
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
+
+  // ---- t74: recall-preserving incremental probe (split, not cap) ------
+  //
+  // t32's probe CAPS the index side: every band row of a hot index
+  // bucket is dropped, so a new doc whose near-duplicate lives in a
+  // boilerplate-hot corpus bucket silently passes the dedup gate — at
+  // ingest time, exactly where a production pipeline can least afford
+  // silent misses. This is the t70 strategy at the probe seam
+  // (Dedup.splitProbeBandTable): hot index buckets split into
+  // ⌈n/maxBucket⌉ salted-modulus sub-buckets (counts over the FULL
+  // persisted band table — cross-ingest correct), the probe joins its
+  // own label and the adjacent one — ~2·maxBucket expected index rows
+  // per hot probe row, ZERO index rows dropped, cold buckets identical
+  // to the cap. The cap here is deliberately small (3, t70's
+  // reasoning) so the split path genuinely engages at every tested
+  // scale. t32 keeps the cap as its frozen declared semantics.
+
+  private val probeSplitMaxBucket = 3
+
+  private val t74 = Q(
+    "t74_incremental_split_probe",
+    (s, d) => {
+      def shingled(df: DataFrame) = df
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpus = shingled(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = shingled(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
+      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
+      val ixBands = Dedup.bandTable(sigIx, "doc_id",
+        numBands = 3, rowsPerBand = 5)
+      val cand = Dedup.splitProbeBandTable(sigPb, ixBands, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = probeSplitMaxBucket)
+      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+    },
+    Some(lshSplitProbeSql(incIndexSql, incProbeSql,
+      k = 15, numBands = 3, rowsPerBand = 5,
+      maxBucket = probeSplitMaxBucket, threshold = 0.8)))
 
   // ---- t33: split leakage audit ---------------------------------------
   //
@@ -2652,32 +2772,45 @@ object TextQueries {
   // `Bpe.trainToVocab` (vocab-size stop condition).
   private val bpeRounds = 10
 
-  private val t67 = Q(
-    "t67_bpe_train",
-    (s, d) => graft.etl.Bpe.train(
-      Tables.spread(Tables.documents(s, d))
-        .select(explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
-      bpeRounds),
-    Some {
-      // greedy left-to-right merge as a done/todo recursive scan: each
-      // step consumes the FIRST " s1 s2 " occurrence of the remaining
-      // suffix, appends " s1s2" to the done prefix, and keeps the
-      // pattern's trailing space IN the suffix (substr offset −1) so it
-      // can sentinel the next match — exactly BPE's scan-and-skip merge
-      // ([a,a,a,a] → [aa][aa]; a plain replace() would eat the shared
-      // separator and yield [aa,a,a], diverging from the Spark fold —
-      // BpePropertySpec pins the semantics against an in-memory
-      // reference).
-      // MATERIALIZED is load-bearing at 10 rounds: DuckDB inlines plain
-      // CTEs, and each round references its predecessor ~3× (pair count,
-      // merge-scan anchor, best join) — inlined, seg0 would re-expand
-      // 3^R times (observed as "too many open files" on the parquet at
-      // R=10). Materializing each round's seg/best pins the per-round
-      // cost, which is exactly the Spark side's eager-barrier discipline
-      // expressed in the oracle.
-      val roundCtes = (1 to bpeRounds).map { r =>
-        s"""
+  /** The trained merge table, materialized ONCE per (dataset, process)
+    * and shared by t67 (the training run's output) and t73 (the
+    * tokenizer APPLY) — the sharedTokenLshPairs contract at the
+    * vocabulary layer: train once, every consumer reads the merges.
+    */
+  private def sharedBpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "bpemerges") {
+      graft.etl.Bpe.train(
+        Tables.spread(Tables.documents(s, d))
+          .select(explode(TA.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+        bpeRounds)
+    }
+
+  /** Shared DuckDB CTE body of the BPE training loop: hist → seg0 →
+    * (sy/pc/b/mg/seg)×R — ONE source of truth for t67's merge-schedule
+    * oracle and t73's apply oracle (the splitBandCtes discipline).
+    *
+    * Greedy left-to-right merge as a done/todo recursive scan: each
+    * step consumes the FIRST " s1 s2 " occurrence of the remaining
+    * suffix, appends " s1s2" to the done prefix, and keeps the
+    * pattern's trailing space IN the suffix (substr offset −1) so it
+    * can sentinel the next match — exactly BPE's scan-and-skip merge
+    * ([a,a,a,a] → [aa][aa]; a plain replace() would eat the shared
+    * separator and yield [aa,a,a], diverging from the Spark fold —
+    * BpePropertySpec pins the semantics against an in-memory
+    * reference).
+    *
+    * MATERIALIZED is load-bearing at 10 rounds: DuckDB inlines plain
+    * CTEs, and each round references its predecessor ~3× (pair count,
+    * merge-scan anchor, best join) — inlined, seg0 would re-expand
+    * 3^R times (observed as "too many open files" on the parquet at
+    * R=10). Materializing each round's seg/best pins the per-round
+    * cost, which is exactly the Spark side's eager-barrier discipline
+    * expressed in the oracle.
+    */
+  private lazy val bpeCtesSql: String = {
+    val roundCtes = (1 to bpeRounds).map { r =>
+      s"""
       sy$r AS (SELECT cnt,
                       list_slice(string_split(seg, ' '), 2,
                                  len(string_split(seg, ' ')) - 1) AS sy
@@ -2703,12 +2836,8 @@ object TextQueries {
         SELECT m.cnt, m.done || m.todo AS seg
         FROM mg$r m, b$r b
         WHERE strpos(m.todo, b.pat) = 0)"""
-      }.mkString(",")
-      val unioned = (1 to bpeRounds)
-        .map(r => s"SELECT $r AS round, s1, s2, freq FROM b$r")
-        .mkString("\n      UNION ALL ")
-      s"""
-      WITH RECURSIVE hist AS (
+    }.mkString(",")
+    s"""hist AS (
         SELECT tok AS w, count(*) AS cnt
         FROM (SELECT unnest($toksSql) AS tok FROM documents)
         GROUP BY 1),
@@ -2717,10 +2846,71 @@ object TextQueries {
                ' ' || array_to_string(list_transform(range(1, length(w) + 1),
                  i -> substr(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seg
         FROM hist WHERE length(w) >= 2),
-      $roundCtes
+      $roundCtes"""
+  }
+
+  private val t67 = Q(
+    "t67_bpe_train",
+    (s, d) => sharedBpeMerges(s, d),
+    Some {
+      val unioned = (1 to bpeRounds)
+        .map(r => s"SELECT $r AS round, s1, s2, freq FROM b$r")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH RECURSIVE $bpeCtesSql
       $unioned
     """
     })
+
+  // ---- t73: tokenizer APPLY (trained merges → corpus segmentation) ----
+  //
+  // The apply half of the train/apply asymmetry (e19's build/probe
+  // contract at the vocabulary layer): read the t67-trained merge
+  // table from its artifact, segment the DISTINCT word vocabulary with
+  // Bpe.segment (each merge replayed as the training fold — a trained
+  // word segments exactly as round R left it), and join the
+  // vocabulary-sized result back to the corpus for per-document
+  // subword counts and integer per-mille fertility — the number a
+  // tokenizer choice is actually judged by on a corpus.
+  //
+  // Scale shape: the merge table is plan-sized (10 rows; a 30k-merge
+  // vocabulary broadcasts instead — Bpe.segment's scaladoc), the
+  // segmentation runs once per DISTINCT word (vocabulary-sized, the
+  // t65/t67 argument), and the join back is vocabulary ⋈ token-explode
+  // — AQE broadcasts the small side. One corpus-sized explode, one
+  // broadcast join, one doc-keyed agg.
+
+  private val t73 = Q(
+    "t73_bpe_apply",
+    (s, d) => {
+      val merges = sharedBpeMerges(s, d)
+        .orderBy(col("round"))
+        .collect() // 10 plan-sized rows — the merge schedule, not data
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+      val vocab = toks.select(col("w")).distinct()
+        .withColumn("nsub",
+          size(graft.etl.Bpe.segment(col("w"), merges)).cast("long"))
+      toks.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nsub")).as("n_subwords"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          expr("n_subwords * 1000 div n_tokens").as("fertility_pm"))
+    },
+    Some(s"""
+      WITH RECURSIVE $bpeCtesSql,
+      subw AS (SELECT replace(seg, ' ', '') AS w,
+                      len(string_split(trim(seg), ' ')) AS nsub
+               FROM seg$bpeRounds),
+      docw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+      j AS (SELECT doc_id, coalesce(s.nsub, 1) AS nsub
+            FROM docw LEFT JOIN subw s USING (w))
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(nsub) AS BIGINT) AS n_subwords,
+             CAST(sum(nsub) * 1000 // count(*) AS BIGINT) AS fertility_pm
+      FROM j GROUP BY doc_id
+    """))
 
   // ---- t68: token frequency spectrum (Zipf audit) ---------------------
   //
@@ -2962,5 +3152,5 @@ object TextQueries {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74)
 }

@@ -19,18 +19,19 @@ class BpePropertySpec extends SparkSpec {
     * schedule and the per-round segmentation history (round 0 = the
     * character split; round k = after k merges) keyed by word.
     */
+  private def mergeSeq(s: Vector[String], p: (String, String)): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
+        b += s(i) + s(i + 1); i += 2
+      } else { b += s(i); i += 1 }
+    }
+    b.result()
+  }
+
   private def refBpeFull(hist: Map[String, Long], rounds: Int)
       : (Seq[(Int, String, String, Long)], Seq[Map[String, Vector[String]]]) = {
-    def mergeSeq(s: Vector[String], p: (String, String)): Vector[String] = {
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < s.length) {
-        if (i + 1 < s.length && s(i) == p._1 && s(i + 1) == p._2) {
-          b += s(i) + s(i + 1); i += 2
-        } else { b += s(i); i += 1 }
-      }
-      b.result()
-    }
     // segmentations keyed by WORD (they concatenate back to it), so
     // distinct words keep distinct keys through any merge sequence
     var segs: Map[String, Vector[String]] = hist
@@ -138,6 +139,31 @@ class BpePropertySpec extends SparkSpec {
           case _ => ()
         }
       }
+  }
+
+  test("segment (apply) reproduces training segmentation; covers unseen words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L, "ab" -> 6L)
+    val (schedule, history) = refBpeFull(hist, rounds = 8)
+    val merges = schedule.map { case (_, s1, s2, _) => (s1, s2) }
+    val unseen = Seq("cab", "x", "aabc", "abcabcabc", "zzz")
+    val words = (hist.keys.toSeq ++ unseen).toDF("w")
+    val got = words
+      .select(col("w"), Bpe.segment(col("w"), merges).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // a trained word segments exactly as the final training round left it
+    history.last.foreach { case (w, seg) =>
+      assert(got(w) == seg, s"trained word $w: ${got(w)} != $seg")
+    }
+    // an unseen word segments by greedily replaying the ordered merges
+    unseen.foreach { w =>
+      val exp = merges.foldLeft(w.map(_.toString).toVector)(mergeSeq)
+      assert(got(w) == exp, s"unseen word $w: ${got(w)} != $exp")
+    }
+    // segments always concatenate back to the word
+    got.foreach { case (w, seg) => assert(seg.mkString == w) }
   }
 
   test("trainToVocab: merge budget = vocabSize - base alphabet") {

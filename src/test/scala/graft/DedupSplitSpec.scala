@@ -115,6 +115,61 @@ class DedupSplitSpec extends SparkSpec {
       s"docs escaped the split: ${(1L to n.toLong).toSet -- touched}")
   }
 
+  test("split probe: capped probe finds NOTHING in a hot index bucket; split probe hits") {
+    // 40 identical index docs → one mega index bucket per band; probes
+    // are copies (ids 100+) whose only matches live in that hot bucket
+    val maxBucket = 5
+    val ixSig = Dedup.minhashSignatures(hotCluster(40), "doc_id", "sh", k)
+    val ixBands = Dedup.bandTable(ixSig, "doc_id", bands, rows)
+    val probes = (101L to 110L)
+      .map(id => (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee")))
+      .toDF("doc_id", "sh")
+    val pbSig = Dedup.minhashSignatures(probes, "doc_id", "sh", k)
+    val capped = Dedup.probeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, maxBucket)
+    assert(capped.count() == 0, "cap should drop the hot index bucket")
+    val split = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, maxBucket).as[(Long, Long)].collect()
+    assert(split.nonEmpty)
+    // every probe finds at least one index match (3 independent band
+    // draws at 2/nsub each — deterministic for this fixture's hashes)
+    val probed = split.map(_._1).toSet
+    assert(probed == (101L to 110L).toSet,
+      s"probes escaped the split probe: ${(101L to 110L).toSet -- probed}")
+    // bounded: never the full probe×index fan-out
+    assert(split.length < 10 * 40, s"split probe went quadratic (${split.length})")
+    // sort-free plan, same as the self-join split
+    val plan = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, maxBucket).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"split probe contains a window:\n$plan")
+  }
+
+  test("split probe: cold index ≡ capped probe; capped ⊆ split everywhere") {
+    val rnd = new scala.util.Random(23)
+    val ixDocs = ((1L to 30L).map { id =>
+      val n = 3 + rnd.nextInt(4)
+      (id, Seq.fill(n)(s"w${rnd.nextInt(12)}").distinct)
+    } ++ (50L to 57L).map(id => (id, Seq("h_a", "h_b", "h_c"))))
+      .filter(_._2.nonEmpty).toDF("doc_id", "sh")
+    val pbDocs = ((200L to 215L).map { id =>
+      val n = 3 + rnd.nextInt(4)
+      (id, Seq.fill(n)(s"w${rnd.nextInt(12)}").distinct)
+    } :+ ((250L, Seq("h_a", "h_b", "h_c"))))
+      .filter(_._2.nonEmpty).toDF("doc_id", "sh")
+    val ixSig = Dedup.minhashSignatures(ixDocs, "doc_id", "sh", k)
+    val ixBands = Dedup.bandTable(ixSig, "doc_id", bands, rows)
+    val pbSig = Dedup.minhashSignatures(pbDocs, "doc_id", "sh", k)
+    Seq(2, 4, 50).foreach { mb =>
+      val cap = Dedup.probeBandTable(pbSig, ixBands, "doc_id", bands, rows, mb)
+        .as[(Long, Long)].collect().toSet
+      val split = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+        bands, rows, mb).as[(Long, Long)].collect().toSet
+      assert(cap.subsetOf(split),
+        s"maxBucket=$mb: capped-probe pairs escaped the split: ${cap -- split}")
+      if (mb == 50) assert(cap == split, "cold index must behave identically")
+    }
+  }
+
   test("split is deterministic across runs (hash order, no RNG)") {
     val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
     val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)

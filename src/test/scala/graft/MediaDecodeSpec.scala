@@ -108,6 +108,18 @@ class MediaDecodeSpec extends SparkSpec {
       assert(r.getString(6) == md)
     }
 
+    val halved = AudioDecode.decimatePipeline(spark, media)
+      .orderBy("doc_id").collect()
+    halved.foreach { r =>
+      val id = r.getLong(0)
+      val s = AudioDecode.syntheticSamples(id)
+      val half = Array.tabulate(s.length / 2)(i => s(2 * i))
+      assert(r.getInt(1) == AudioDecode.sampleRate)
+      assert(r.getInt(2) == half.length)
+      assert(r.getLong(3) == half.map(v => math.abs(v).toLong).sum)
+      assert(r.getInt(4) == half.min && r.getInt(5) == half.max)
+    }
+
     val frames = AudioDecode.frameEnergyPipeline(spark, media)
       .orderBy("doc_id", "f").as[(Long, Long, Long)].collect()
     val expect = Seq(0L, 1L, 7L, 41L, 210L, 211L, 997L).flatMap { id =>
