@@ -135,6 +135,17 @@ object Bpe {
     * stops early if the corpus dries up first, in which case the
     * achievable vocabulary is smaller than the target (the returned
     * merge table's row count says by how much).
+    *
+    * CAVEAT (symbol collisions): the budget assumes each merge adds ONE
+    * new vocabulary symbol, but two different merges can produce the
+    * SAME symbol string — (a, bc) and (ab, c) both yield "abc" — so the
+    * achieved distinct-symbol vocabulary can fall short of `vocabSize`
+    * even when the corpus does not dry up. The returned merge table
+    * exposes the shortfall: distinct `concat(s1, s2)` over its rows is
+    * the real added-symbol count. Collisions are rare on natural text
+    * (both parenthesizations of one string must independently win an
+    * argmax round); callers that need the target hit exactly should
+    * re-invoke with the shortfall added to `vocabSize`.
     */
   def trainToVocab(hist: DataFrame, vocabSize: Int,
                    policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {

@@ -200,16 +200,35 @@ object Portable {
     * Null when the union is empty.
     *
     * One set build, not two: the inputs are DISTINCT arrays by contract
-    * (every shingle builder emits array_distinct), so
+    * (every shingle builder emits array_distinct; the packChar3 map is
+    * injective so packed arrays stay distinct), so
     * |∪| = |a| + |b| − |∩| — skipping `array_union` halves the per-pair
     * hash-set work on the dedup verify path, where this function runs
     * once per candidate pair over few-hundred-element arrays. Values
     * are bit-identical to the two-set formulation on distinct inputs
-    * (integer identity), so every oracle hash is unchanged.
+    * (integer identity, pinned property-style by TextDedupSpec), so
+    * every oracle hash is unchanged. On arrays WITH duplicates the
+    * size identity does not hold — |a|+|b| over-counts the union and
+    * the similarity is silently UNDER-reported ([a,a] vs [a] scores
+    * 0.5, not 1.0) — so callers outside the shingle-builder family use
+    * [[jaccardGeneral]].
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni =!= 0.0, inter / uni)
+  }
+
+  /** General-contract Jaccard: builds the union set explicitly
+    * (`array_union`), so duplicate elements in either input are
+    * collapsed instead of over-counting |∪|. Identical to [[jaccard]]
+    * on distinct inputs (TextDedupSpec pins the equality); use this
+    * when the inputs are not guaranteed distinct — the hot dedup
+    * verify path keeps the one-set-build variant.
+    */
+  def jaccardGeneral(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
     when(uni =!= 0.0, inter / uni)
   }
 }

@@ -74,6 +74,30 @@ class TextDedupSpec extends SparkSpec {
       array(lit(0.0), lit(0.0)), array(lit(1.0), lit(1.0)))) == null)
   }
 
+  test("jaccard distinct-input contract: equals jaccardGeneral on distinct " +
+    "arrays, diverges on duplicates") {
+    // property sample: random DISTINCT arrays — the fast one-set-build
+    // identity |∪| = |a|+|b|−|∩| must match the explicit array_union
+    // formulation bit-exactly (the contract every shingle builder meets)
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 60).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(12))(s"s${rnd.nextInt(10)}").distinct
+      (i, arr(), arr())
+    }.toDF("i", "a", "b")
+    val diff = pairs.select(
+        Portable.jaccard(col("a"), col("b")).as("fast"),
+        Portable.jaccardGeneral(col("a"), col("b")).as("gen"))
+      .filter(not(col("fast") <=> col("gen")))
+    assert(diff.count() == 0)
+    // and the reason the contract exists: duplicates break the size
+    // identity — [a,a] vs [a] are the same SET (jaccard 1.0) but the
+    // fast variant's |a|+|b|−|∩| over-counts the union and reports 0.5
+    assert(one(Portable.jaccard(array(lit("a"), lit("a")),
+      array(lit("a")))) == 0.5)
+    assert(one(Portable.jaccardGeneral(array(lit("a"), lit("a")),
+      array(lit("a")))) == 1.0)
+  }
+
   test("packChar3: injective codepoint packing, verify parity on packed arrays") {
     // full-codepoint fields, BMP and supplementary plane both: two
     // shingles sharing a UTF-16 high surrogate must still pack apart
