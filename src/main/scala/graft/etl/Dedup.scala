@@ -228,10 +228,15 @@ object Dedup {
                rowsPerBand: Int, keep: Seq[String] = Nil): DataFrame =
     banded(sig, idCol, numBands, rowsPerBand, keep)
 
-  /** Probe a PERSISTED index band table (as read back from storage — the
-    * t34 lifecycle): the probe batch's bands equi-join the index bands
-    * only; cost scales with the batch, never the corpus. Cap semantics
-    * follow [[crossBandCandidates]] (index side capped, probe side not).
+  /** Probe a PERSISTED index band table with the DROP-cap guard: the
+    * probe batch's bands equi-join the index bands only; cost scales
+    * with the batch, never the corpus. Cap semantics follow
+    * [[crossBandCandidates]] (index side capped, probe side not). Since
+    * round 10 the production incremental entries (t32/t34) run
+    * [[splitProbeBandTable]] instead — this capped variant remains the
+    * audited baseline (t72's comparison subject) and the simpler
+    * formulation for callers who accept hot-bucket recall loss in
+    * exchange for never fanning a hot bucket out at all.
     */
   def probeBandTable(
       probeSig: DataFrame,
@@ -295,15 +300,17 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Incremental probe: candidate (probe, index) pairs — the probe
-    * batch's bands equi-join the INDEX's bands only (never
-    * corpus×corpus). The hot-bucket cap applies to the index side (a
-    * boilerplate-hot corpus band would fan every probe row out
+  /** Incremental probe (drop-cap variant): candidate (probe, index)
+    * pairs — the probe batch's bands equi-join the INDEX's bands only
+    * (never corpus×corpus). The hot-bucket cap applies to the index
+    * side (a boilerplate-hot corpus band would fan every probe row out
     * quadratically); the probe batch is small by definition and stays
     * uncapped. At 100 TB the index band table is the persisted artifact
     * (computed once, appended to per ingest) and each new batch joins
     * against it — near-dup checking cost scales with the BATCH, not the
-    * corpus.
+    * corpus. Production default since round 10 is the recall-preserving
+    * [[splitProbeBandTable]]; see [[probeBandTable]] for when the cap
+    * is still the right trade.
     */
   def crossBandCandidates(
       probeSig: DataFrame,

@@ -386,10 +386,11 @@ object TextQueries {
   // the DROP cap to the recall-preserving SPLIT (t72 measured the cap
   // forfeiting 21% of candidate pairs at an aggressive cap; a
   // production user copying t06/t08 now gets the zero-recall-loss
-  // geometry by default). The drop cap survives as the default
-  // PROBE-side guard of the incremental entries (t32/t34, frozen
-  // semantics) with t74's split probe as the recall-preserving
-  // alternative, and as t72's audited baseline.
+  // geometry by default). Round 10 finished the promotion: the
+  // incremental entries (t32/t34) re-pinned their PROBE side onto the
+  // split as well, so no default entry drops rows anywhere; the drop
+  // cap survives only as t72's audited baseline and the streaming
+  // probe's plan-time static guard (StreamOps, documented trade).
 
   private val maxBucket = 20
 
@@ -1175,6 +1176,16 @@ object TextQueries {
   // bands equi-join it directly. Cost scales with the batch, never
   // corpus×corpus. Fixture: the batch replays every doc_id % 10 == 0 doc
   // under a shifted id, so each probe is guaranteed a jaccard-1.0 hit.
+  //
+  // Round 10 re-pinned the probe from the DROP cap
+  // (Dedup.crossBandCandidates — every band row of a hot index bucket
+  // deleted, so a probe whose near-duplicate lives in a boilerplate-hot
+  // bucket silently misses it) to the recall-preserving SPLIT probe
+  // (Dedup.splitProbeBandTable) at the same production cap — the t06/t08
+  // promotion one seam further down: the incremental entry a user copies
+  // first now has ZERO index-side recall loss. t74 keeps the aggressive
+  // cap (3) as the split-path stress audit; DedupSplitSpec pins
+  // capped ⊆ split on this entry's exact geometry.
 
   private val incShift = 3000000L
 
@@ -1212,31 +1223,30 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
       val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
-      val cand = Dedup.crossBandCandidates(sigPb, sigIx, "doc_id",
+      val ixBands = Dedup.bandTable(sigIx, "doc_id",
+        numBands = 3, rowsPerBand = 5)
+      val cand = Dedup.splitProbeBandTable(sigPb, ixBands, "doc_id",
         numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
       Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
     },
-    Some(lshSql(
-      indexSql = incIndexSql,
-      probeSql = Some(incProbeSql),
+    Some(lshSplitProbeSql(incIndexSql, incProbeSql,
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 
-  // ---- t74: recall-preserving incremental probe (split, not cap) ------
+  // ---- t74: split-probe stress audit (aggressive cap) -----------------
   //
-  // t32's probe CAPS the index side: every band row of a hot index
-  // bucket is dropped, so a new doc whose near-duplicate lives in a
-  // boilerplate-hot corpus bucket silently passes the dedup gate — at
-  // ingest time, exactly where a production pipeline can least afford
-  // silent misses. This is the t70 strategy at the probe seam
-  // (Dedup.splitProbeBandTable): hot index buckets split into
-  // ⌈n/maxBucket⌉ salted-modulus sub-buckets (counts over the FULL
-  // persisted band table — cross-ingest correct), the probe joins its
-  // own label and the adjacent one — ~2·maxBucket expected index rows
-  // per hot probe row, ZERO index rows dropped, cold buckets identical
-  // to the cap. The cap here is deliberately small (3, t70's
-  // reasoning) so the split path genuinely engages at every tested
-  // scale. t32 keeps the cap as its frozen declared semantics.
+  // The t70 strategy at the probe seam (Dedup.splitProbeBandTable): hot
+  // index buckets split into ⌈n/maxBucket⌉ salted-modulus sub-buckets
+  // (counts over the FULL persisted band table — cross-ingest correct),
+  // the probe joins its own label and the adjacent one — ~2·maxBucket
+  // expected index rows per hot probe row, ZERO index rows dropped,
+  // cold buckets identical to the cap. Since the round-10 re-pin the
+  // production incremental entries (t32/t34) run this same split at the
+  // production cap (20); THIS entry keeps a deliberately tiny cap (3,
+  // t70's reasoning) so the split machinery — hot-bucket detection,
+  // sub-bucket labels, adjacent-label join — genuinely engages at every
+  // tested scale, auditing the path t32/t34 only exercise when a bucket
+  // actually runs hot.
 
   private val probeSplitMaxBucket = 3
 
@@ -1310,8 +1320,11 @@ object TextQueries {
   // (odd ids) appends its own rows to the same path — per-doc signatures
   // make per-ingest banding exactly equivalent to banding the corpus at
   // once. Probe: a new batch's bands equi-join the index READ BACK FROM
-  // STORAGE (never the in-memory lineage), with the hot-bucket cap
-  // applied over the full persisted table at probe time. This is the
+  // STORAGE (never the in-memory lineage), with the recall-preserving
+  // SPLIT applied over the full persisted table at probe time (round-10
+  // re-pin, same as t32: hot buckets split into salted-modulus
+  // sub-buckets — counted over the FULL persisted table so cross-ingest
+  // hot buckets are handled correctly — instead of dropped). This is the
   // "index as a table" contract the incremental story rests on: at
   // 100 TB the band table lives in the lake, each ingest appends its
   // partition, and near-dup checking cost scales with the batch.
@@ -1380,25 +1393,25 @@ object TextQueries {
         .filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + t34Shift).as("doc_id"), col("text")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = Dedup.probeBandTable(
+      val cand = Dedup.splitProbeBandTable(
         Dedup.minhashSignatures(batch, "doc_id", "sh", 15), index, "doc_id",
         numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
       Dedup.verifyJaccard(batch, t34Shingled(docs), "doc_id", "sh", cand, 0.8)
     },
-    Some(lshSql(
+    Some(lshSplitProbeSql(
       indexSql = s"""
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
         FROM (SELECT doc_id, $toksSql AS toks FROM documents)
         WHERE len(toks) >= 3""",
-      probeSql = Some(s"""
+      probeSql = s"""
         SELECT doc_id + $t34Shift AS doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS sh
         FROM (SELECT doc_id, $toksSql AS toks FROM documents
               WHERE doc_id % 7 = 0)
-        WHERE len(toks) >= 3"""),
+        WHERE len(toks) >= 3""",
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
       threshold = 0.8)))
 

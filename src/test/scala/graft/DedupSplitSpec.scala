@@ -170,6 +170,47 @@ class DedupSplitSpec extends SparkSpec {
     }
   }
 
+  test("re-pinned incremental geometry (t32/t34): capped ⊆ split at the " +
+    "production cap, and every replayed probe finds its source") {
+    // the exact geometry the round-10 re-pinned entries run: k=15, 3×5
+    // bands, maxBucket=20, probe batch = modulo-selected corpus docs
+    // replayed under shifted ids (guaranteed jaccard-1.0 hits). The
+    // corpus plants one boilerplate-hot cluster (25 identical docs >
+    // the cap) whose replayed probe the DROP cap would lose — the split
+    // probe must keep it while still containing everything the cap finds.
+    val mb = 20
+    val rnd = new scala.util.Random(41)
+    val corpus = ((1L to 60L).map { id =>
+      val n = 3 + rnd.nextInt(5)
+      (id, Seq.fill(n)(s"w${rnd.nextInt(15)}_x").distinct)
+    } ++ (70L to 94L).map(id => (id, Seq("b_a", "b_b", "b_c"))))
+      .filter(_._2.nonEmpty).toDF("doc_id", "sh")
+    val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("sh"))
+    val ixSig = Dedup.minhashSignatures(corpus, "doc_id", "sh", k)
+    val ixBands = Dedup.bandTable(ixSig, "doc_id", bands, rows)
+    val pbSig = Dedup.minhashSignatures(batch, "doc_id", "sh", k)
+    val cap = Dedup.probeBandTable(pbSig, ixBands, "doc_id", bands, rows, mb)
+      .as[(Long, Long)].collect().toSet
+    val split = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, mb).as[(Long, Long)].collect().toSet
+    assert(cap.subsetOf(split),
+      s"capped-probe pairs escaped the split: ${cap -- split}")
+    // the hot cluster's replayed members (70,80,90 → +3M) must find
+    // their identical sources under the split; the 25-row bucket is
+    // over the cap, so the drop-cap probe loses exactly these
+    val hotProbes = Set(3000070L, 3000080L, 3000090L)
+    hotProbes.foreach { p =>
+      assert(split.exists(_._1 == p), s"hot probe $p escaped the split probe")
+      assert(!cap.exists(_._1 == p),
+        s"fixture broken: cap unexpectedly kept hot probe $p")
+    }
+    // every probe doc pairs with its source id under the split
+    val srcPairs = split.collect { case (a, b) if a - 3000000L == b => a }
+    assert(srcPairs.toSet == batch.select("doc_id").as[Long].collect().toSet,
+      "a replayed probe failed to find its identical source")
+  }
+
   test("split is deterministic across runs (hash order, no RNG)") {
     val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
     val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
