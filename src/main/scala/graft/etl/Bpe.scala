@@ -2,6 +2,8 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** Multi-round BPE training over a weighted word histogram (the t67
   * operator's core, factored out so BpePropertySpec can drive it over
@@ -97,6 +99,86 @@ object Bpe {
         .select(lit(0).as("round"), lit("").as("s1"), lit("").as("s2"),
           lit(0L).as("freq")).limit(0)
     else frames.reduce(_ unionAll _)
+  }
+
+  /** Driver-side BPE trainer over a COLLECTED word histogram — the
+    * production tokenizer-build reality (SentencePiece, HF tokenizers):
+    * the only corpus-sized stage of BPE training is the word-histogram
+    * aggregation, which stays distributed in the caller; the trainer's
+    * own state is VOCABULARY-sized (distinct words × their current
+    * segmentations) and every real tokenizer trains it on one node. At
+    * 30k merges a driver loop over an in-memory histogram runs in
+    * seconds where the per-round distributed plan ([[train]]) would pay
+    * 30k job-scheduling barriers for vocabulary-sized work — [[train]]
+    * remains the right form when the histogram itself is too large to
+    * collect (no practical text corpus is: web-scale word vocabularies
+    * are ~10⁷–10⁸ rows, and the t65/t67 scale argument applies).
+    *
+    * Same semantics as [[train]], bit-exactly — argmax (freq DESC,
+    * s1 ASC, s2 ASC), greedy left-to-right scan-and-skip merge, dried-
+    * corpus early stop — pinned by BpePropertySpec (trainLocal ≡ train
+    * round-for-round on arbitrary histograms).
+    */
+  def trainLocal(hist: Seq[(String, Long)],
+                 rounds: Int): Seq[(Int, String, String, Long)] = {
+    require(rounds >= 1, s"BPE training needs at least 1 round, got $rounds")
+    var segs: Map[String, Array[String]] = hist.iterator
+      .filter(_._1.length >= 2)
+      .map { case (w, _) => (w, splitCodepoints(w)) }.toMap
+    val cnt = hist.toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pc = collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, s) <- segs if s.length >= 2; i <- 0 until s.length - 1)
+        pc.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + cnt(w)))
+      if (pc.isEmpty) done = true
+      else {
+        val ((s1, s2), f) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r, s1, s2, f))
+        segs = segs.map { case (w, s) => (w, mergePair(s, s1, s2)) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Greedy left-to-right scan-and-skip merge of (s1, s2) over a symbol
+    * sequence — the single merge semantics every BPE surface here shares
+    * ([[train]]'s fold expression, [[segment]]'s plan fold, the
+    * [[segmentWords]] kernel, [[trainLocal]]).
+    */
+  private def mergePair(s: Array[String], s1: String, s2: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var last: String = null
+    var i = 0
+    while (i < s.length) {
+      if (last != null && last == s1 && s(i) == s2) {
+        last = s1 + s2
+      } else {
+        if (last != null) b += last
+        last = s(i)
+      }
+      i += 1
+    }
+    if (last != null) b += last
+    b.result()
+  }
+
+  /** Codepoint split — mirrors the plan-side
+    * `transform(sequence(1, length(w)), i -> substring(w, i, 1))`
+    * (Spark's length/substring count codepoints).
+    */
+  private def splitCodepoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
   }
 
   /** The APPLY half of the tokenizer (train/apply asymmetry — e19's
