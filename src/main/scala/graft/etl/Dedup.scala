@@ -129,7 +129,7 @@ object Dedup {
         when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
       .select(col(idCol), col("bidx"), col("bh"),
         explode(when(col("_n").isNotNull,
-            array(col("_sub"), col("_sub") + lit(1L)))
+            array(col("_sub"), pmod(col("_sub") + lit(1L), nsub)))
           .otherwise(array(col("_sub")))).as("_k"))
   }
 
@@ -143,9 +143,13 @@ object Dedup {
     * n rows is partitioned into nsub = ⌈n/maxBucket⌉ sub-buckets of
     * expected size ≤ maxBucket via a per-band salted-hash modulus
     * (`pmod(hash60(id#bidx, 77), nsub)`), and candidates are generated
-    * within each sub-bucket AND across the ADJACENT label (k with k+1).
-    * Per row that bounds the comparisons at ~2·maxBucket expected (total
-    * O(n·maxBucket) per bucket, never O(n²)) with ZERO dropped rows.
+    * within each sub-bucket AND across the ADJACENT label — k with
+    * (k+1) mod nsub, the wraparound making the label ring symmetric:
+    * at nsub = 2 every row reaches BOTH labels (the split is lossless
+    * there), and at any nsub the top label's neighbor is a real
+    * sub-bucket instead of a phantom. Per row that bounds the
+    * comparisons at ~2·maxBucket expected (total O(n·maxBucket) per
+    * bucket, never O(n²)) with ZERO dropped rows.
     *
     * The label is salted per band: each of the `numBands` bands
     * partitions the bucket independently, so a pair missed in one band's
@@ -262,10 +266,13 @@ object Dedup {
     * sub-bucket label (`pmod(salted_hash, ⌈n/maxBucket⌉)`, counts over
     * the FULL persisted table so cross-ingest hot buckets are counted
     * correctly — the [[bandTable]] contract); probe rows take their own
-    * label AND the adjacent one. Per probe row the hot-bucket join work
-    * is bounded at ~2·maxBucket expected with ZERO index rows dropped;
-    * per band a hot pair is caught when the index label ∈
-    * {probe label, probe label+1} (≈ 2/nsub), independently per band —
+    * label AND the adjacent one, with wraparound — (label+1) mod nsub —
+    * so at nsub = 2 a probe reaches both labels (lossless) and the top
+    * label's neighbor is always a real sub-bucket. Per probe row the
+    * hot-bucket join work is bounded at ~2·maxBucket expected with ZERO
+    * index rows dropped; per band a hot pair is caught when the index
+    * label ∈ {probe label, (probe label+1) mod nsub} (≈ 2/nsub),
+    * independently per band —
     * the [[splitCandidates]] recall algebra at the probe seam. Cold
     * buckets behave exactly like the capped probe. Same sort-free plan
     * shape: one map-side-partial count agg, two equi-joins, no window.
@@ -293,7 +300,7 @@ object Dedup {
         when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
       .select(col(idCol).as("a"), col("bidx"), col("bh"),
         explode(when(col("_n").isNotNull,
-            array(col("_sub"), col("_sub") + lit(1L)))
+            array(col("_sub"), pmod(col("_sub") + lit(1L), nsub)))
           .otherwise(array(col("_sub")))).as("_k"))
     p.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))

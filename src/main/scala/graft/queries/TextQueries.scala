@@ -142,7 +142,8 @@ object TextQueries {
               FROM band)),
       keyed AS (
         SELECT doc_id, bidx, bh,
-               unnest(CASE WHEN n > $maxBucket THEN [sub, sub + 1]
+               unnest(CASE WHEN n > $maxBucket
+                           THEN [sub, (sub + 1) % ((n + ${maxBucket - 1}) // $maxBucket)]
                            ELSE [sub] END) AS k
         FROM bandn)"""
   }
@@ -150,8 +151,8 @@ object TextQueries {
   /** DuckDB mirror of the split-and-salt pipeline (minhashSignatures →
     * [[graft.etl.Dedup.splitCandidates]] → verifyJaccard): buckets hotter
     * than maxBucket are SPLIT into ⌈n/maxBucket⌉ sub-buckets by per-band
-    * salted-hash modulus, joined within + across adjacent labels,
-    * instead of dropped.
+    * salted-hash modulus, joined within + across adjacent labels (with
+    * wraparound: k meets (k+1) mod nsub), instead of dropped.
     */
   private def lshSplitPairsSql(
       baseSql: String, k: Int, numBands: Int, rowsPerBand: Int,
@@ -177,7 +178,8 @@ object TextQueries {
     * (minhashSignatures ×2 → [[graft.etl.Dedup.splitProbeBandTable]] →
     * two-sided verifyJaccard): hot INDEX buckets are split into
     * salted-modulus sub-buckets; the probe joins its own label and the
-    * adjacent one, instead of the hot bucket being dropped.
+    * adjacent one ((s+1) mod nsub — wraparound), instead of the hot
+    * bucket being dropped.
     */
   private def lshSplitProbeSql(
       indexSql: String, probeSql: String, k: Int, numBands: Int,
@@ -225,7 +227,9 @@ object TextQueries {
         FROM bandp p LEFT JOIN hotn h USING (bidx, bh)),
       pbk AS (
         SELECT doc_id, bidx, bh,
-               unnest(CASE WHEN n IS NULL THEN [s] ELSE [s, s + 1] END) AS k
+               unnest(CASE WHEN n IS NULL THEN [s]
+                           ELSE [s, (s + 1) % ((n + ${maxBucket - 1}) // $maxBucket)]
+                      END) AS k
         FROM pbs),
       cand AS (
         SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
@@ -385,8 +389,11 @@ object TextQueries {
   // O(bucket²) candidates. Round 9 re-pinned the flagship entries from
   // the DROP cap to the recall-preserving SPLIT (t72 measured the cap
   // forfeiting 21% of candidate pairs at an aggressive cap; a
-  // production user copying t06/t08 now gets the zero-recall-loss
-  // geometry by default). Round 10 finished the promotion: the
+  // production user copying t06/t08 now gets the zero-dropped-rows
+  // geometry by default — within a split bucket a specific pair still
+  // collides per band with probability ≈ 2/nsub, recovered across
+  // bands: Dedup.splitCandidates' graceful-degradation model, not zero
+  // recall loss). Round 10 finished the promotion: the
   // incremental entries (t32/t34) re-pinned their PROBE side onto the
   // split as well, so no default entry drops rows anywhere; the drop
   // cap survives only as t72's audited baseline and the streaming
@@ -1183,9 +1190,13 @@ object TextQueries {
   // bucket silently misses it) to the recall-preserving SPLIT probe
   // (Dedup.splitProbeBandTable) at the same production cap — the t06/t08
   // promotion one seam further down: the incremental entry a user copies
-  // first now has ZERO index-side recall loss. t74 keeps the aggressive
-  // cap (3) as the split-path stress audit; DedupSplitSpec pins
-  // capped ⊆ split on this entry's exact geometry.
+  // first now drops ZERO index rows. (Not zero recall loss: within a
+  // split bucket a probe reaches its own and the adjacent sub-bucket
+  // label, so a specific (probe, index) pair collides per band with
+  // probability ≈ 2/nsub and recovers across bands — the
+  // graceful-degradation model Dedup.splitProbeBandTable documents.)
+  // t74 keeps the aggressive cap (3) as the split-path stress audit;
+  // DedupSplitSpec pins capped ⊆ split on this entry's exact geometry.
 
   private val incShift = 3000000L
 

@@ -211,6 +211,38 @@ class DedupSplitSpec extends SparkSpec {
       "a replayed probe failed to find its identical source")
   }
 
+  test("nsub=2 wraparound is lossless: a 2-way split bucket yields ALL pairs") {
+    // maxBucket < n <= 2*maxBucket → nsub = 2. With the wraparound
+    // neighbor ((k+1) mod nsub) every row emits BOTH labels {0, 1}, so
+    // no pair of the hot bucket can be separated — the round-11 fix:
+    // the old `k + 1` probed a phantom label nsub and the top label had
+    // no real neighbor, losing cross-label pairs even at nsub = 2.
+    val maxBucket = 5
+    val n = 8 // one hot bucket per band, nsub = ceil(8/5) = 2
+    val sig = Dedup.minhashSignatures(hotCluster(n), "doc_id", "sh", k)
+    val split = Dedup.splitCandidates(sig, "doc_id", bands, rows, maxBucket)
+      .as[(Long, Long)].collect().toSet
+    val allPairs = (for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+    } yield (a, b)).toSet
+    assert(split == allPairs,
+      s"nsub=2 split lost pairs: ${allPairs -- split}")
+    // same losslessness at the probe seam: every (probe, index) pair of
+    // the hot bucket survives
+    val ixBands = Dedup.bandTable(sig, "doc_id", bands, rows)
+    val probes = (101L to 103L)
+      .map(id => (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee")))
+      .toDF("doc_id", "sh")
+    val pbSig = Dedup.minhashSignatures(probes, "doc_id", "sh", k)
+    val probeSplit = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, maxBucket).as[(Long, Long)].collect().toSet
+    val allProbePairs = (for {
+      a <- 101L to 103L; b <- 1L to n.toLong
+    } yield (a, b)).toSet
+    assert(probeSplit == allProbePairs,
+      s"nsub=2 split probe lost pairs: ${allProbePairs -- probeSplit}")
+  }
+
   test("split is deterministic across runs (hash order, no RNG)") {
     val sig = Dedup.minhashSignatures(hotCluster(25), "doc_id", "sh", k)
     val a = Dedup.splitCandidates(sig, "doc_id", bands, rows, 4)
