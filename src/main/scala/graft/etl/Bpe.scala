@@ -1,9 +1,12 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Encoders, Row}
-import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** A word and its subword segmentation — [[Bpe.segmentWords]]'s row
+  * type (top-level so its product Encoder resolves).
+  */
+case class WordSeg(w: String, seg: Seq[String])
 
 /** Multi-round BPE training over a weighted word histogram (the t67
   * operator's core, factored out so BpePropertySpec can drive it over
@@ -115,17 +118,25 @@ object Bpe {
     * are ~10⁷–10⁸ rows, and the t65/t67 scale argument applies).
     *
     * Same semantics as [[train]], bit-exactly — argmax (freq DESC,
-    * s1 ASC, s2 ASC), greedy left-to-right scan-and-skip merge, dried-
-    * corpus early stop — pinned by BpePropertySpec (trainLocal ≡ train
-    * round-for-round on arbitrary histograms).
+    * s1 ASC, s2 ASC in UNSIGNED UTF-8 BYTE order, matching Spark's
+    * UTF8String binary ordering and DuckDB's default collation — a
+    * UTF-16 code-unit compare would flip ties between supplementary-
+    * plane symbols and BMP chars ≥ U+E000), greedy left-to-right
+    * scan-and-skip merge, dried-corpus early stop. Duplicate histogram
+    * words are summed first ([[train]] feeds every row into the pair-
+    * count sum; a last-wins toMap would diverge on them). Pinned by
+    * BpePropertySpec (trainLocal ≡ train round-for-round on arbitrary
+    * histograms, including a supplementary-plane tie fixture);
+    * exercised under the DuckDB oracle as t75's trainer.
     */
   def trainLocal(hist: Seq[(String, Long)],
                  rounds: Int): Seq[(Int, String, String, Long)] = {
     require(rounds >= 1, s"BPE training needs at least 1 round, got $rounds")
-    var segs: Map[String, Array[String]] = hist.iterator
-      .filter(_._1.length >= 2)
-      .map { case (w, _) => (w, splitCodepoints(w)) }.toMap
-    val cnt = hist.toMap
+    // duplicate words contribute additively, exactly as train's sum
+    val cnt: Map[String, Long] = hist.groupMapReduce(_._1)(_._2)(_ + _)
+    var segs: Map[String, Array[String]] = cnt.keysIterator
+      .filter(_.length >= 2)
+      .map(w => (w, splitCodepoints(w))).toMap
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -135,13 +146,42 @@ object Bpe {
         pc.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + cnt(w)))
       if (pc.isEmpty) done = true
       else {
-        val ((s1, s2), f) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        var best: ((String, String), Long) = null
+        pc.foreach { e =>
+          if (best == null) best = e
+          else {
+            val ((a, b), n) = e
+            val ((ba, bb), bn) = best
+            if (n > bn || (n == bn &&
+                (utf8Lt(a, ba) || (a == ba && utf8Lt(b, bb))))) best = e
+          }
+        }
+        val ((s1, s2), f) = best
         out += ((r, s1, s2, f))
         segs = segs.map { case (w, s) => (w, mergePair(s, s1, s2)) }
         r += 1
       }
     }
     out.result()
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String binary order
+    * and DuckDB's default VARCHAR collation, which Java's String
+    * compareTo (UTF-16 code units) disagrees with for supplementary-
+    * plane vs BMP-≥-U+E000 characters.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val xi = x(i) & 0xff
+      val yi = y(i) & 0xff
+      if (xi != yi) return xi < yi
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Greedy left-to-right scan-and-skip merge of (s1, s2) over a symbol
@@ -188,13 +228,15 @@ object Bpe {
     * in the training histogram segments EXACTLY as round R left it and
     * an unseen word segments the way the trained tokenizer would.
     *
-    * The merge list rides in the PLAN as literals — a 10–100-merge
-    * table is plan-sized; a production 30k-merge vocabulary instead
-    * broadcasts the merge table and applies a priority-queue merge in a
-    * mapPartitions kernel (same seam, different constant). Callers
-    * should segment the DISTINCT word table and join back (vocabulary-
-    * sized work, the t65/t67 scale argument), not call this per token
-    * occurrence.
+    * The merge list rides in the PLAN as literals — right for a
+    * 10-merge table (zero per-row interpretation cost, whole-stage
+    * codegen), structurally wrong at a production vocabulary's 30k
+    * merges (a 30k-deep fold of aggregate() expressions is not a
+    * plan). That regime is [[segmentWords]]: broadcast merge table +
+    * mapPartitions kernel, property-pinned equal to this fold wherever
+    * both run. Callers of either should segment the DISTINCT word
+    * table and join back (vocabulary-sized work, the t65/t67 scale
+    * argument), not call this per token occurrence.
     */
   def segment(w: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(
@@ -206,6 +248,101 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
             .otherwise(concat(acc, array(x))))
     }
+
+  /** Ordered-replay segmentation of ONE word against a rank table —
+    * the per-row kernel of [[segmentWords]], equivalent to replaying
+    * every merge in schedule order as a [[mergePair]] scan but costing
+    * O(len² ) rank lookups instead of O(merges × len):
+    *
+    * keep a rank CURSOR c (initially 0). Each step scans the word's
+    * adjacent pairs for the minimal merge rank ≥ c present; if none,
+    * stop; else apply that merge (full scan-and-skip) and advance c
+    * past it. This simulates the ordered replay exactly — for every
+    * rank q in [c, r*) the pair is absent from the current state, so
+    * replay's step q is a no-op there too — and never revisits a rank,
+    * which matters when a later merge RECREATES an earlier merge's
+    * pair (possible only via symbol-string collisions: (a,bc) and
+    * (ab,c) both yield "abc"); replay ignores it, and so does the
+    * cursor. NOT the HuggingFace min-rank priority loop, which WOULD
+    * revisit and diverge from [[segment]] in exactly that edge case.
+    *
+    * `rank` maps a pair to its ascending schedule positions (a pair
+    * can appear twice in a schedule via the same collision mechanism).
+    */
+  private[graft] def segmentWordLocal(
+      w: String, rank: collection.Map[(String, String), Array[Int]]): Array[String] = {
+    var s = splitCodepoints(w)
+    var cursor = 0
+    var done = false
+    while (!done && s.length >= 2) {
+      var bestRank = Int.MaxValue
+      var b1: String = null
+      var b2: String = null
+      var i = 0
+      while (i < s.length - 1) {
+        rank.get((s(i), s(i + 1))) match {
+          case Some(rs) =>
+            // smallest schedule position >= cursor (rs is ascending,
+            // almost always length 1)
+            var j = 0
+            while (j < rs.length && rs(j) < cursor) j += 1
+            if (j < rs.length && rs(j) < bestRank) {
+              bestRank = rs(j); b1 = s(i); b2 = s(i + 1)
+            }
+          case None => ()
+        }
+        i += 1
+      }
+      if (b1 == null) done = true
+      else {
+        s = mergePair(s, b1, b2)
+        cursor = bestRank + 1
+      }
+    }
+    s
+  }
+
+  /** The production-vocabulary APPLY kernel: segment a word column
+    * with an ordered merge table of ANY size — the regime where
+    * [[segment]]'s fold-the-merges-into-the-plan form stops being a
+    * plan (a real tokenizer has ~30k merges). The merge table is
+    * BROADCAST once per executor (a 30k-row merge list is a few
+    * hundred KB); each partition builds the pair→ranks lookup once and
+    * runs the [[segmentWordLocal]] cursor replay per word — pure map
+    * parallelism, no shuffle, linear in rows at any scale (the
+    * MediaDecode batching shape). Callers segment the DISTINCT word
+    * table and join back (vocabulary-sized work, the t65/t67 scale
+    * argument).
+    *
+    * Semantics are IDENTICAL to [[segment]] — BpePropertySpec pins
+    * kernel ≡ fold for every vocab-size prefix of a trained schedule,
+    * on trained and unseen words — and t75 runs it under the DuckDB
+    * oracle at a 100-merge schedule.
+    *
+    * Returns `(wordCol, outCol)` — the input word column and its
+    * segmentation as array<string>.
+    */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)],
+                   wordCol: String = "w", outCol: String = "seg"): DataFrame = {
+    val session = words.sparkSession
+    val bc = session.sparkContext.broadcast(merges.toArray)
+    val segged = words.select(col(wordCol)).as(Encoders.STRING)
+      .mapPartitions { it =>
+        val ms = bc.value
+        val rank = collection.mutable.HashMap.empty[(String, String), Array[Int]]
+        var i = 0
+        while (i < ms.length) {
+          val p = ms(i)
+          rank.updateWith(p) {
+            case Some(a) => Some(a :+ i) // ascending by construction
+            case None    => Some(Array(i))
+          }
+          i += 1
+        }
+        it.map(w => WordSeg(w, segmentWordLocal(w, rank).toSeq))
+      }(Encoders.product[WordSeg])
+    segged.toDF(wordCol, outCol)
+  }
 
   /** Run merges to a VOCABULARY-SIZE target — the stop condition a real
     * tokenizer build uses (SentencePiece/HF `vocab_size`): the final

@@ -2832,7 +2832,14 @@ object TextQueries {
     * cost, which is exactly the Spark side's eager-barrier discipline
     * expressed in the oracle.
     */
-  private lazy val bpeCtesSql: String = {
+  private lazy val bpeCtesSql: String = bpeCtes(bpeRounds)
+
+  /** Parameterized form of the shared BPE CTE chain — t67/t73 embed it
+    * at [[bpeRounds]] (10), t75 at [[kernelRounds]] (100): ONE builder
+    * so the trainer loop's SQL cannot desync between the plan-fold and
+    * kernel apply entries.
+    */
+  private def bpeCtes(bpeRounds: Int): String = {
     val roundCtes = (1 to bpeRounds).map { r =>
       s"""
       sy$r AS (SELECT cnt,
@@ -2927,6 +2934,67 @@ object TextQueries {
       subw AS (SELECT replace(seg, ' ', '') AS w,
                       len(string_split(trim(seg), ' ')) AS nsub
                FROM seg$bpeRounds),
+      docw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+      j AS (SELECT doc_id, coalesce(s.nsub, 1) AS nsub
+            FROM docw LEFT JOIN subw s USING (w))
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(nsub) AS BIGINT) AS n_subwords,
+             CAST(sum(nsub) * 1000 // count(*) AS BIGINT) AS fertility_pm
+      FROM j GROUP BY doc_id
+    """))
+
+  // ---- t75: production-vocabulary tokenizer apply (kernel regime) -----
+  //
+  // t73 applies the 10-merge schedule by folding each merge into the
+  // plan (Bpe.segment) — zero interpretation cost at 10 merges,
+  // structurally unusable at a real tokenizer's ~30k. This entry is the
+  // production regime made oracle-checkable: the word histogram (the
+  // ONLY corpus-sized relation) is aggregated distributed and COLLECTED
+  // — vocabulary-sized, the boundary every real tokenizer build
+  // (SentencePiece, HF tokenizers) draws, Bpe.trainLocal's scale
+  // argument — a 100-merge schedule trains in the driver
+  // (trainLocal ≡ train, property-pinned + supplementary-plane
+  // tie fixture), and the APPLY runs as the broadcast-merge-table
+  // mapPartitions kernel (Bpe.segmentWords, cursor ordered-replay ≡
+  // Bpe.segment, property-pinned at every vocab-size prefix) over the
+  // DISTINCT word vocabulary, joined back to the corpus. Output shape
+  // matches t73 (per-doc token/subword counts + integer per-mille
+  // fertility) so the two regimes are directly comparable.
+  //
+  // Scale shape: one corpus-sized token explode feeds a map-side-
+  // combined vocabulary agg; the merge table broadcasts (100 rows here,
+  // a few hundred KB at 30k); segmentation is pure map parallelism over
+  // the vocabulary — no shuffle, linear at any scale; the join back is
+  // vocabulary ⋈ token-explode (AQE broadcasts the small side).
+
+  private val kernelRounds = 100
+
+  private val t75 = Q(
+    "t75_bpe_kernel_apply",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+      // vocabulary-sized collect (NOT corpus-sized): the word histogram
+      // is the trainer's whole input, and its driver-side residence is
+      // the documented trainLocal production boundary
+      val hist = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = graft.etl.Bpe.trainLocal(hist, kernelRounds)
+        .map { case (_, s1, s2, _) => (s1, s2) }
+      val vocab = graft.etl.Bpe.segmentWords(
+          toks.select(col("w")).distinct(), merges)
+        .select(col("w"), size(col("seg")).cast("long").as("nsub"))
+      toks.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nsub")).as("n_subwords"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          expr("n_subwords * 1000 div n_tokens").as("fertility_pm"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${bpeCtes(kernelRounds)},
+      subw AS (SELECT replace(seg, ' ', '') AS w,
+                      len(string_split(trim(seg), ' ')) AS nsub
+               FROM seg$kernelRounds),
       docw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
       j AS (SELECT doc_id, coalesce(s.nsub, 1) AS nsub
             FROM docw LEFT JOIN subw s USING (w))
@@ -3176,5 +3244,5 @@ object TextQueries {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75)
 }

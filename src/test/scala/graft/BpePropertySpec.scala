@@ -166,6 +166,91 @@ class BpePropertySpec extends SparkSpec {
     got.foreach { case (w, seg) => assert(seg.mkString == w) }
   }
 
+  test("trainLocal ≡ train round-for-round on arbitrary histograms") {
+    import spark.implicits._
+    val hists = Gen.listOfN(25, corpus)
+      .apply(Gen.Parameters.default, Seed(13L)).get
+    hists.foreach { hist =>
+      val dist = Bpe.train(hist.toSeq.toDF("w", "cnt"), rounds = 4).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val local = Bpe.trainLocal(hist.toSeq, rounds = 4)
+      assert(local == dist, s"hist=$hist")
+    }
+    // duplicate histogram words sum (train feeds every row into the
+    // pair-count sum; a last-wins map would diverge)
+    val dup = Seq(("abab", 3L), ("abab", 4L), ("ab", 2L))
+    val dupDist = Bpe.train(dup.toDF("w", "cnt"), rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(Bpe.trainLocal(dup, rounds = 3) == dupDist)
+    assert(dupDist.head._4 == 16L, // (3+4) docs × 2 'ab' pairs + 2 × 1
+      s"duplicate words did not sum: ${dupDist.head}")
+  }
+
+  test("trainLocal tie-break is UTF-8 byte order (supplementary plane)") {
+    import spark.implicits._
+    // x = U+E000 (BMP, UTF-8 EE 80 80), y = U+10000 (supplementary,
+    // UTF-16 surrogates D800 DC00, UTF-8 F0 90 80 80). Java String
+    // order: y < x (surrogate code unit D800 < E000); UTF-8 byte order
+    // (Spark UTF8String, DuckDB): x < y (EE < F0). A tied argmax
+    // between pairs (x,x) and (y,y) must resolve the UTF-8 way.
+    val x = "\uE000"
+    val y = new String(Character.toChars(0x10000))
+    val hist = Seq((x + x, 1L), (y + y, 1L))
+    val dist = Bpe.train(hist.toDF("w", "cnt"), rounds = 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val local = Bpe.trainLocal(hist, rounds = 1).map(t => (t._2, t._3))
+    assert(local == dist)
+    assert(local == Seq((x, x)),
+      s"tie resolved by UTF-16 code units, not UTF-8 bytes: $local")
+  }
+
+  test("segmentWords kernel ≡ segment fold at every vocab-size prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L, "cabcab" -> 2L, "abc" -> 9L, "ab" -> 6L)
+    val (schedule, _) = refBpeFull(hist, rounds = 12)
+    val all = schedule.map { case (_, s1, s2, _) => (s1, s2) }
+    val words = (hist.keys.toSeq ++
+      Seq("cab", "x", "aabc", "abcabcabc", "zzz", "ccba")).toDF("w")
+    // every prefix of the schedule is a valid smaller vocabulary; the
+    // kernel must agree with the plan fold at each of them
+    (0 to all.length).foreach { k =>
+      val merges = all.take(k)
+      val fold = words.select(col("w"), Bpe.segment(col("w"), merges).as("seg"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val kern = Bpe.segmentWords(words, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      assert(kern == fold, s"kernel diverged from fold at vocab prefix $k")
+    }
+  }
+
+  test("segmentWords kernel at a 100+-merge schedule (production regime)") {
+    import spark.implicits._
+    // a histogram that sustains >100 merges: structured long words over
+    // a 6-letter alphabet with heavy repetition
+    val rnd = new scala.util.Random(19)
+    val hist = (1 to 160).map { i =>
+      val stem = Seq.fill(3 + rnd.nextInt(3))("abcdef" (rnd.nextInt(6))).mkString
+      (stem * (2 + rnd.nextInt(3)), 1L + rnd.nextInt(9))
+    }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val schedule = Bpe.trainLocal(hist, rounds = 120)
+    assert(schedule.length >= 100,
+      s"fixture too shallow: only ${schedule.length} merges")
+    val merges = schedule.map(t => (t._2, t._3))
+    val words = (hist.map(_._1) ++ Seq("abcdef", "aaaabbbb", "zz")).distinct.toDF("w")
+    val kern = Bpe.segmentWords(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // reference: ordered replay of every merge as a left-to-right scan
+    words.collect().map(_.getString(0)).foreach { w =>
+      val exp = merges.foldLeft(w.map(_.toString).toVector)(mergeSeq)
+      assert(kern(w) == exp, s"word $w: ${kern(w)} != $exp")
+      assert(kern(w).mkString == w)
+    }
+  }
+
   test("trainToVocab: merge budget = vocabSize - base alphabet") {
     import spark.implicits._
     val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
