@@ -49,4 +49,45 @@ object CheckpointPolicy {
       df.checkpoint()
     }
   }
+
+  /** Env-selected policy for the registry's iterative entries
+    * (t09/t41/t46/t52/t67/t71): `SPARK_GRAFT_CHECKPOINT=reliable`
+    * flips every iterative operator from executor-local blocks to
+    * reliable storage checkpoints — the cluster fault-tolerance
+    * configuration exercised END-TO-END under the same Verify/Bench
+    * mains (results must be hash-identical across policies; only the
+    * barrier's landing place changes). The checkpoint dir comes from
+    * `SPARK_GRAFT_CHECKPOINT_DIR` (the cluster deployment would point
+    * this at HDFS / object storage) or defaults to a per-process
+    * tmpdir that is removed on JVM exit — reliable checkpoints are
+    * deliberately NOT reference-tracked-cleaned mid-run (that
+    * replayability is their purpose).
+    */
+  def fromEnv(spark: org.apache.spark.sql.SparkSession): CheckpointPolicy =
+    select(sys.env.get("SPARK_GRAFT_CHECKPOINT"), spark)
+
+  private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[graft] def select(flag: Option[String],
+                            spark: org.apache.spark.sql.SparkSession): CheckpointPolicy =
+    if (flag.exists(_.equalsIgnoreCase("reliable"))) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        val path = dir.getOrElse(
+          s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
+            s"${ProcessHandle.current().pid()}")
+        sc.setCheckpointDir(path)
+        // per-process default dir: clean it up on exit (an explicit
+        // SPARK_GRAFT_CHECKPOINT_DIR is the operator's to manage)
+        if (dir.isEmpty && hookInstalled.compareAndSet(false, true))
+          sys.addShutdownHook {
+            def deleteRec(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+            }
+            deleteRec(new java.io.File(path)); ()
+          }
+      }
+      Reliable
+    } else Local
 }

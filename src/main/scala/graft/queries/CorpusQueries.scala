@@ -637,7 +637,8 @@ object CorpusQueries {
         .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
         .unionAll(eg0
           .select((col("sp") + suppOffset).as("src"), col("c").as("dst")))
-      graft.etl.Graph.pageRankMicro(edges, prIters)
+      graft.etl.Graph.pageRankMicro(edges, prIters,
+          policy = graft.etl.CheckpointPolicy.fromEnv(s))
         .select(col("id").as("node_id"),
           when(col("id") >= suppOffset, lit("s")).otherwise(lit("c"))
             .as("node_type"),
@@ -701,7 +702,8 @@ object CorpusQueries {
       // once for t41 + t71).
       val edges = tradePairs(s, d)
         .select(col("c").as("src"), (col("sp") + suppOffset).as("dst"))
-      graft.etl.Graph.pageRankDanglingMicro(edges, prIters)
+      graft.etl.Graph.pageRankDanglingMicro(edges, prIters,
+          policy = graft.etl.CheckpointPolicy.fromEnv(s))
         .select(col("id").as("node_id"),
           when(col("id") >= suppOffset, lit("s")).otherwise(lit("c"))
             .as("node_type"),

@@ -440,7 +440,8 @@ object TextQueries {
   private def sharedResolvedClusters(s: SparkSession, d: String): DataFrame =
     graft.etl.Artifacts.shared(s, d, "clusters") {
       Dedup.resolveClusters(sharedTokenLshPairs(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")),
+        policy = graft.etl.CheckpointPolicy.fromEnv(s))
     }
 
   /** (doc_id, sh) base over the doubled corpus — t06's index side, also
@@ -613,7 +614,8 @@ object TextQueries {
     (s, d) => {
       val pairs = sharedTokenLshPairs(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      graft.etl.Graph.connectedComponentsLSS(pairs)
+      graft.etl.Graph.connectedComponentsLSS(pairs,
+        policy = graft.etl.CheckpointPolicy.fromEnv(s))
     },
     Some(neardupResolveSql))
 
@@ -2140,7 +2142,8 @@ object TextQueries {
       val base = doubledCorpus(s, d)
         .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
-      Dedup.ppJoinPairs(base, "doc_id", "toks", 4, 5)
+      Dedup.ppJoinPairs(base, "doc_id", "toks", 4, 5,
+          policy = graft.etl.CheckpointPolicy.fromEnv(s))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
           col("inter_n"), col("union_n"))
     },
@@ -2807,7 +2810,8 @@ object TextQueries {
         Tables.spread(Tables.documents(s, d))
           .select(explode(TA.tokens(col("text"))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
-        bpeRounds)
+        bpeRounds,
+        policy = graft.etl.CheckpointPolicy.fromEnv(s))
     }
 
   /** Shared DuckDB CTE body of the BPE training loop: hist → seg0 →

@@ -100,4 +100,17 @@ class CheckpointPolicySpec extends SparkSpec {
       assert(local == reliable && local.nonEmpty)
     }
   }
+
+  test("fromEnv seam: 'reliable' selects Reliable and pins a checkpoint dir") {
+    // the env-flagged mode Verify/Bench use (SPARK_GRAFT_CHECKPOINT):
+    // anything but 'reliable' is the Local default; 'reliable' (any
+    // case) returns Reliable and ensures the SparkContext has a
+    // checkpoint dir so the operator's require() holds
+    assert(CheckpointPolicy.select(None, spark) == CheckpointPolicy.Local)
+    assert(CheckpointPolicy.select(Some("local"), spark) == CheckpointPolicy.Local)
+    val p = CheckpointPolicy.select(Some("RELIABLE"), spark)
+    assert(p == CheckpointPolicy.Reliable)
+    assert(spark.sparkContext.getCheckpointDir.isDefined,
+      "reliable selection must leave a checkpoint dir set")
+  }
 }
