@@ -29,6 +29,20 @@ object Bench {
       // AqeParitySpec pins result equality between the two modes.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // experiment seam (flat-cost profiling): whole-stage codegen
+      // compiles a Janino class per query — a fixed per-query cost the
+      // 198-entry workload pays 198×. Default ON (the production
+      // configuration; measured faster in total — the compile pays for
+      // itself even at sf0.1).
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN", "true"))
+      // experiment seam: parallelismFirst=true (Spark default) caps AQE
+      // coalescing at defaultParallelism, so every tiny reduce stage
+      // still schedules up to 32 tasks; false respects the 64MB
+      // advisory size (the Spark docs' own recommendation for
+      // production).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,10 +64,30 @@ object Bench {
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .filter { case (n, _) =>
         includeLegacy || !graft.queries.Registry.legacyBenchOptOut(n) }
+    // SPARK_GRAFT_BENCH_PROFILE=true: split each query's wall time into
+    // build (the queries() closure: plan construction + any driver-side
+    // work it does), plan (Catalyst analysis/optimization/physical
+    // planning, forced via executedPlan) and exec (the noop write) — the
+    // flat-cost profiler behind the steady-state s/query work. Timings
+    // go to stderr; the JSON artifact is unchanged.
+    val profile = Set("true", "1", "yes").contains(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "false").toLowerCase)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          if (profile) {
+            val df = fn(spark, sfDir)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val t2 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val t3 = System.nanoTime()
+            System.err.println(f"[profile] $name%-28s build=${(t1 - t0) / 1e9}%6.3f " +
+              f"plan=${(t2 - t1) / 1e9}%6.3f exec=${(t3 - t2) / 1e9}%6.3f")
+          } else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false

@@ -132,6 +132,19 @@ object Tables {
       case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
-  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+  /** documents/embeddings route through [[splitLoad]] (round 11): the
+    * raw tables are single row groups, so the ~60 LLM-pipeline entries
+    * that open with `spread(documents(...))` each paid a per-query
+    * repartition + localCheckpoint materialization of the whole table
+    * (the spread barrier — rebuilt every query because Bench/Verify
+    * clear caches between queries) AND lost filter/column pushdown
+    * behind the barrier. The split artifact pays ONE repartition per
+    * process; every later scan is split-parallel from the files
+    * themselves, so `spread` no-ops on it and predicates push all the
+    * way into the parquet scan.
+    */
+  def documents(spark: SparkSession, d: String): DataFrame =
+    splitLoad(spark, d, "documents", "doc_id")
+  def embeddings(spark: SparkSession, d: String): DataFrame =
+    splitLoad(spark, d, "embeddings", "vec_id")
 }
