@@ -2136,9 +2136,18 @@ object TextQueries {
   // strings instead of 15 minhash longs — the classic exactness/IO
   // trade a pipeline picks per corpus size.
 
-  private val t52 = Q(
-    "t52_ppjoin_exact",
-    (s, d) => {
+  /** The exact PPJoin pair set as a NAMED parquet artifact (r9 advice
+    * #7): ppJoinPairs' EXECUTION CONTRACT is "calling this runs the
+    * pipeline" (its eager materialize is self-contained), so a
+    * plan-only caller — schema inspection, a plan audit, a notebook
+    * assembling a larger pipeline — used to pay the full multi-pass
+    * compute. Routed through [[graft.etl.Artifacts.shared]], the
+    * pipeline runs once per (dataset, process) and every later call
+    * (and every plan-only touch) is a parquet scan — the same
+    * checkpoint-the-expensive-stage contract as sharedTokenLshPairs.
+    */
+  private def sharedPpJoinPairs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "ppjoin") {
       val base = doubledCorpus(s, d)
         .withColumn("_toks", TA.tokens(col("text")))
         .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
@@ -2146,7 +2155,11 @@ object TextQueries {
           policy = graft.etl.CheckpointPolicy.fromEnv(s))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
           col("inter_n"), col("union_n"))
-    },
+    }
+
+  private val t52 = Q(
+    "t52_ppjoin_exact",
+    (s, d) => sharedPpJoinPairs(s, d),
     Some(s"""
       WITH base AS (
         SELECT doc_id, sh AS toks FROM ($tokenLshBaseSql)),
