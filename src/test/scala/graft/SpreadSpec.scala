@@ -28,8 +28,12 @@ class SpreadSpec extends SparkSpec {
   }
 
   test("under-split source: the barrier still engages") {
-    // driver testdata = single row group → 1-partition scan
-    val src = Tables.documents(spark, sf0001)
+    // the RAW driver testdata table = single row group → 1-partition
+    // scan (Tables.documents itself routes through the round-11 split
+    // artifact, which is exactly the already-parallel case the other
+    // test covers — spread's barrier is the fallback for any residual
+    // compact source)
+    val src = Tables.load(spark, sf0001, "documents")
     assert(src.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
     val spreadDf = Tables.spread(src)
     assert(spreadDf.rdd.getNumPartitions ==
