@@ -285,26 +285,64 @@ object Dedup {
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val hot = indexBands.groupBy(col("bidx"), col("bh"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxBucket)
-    val nsub = expr(s"CAST((_n + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-    val salted = Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77)
-    val ix = indexBands.join(hot, Seq("bidx", "bh"), "left")
-      .withColumn("_k",
-        when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
-      .select(col(idCol).as("b"), col("bidx"), col("bh"), col("_k"))
-    val p = banded(probeSig, idCol, numBands, rowsPerBand)
-      .join(hot, Seq("bidx", "bh"), "left")
-      .withColumn("_sub",
-        when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
-      .select(col(idCol).as("a"), col("bidx"), col("bh"),
-        explode(when(col("_n").isNotNull,
-            array(col("_sub"), pmod(col("_sub") + lit(1L), nsub)))
-          .otherwise(array(col("_sub")))).as("_k"))
+    val hot = splitHot(indexBands, maxBucket)
+    val ix = splitIndexLabels(indexBands, hot, idCol, maxBucket)
+    val p = splitProbeKeys(banded(probeSig, idCol, numBands, rowsPerBand),
+      hot, idCol, maxBucket)
     p.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Hot buckets of a band table — `(bidx, bh, _n)` for every bucket
+    * over the cap. ONE map-side-partial count agg; the result is small
+    * by construction (≤ |bands|/maxBucket rows), which is what lets a
+    * streaming caller broadcast it.
+    */
+  private[graft] def splitHot(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("bidx"), col("bh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBucket)
+
+  // nsub = ceil(_n / maxBucket), exact integer math (expects `_n` in
+  // scope); the per-band salted label hash — ONE formula for both join
+  // sides and the DuckDB mirror (lshSplitProbeSql)
+  private def nsubCol(maxBucket: Int) =
+    expr(s"CAST((_n + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
+  private def saltedCol(idCol: String) =
+    Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77)
+
+  /** Index band rows with their single sub-bucket label:
+    * `(b, bidx, bh, _k)`. `hot` is [[splitHot]] of the SAME band table
+    * (passed in so a streaming caller can pin one copy and share it
+    * with [[splitProbeKeys]]).
+    */
+  private[graft] def splitIndexLabels(indexBands: DataFrame, hot: DataFrame,
+                                      idCol: String, maxBucket: Int): DataFrame =
+    indexBands.join(hot, Seq("bidx", "bh"), "left")
+      .withColumn("_k",
+        when(col("_n").isNotNull,
+          pmod(saltedCol(idCol), nsubCol(maxBucket))).otherwise(lit(0L)))
+      .select(col(idCol).as("b"), col("bidx"), col("bh"), col("_k"))
+
+  /** Probe band rows exploded to their own + wraparound-adjacent
+    * sub-bucket keys: `(a, keep..., bidx, bh, _k)`. Pure map work after
+    * the (tiny, broadcastable) `hot` join — the shape that stays
+    * stateless on a stream.
+    */
+  private[graft] def splitProbeKeys(bandRows: DataFrame, hot: DataFrame,
+                                    idCol: String, maxBucket: Int,
+                                    keep: Seq[String] = Nil): DataFrame = {
+    val nsub = nsubCol(maxBucket)
+    val carried = Seq(col(idCol).as("a")) ++ keep.map(col) ++
+      Seq(col("bidx"), col("bh"))
+    bandRows.join(hot, Seq("bidx", "bh"), "left")
+      .withColumn("_sub",
+        when(col("_n").isNotNull,
+          pmod(saltedCol(idCol), nsub)).otherwise(lit(0L)))
+      .select(carried :+ explode(when(col("_n").isNotNull,
+          array(col("_sub"), pmod(col("_sub") + lit(1L), nsub)))
+        .otherwise(array(col("_sub")))).as("_k"): _*)
   }
 
   /** Incremental probe (drop-cap variant): candidate (probe, index)

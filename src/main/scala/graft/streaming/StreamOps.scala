@@ -65,8 +65,11 @@ object StreamOps {
     *
     * ONE definition for batch and stream: on a batch frame the watermark
     * and watermark-dedup degrade to plain `dropDuplicates`, giving the
-    * oracle-checkable twin (t34's probe is the same computation via
-    * [[graft.etl.Dedup.probeBandTable]]).
+    * oracle-checkable twin (the drop-cap probe computation,
+    * [[graft.etl.Dedup.probeBandTable]] — t72's audited baseline). This
+    * variant accepts hot-bucket recall loss in exchange for never
+    * fanning a hot bucket out; [[nearDupSplitProbeStream]] is the
+    * recall-preserving default since round 11.
     *
     * `docs` needs (doc_id, ts, sh); `indexBands` (doc_id, bidx, bh);
     * `corpusSh` (doc_id, sh). Output: (a, ts, b, jaccard).
@@ -102,6 +105,66 @@ object StreamOps {
       .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
         Seq("b"))
       .select(col("doc_id").as("a"), col("ts"), col("b"),
+        round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
+    else verified.dropDuplicates("a", "b")
+  }
+
+  /** Recall-preserving streaming near-dup probe — the round-11 close of
+    * the LAST drop-cap default: [[nearDupProbeStream]] caps the static
+    * index at plan time (every band row of a hot bucket deleted, the
+    * documented trade), but the split-probe geometry
+    * ([[graft.etl.Dedup.splitProbeBandTable]], t32/t34's production
+    * path) is COMPUTABLE AT PLAN TIME here too, because the index side
+    * is static: hot-bucket counts and per-row index labels are derived
+    * once from the full persisted band table and pinned (stream-static
+    * joins re-evaluate the static subtree every trigger — the same
+    * eager-checkpoint discipline as the capped variant; at cluster
+    * scale, persist the labeled table to storage once and read that).
+    * The STREAM side stays stateless: each probe band row joins the
+    * hot table — broadcast: it holds only over-cap buckets — to pick
+    * up `_n`, labels itself with the salted modulus map-side, and
+    * explodes to its own + wraparound-adjacent sub-bucket key. Per
+    * probe row the hot-bucket join work is bounded at ~2·maxBucket
+    * expected, ZERO index rows dropped, cold buckets identical to the
+    * capped probe; recall follows the [[graft.etl.Dedup]] 2/nsub-per-
+    * band graceful-degradation model. Pair-dedup state is bounded by
+    * the watermark, same contract as [[nearDupProbeStream]].
+    *
+    * ONE definition for batch and stream: on a batch frame this is
+    * exactly the t32/t34 pair set (StreamingSpec pins batch ≡
+    * `Dedup.splitProbeBandTable` ≡ the streamed result).
+    */
+  def nearDupSplitProbeStream(
+      docs: DataFrame,
+      indexBands: DataFrame,
+      corpusSh: DataFrame,
+      k: Int = 15,
+      numBands: Int = 3,
+      rowsPerBand: Int = 5,
+      maxBucket: Int = 20,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import graft.etl.Dedup
+    val src =
+      if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
+    val sig = Dedup.rowSignatures(src.filter(size(col("sh")) > 0), "sh", k)
+    val bands = Dedup.rowBands(sig, "doc_id", numBands, rowsPerBand,
+      keep = Seq("ts", "sh"))
+    val hot0 = Dedup.splitHot(indexBands, maxBucket)
+    val ix0 = Dedup.splitIndexLabels(indexBands, hot0, "doc_id", maxBucket)
+    val (hot, ix) =
+      if (docs.isStreaming) (hot0.localCheckpoint(true), ix0.localCheckpoint(true))
+      else (hot0, ix0)
+    val pbk = Dedup.splitProbeKeys(bands, broadcast(hot), "doc_id", maxBucket,
+      keep = Seq("ts", "sh"))
+    val verified = pbk.join(ix, Seq("bidx", "bh", "_k"))
+      .filter(col("a") =!= col("b"))
+      .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
+        Seq("b"))
+      .select(col("a"), col("ts"), col("b"),
         round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)

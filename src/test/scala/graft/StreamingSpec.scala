@@ -507,6 +507,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupSplitProbeStream: hot index bucket — capped stream misses, " +
+    "split stream hits; streamed ≡ batch ≡ splitProbeBandTable") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Dedup
+    val base = 1700000000L * US
+    val mb = 5
+
+    // corpus: 8 identical boilerplate docs (one hot bucket per band,
+    // over the cap of 5) + 3 distinct docs
+    val hotSh = Seq("b_a", "b_b", "b_c", "b_d")
+    val corpusSh = ((1L to 8L).map(id => (id, hotSh)) ++ Seq(
+      (20L, Seq("u20_a", "u20_b", "u20_c", "u20_d")),
+      (21L, Seq("u21_a", "u21_b", "u21_c", "u21_d")),
+      (22L, Seq("u22_a", "u22_b", "u22_c", "u22_d"))))
+      .toDF("doc_id", "sh")
+    val indexBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpusSh, "doc_id", "sh", 15),
+      "doc_id", numBands = 3, rowsPerBand = 5)
+
+    // probes: a replay of a hot doc (its only matches live in the hot
+    // bucket) and a replay of a cold doc
+    val probeRows = Seq((901L, base, hotSh),
+      (920L, base + MIN, Seq("u20_a", "u20_b", "u20_c", "u20_d")))
+    def probeDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("sh"))
+
+    val input = MemoryStream[(Long, Long, Seq[String])]
+    val streamDocs = probeDf(input.toDS().toDF("doc_id", "us", "sh"))
+    val out = StreamOps.nearDupSplitProbeStream(streamDocs, indexBands,
+      corpusSh, maxBucket = mb)
+    val ckpt = Files.createTempDirectory("ckpt10").toString
+    val q = out.writeStream
+      .format("memory").queryName("neardup_split_probe_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(probeRows: _*)
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("a"), col("b"), col("jaccard"))
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("neardup_split_probe_out"))
+      val batchDocs = probeDf(probeRows.toDF("doc_id", "us", "sh"))
+      val batch = canon(StreamOps.nearDupSplitProbeStream(batchDocs,
+        indexBands, corpusSh, maxBucket = mb))
+      assert(streamed == batch)
+
+      // the hot probe reaches the hot bucket (nsub=2 here, so the
+      // wraparound makes it pairwise complete: all 8 index members);
+      // the capped stream variant loses exactly these
+      assert(batch.filter(_._1 == 901L).map(_._2).toSet == (1L to 8L).toSet)
+      assert(batch.filter(_._1 == 920L).map(_._2) == Seq(20L))
+      val capped = canon(StreamOps.nearDupProbeStream(batchDocs, indexBands,
+        corpusSh, maxBucket = mb))
+      assert(capped.filter(_._1 == 901L).isEmpty && capped.nonEmpty)
+
+      // batch twin ≡ the t32/t34 production path (splitProbeBandTable)
+      val sigPb = Dedup.minhashSignatures(
+        batchDocs.select(col("doc_id"), col("sh")), "doc_id", "sh", 15)
+      val cand = Dedup.splitProbeBandTable(sigPb, indexBands, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = mb)
+      val viaBatchApi = Dedup.verifyJaccard(
+        batchDocs.select(col("doc_id"), col("sh")), corpusSh,
+        "doc_id", "sh", cand, 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(viaBatchApi == batch)
+    } finally q.stop()
+  }
+
   test("checkpointed aggregation restarts exactly-once: state kept, files not replayed") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckpt = Files.createTempDirectory("ckpt6").toString
