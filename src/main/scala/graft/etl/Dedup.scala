@@ -117,13 +117,12 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val bands = banded(sig, idCol, numBands, rowsPerBand)
-    val hot = bands.groupBy(col("bidx"), col("bh"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > maxBucket)
+    val hot = splitHot(bands, maxBucket)
     // ⌈n/maxBucket⌉ in exact integer math (DIV) — mirrored verbatim by
-    // the DuckDB oracle's `//`
-    val nsub = expr(s"CAST((_n + ${maxBucket - 1}) DIV $maxBucket AS BIGINT)")
-    val salted = Portable.hash60(concat_ws("#", col(idCol), col("bidx")), 77)
+    // the DuckDB oracle's `//`; ONE formula with the probe seam
+    // ([[splitProbeKeys]]), via the shared nsubCol/saltedCol helpers
+    val nsub = nsubCol(maxBucket)
+    val salted = saltedCol(idCol)
     bands.join(hot, Seq("bidx", "bh"), "left")
       .withColumn("_sub",
         when(col("_n").isNotNull, pmod(salted, nsub)).otherwise(lit(0L)))
