@@ -376,4 +376,19 @@ object Bpe {
       s"vocabSize $vocabSize must exceed the base alphabet ($base symbols)")
     train(hist, (vocabSize - base).toInt, policy)
   }
+
+  /** [[trainToVocab]] on the [[trainLocal]] path — the same
+    * vocab-size stop condition (merge budget = vocabSize − |base
+    * alphabet|, codepoint-counted like the distributed explode) for
+    * the collected-histogram trainer a production 30k-vocab build
+    * uses. Pinned ≡ [[trainToVocab]] by BpePropertySpec; the same
+    * symbol-collision shortfall caveat applies.
+    */
+  def trainLocalToVocab(hist: Seq[(String, Long)],
+                        vocabSize: Int): Seq[(Int, String, String, Long)] = {
+    val base = hist.iterator.flatMap(w => splitCodepoints(w._1)).toSet.size
+    require(vocabSize > base,
+      s"vocabSize $vocabSize must exceed the base alphabet ($base symbols)")
+    trainLocal(hist, vocabSize - base)
+  }
 }

@@ -269,6 +269,31 @@ class BpePropertySpec extends SparkSpec {
     assert(Bpe.trainToVocab(tiny, vocabSize = 10).collect().length == 1)
   }
 
+  test("trainLocalToVocab ≡ trainToVocab: same budget, same schedule") {
+    import spark.implicits._
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L)
+    val dist = Bpe.trainToVocab(hist.toSeq.toDF("w", "cnt"), vocabSize = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val local = Bpe.trainLocalToVocab(hist.toSeq, vocabSize = 8)
+    assert(local == dist && local.length == 5)
+    // codepoint-counted base alphabet: a supplementary-plane char is
+    // ONE symbol (2 UTF-16 code units) on both paths
+    val supp = new String(Character.toChars(0x10000))
+    val histS = Seq((supp + supp, 2L), ("ab", 1L))
+    val distS = Bpe.trainToVocab(histS.toDF("w", "cnt"), vocabSize = 5)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(Bpe.trainLocalToVocab(histS, vocabSize = 5) == distS)
+    // below-alphabet target is a contract violation on both paths
+    assertThrows[IllegalArgumentException] {
+      Bpe.trainLocalToVocab(hist.toSeq, vocabSize = 3)
+    }
+  }
+
   test("aaa-style overlap merges left-to-right, not greedily re-paired") {
     import spark.implicits._
     // "aaa"×2: round 1 pair (a,a) freq 4 (two positions × cnt 2); merge
