@@ -121,4 +121,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"q59 re-acquired an Expand:\n$plan")
   }
+
+  test("t75's segmentation is a typed mapPartitions kernel, window-free") {
+    // the production-vocab apply contract: the merge replay runs as
+    // object-typed mapPartitions over the DISTINCT vocabulary (pure map
+    // parallelism — a Window or per-word sort here would be a scale
+    // regression), and the corpus-side join back must not plan a
+    // cartesian (PlanAuditSpec's registry-wide sweep covers that; this
+    // pins the kernel shape specifically)
+    val plan = Registry.queries("t75_bpe_kernel_apply")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"t75 lost the mapPartitions kernel:\n$plan")
+    assert(!plan.contains("Window "),
+      s"t75 acquired a window:\n$plan")
+  }
 }
