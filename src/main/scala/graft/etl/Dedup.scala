@@ -293,6 +293,55 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** EXACT probe of a persisted band table — zero recall loss on
+    * either side, with the sub-bucket labels retained purely as a skew
+    * spreader.
+    *
+    * Semantics: identical to the UNCAPPED probe join (probe bands ⋈
+    * index bands on (bidx, bh), self-pairs removed). Proof: every index
+    * row of a hot bucket takes exactly one label in [0, nsub)
+    * ([[splitIndexLabels]]), and here a probe row in that bucket emits
+    * ALL nsub labels — so a (probe, index) co-bucket pair always shares
+    * a key, in every band. [[DedupSplitSpec]] pins the equality
+    * set-for-set against `probeBandTable` with the cap disabled, and the
+    * t76 oracle mirrors the plain uncapped join (no label math to
+    * mirror — the labels are invisible in the result).
+    *
+    * What the labels buy at 100 TB: a boilerplate-hot index bucket of n
+    * rows becomes nsub = ⌈n/maxBucket⌉ distinct join keys instead of
+    * ONE — its probe work spreads over nsub reducers rather than
+    * landing a whole crawl cluster's fan-out on a single straggler
+    * task. The cost is honest and linear in true bucket heat: a hot
+    * probe row does ~nsub·maxBucket ≈ n index comparisons — exact
+    * recall is PAID FOR, not conjured. Right when the probe batch is
+    * small relative to the corpus (the daily-ingest shape) and recall
+    * must be total (legal/dedup-before-release). When the probe side is
+    * itself crawl-scale, use [[splitProbeBandTable]] — its bounded
+    * ~2·maxBucket per-row cost with the graceful per-band recall model
+    * is the scalable trade.
+    */
+  def exactProbeBandTable(
+      probeSig: DataFrame,
+      indexBands: DataFrame,
+      idCol: String,
+      numBands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val hot = splitHot(indexBands, maxBucket)
+    val ix = splitIndexLabels(indexBands, hot, idCol, maxBucket)
+    val nsub = nsubCol(maxBucket)
+    val p = banded(probeSig, idCol, numBands, rowsPerBand)
+      .join(hot, Seq("bidx", "bh"), "left")
+      .select(col(idCol).as("a"), col("bidx"), col("bh"),
+        explode(when(col("_n").isNotNull,
+            sequence(lit(0L), nsub - lit(1L)))
+          .otherwise(array(lit(0L)))).as("_k"))
+    p.join(ix, Seq("bidx", "bh", "_k"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
   /** Hot buckets of a band table — `(bidx, bh, _n)` for every bucket
     * over the cap. ONE map-side-partial count agg; the result is small
     * by construction (≤ |bands|/maxBucket rows), which is what lets a

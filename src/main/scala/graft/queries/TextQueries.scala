@@ -1289,6 +1289,54 @@ object TextQueries {
       k = 15, numBands = 3, rowsPerBand = 5,
       maxBucket = probeSplitMaxBucket, threshold = 0.8)))
 
+  // ---- t76: EXACT incremental probe (skew-spread, zero loss) ----------
+  //
+  // The third point on the incremental-probe recall/cost curve, for the
+  // batches where recall must be TOTAL (dedup-before-release, takedown
+  // compliance): t72's drop cap deletes hot index buckets (cheapest,
+  // loses hot matches); t32/t34's split probe keeps every index row at
+  // bounded ~2·maxBucket cost per probe row (graceful ≈2/nsub-per-band
+  // recall inside a split bucket); THIS entry pays the full bucket —
+  // the probe emits ALL nsub sub-labels, so the candidate set equals
+  // the uncapped probe join exactly, while each hot bucket still
+  // arrives as nsub distinct join keys instead of one straggler
+  // partition (Dedup.exactProbeBandTable's skew-spread argument).
+  // Because the labels are invisible in the result, the oracle is the
+  // plain uncapped lshSql probe — no sub-bucket math to mirror; the
+  // label plumbing is pinned instead by DedupSplitSpec (exact ≡
+  // uncapped set-for-set on a hot fixture, split ⊆ exact everywhere).
+  // Runs the shared incremental fixture at t74's aggressive cap (3) so
+  // the label machinery genuinely engages at every tested scale.
+
+  private val t76 = Q(
+    "t76_exact_probe_neardup",
+    (s, d) => {
+      def shingled(df: DataFrame) = df
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpus = shingled(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = shingled(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
+      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
+      val ixBands = Dedup.bandTable(sigIx, "doc_id",
+        numBands = 3, rowsPerBand = 5)
+      val cand = Dedup.exactProbeBandTable(sigPb, ixBands, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = probeSplitMaxBucket)
+      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+    },
+    // uncapped probe join — exactProbeBandTable's declared semantics
+    // (Int.MaxValue disables lshSql's index cap; the window count it
+    // still computes is dwarfed by the verify stage)
+    Some(lshSql(incIndexSql, Some(incProbeSql),
+      k = 15, numBands = 3, rowsPerBand = 5, maxBucket = Int.MaxValue,
+      threshold = 0.8)))
+
   // ---- t33: split leakage audit ---------------------------------------
   //
   // The check every train/val/test split needs AFTER near-dup detection:
@@ -3261,5 +3309,5 @@ object TextQueries {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76)
 }

@@ -170,6 +170,44 @@ class DedupSplitSpec extends SparkSpec {
     }
   }
 
+  test("exact probe ≡ uncapped probe join; split ⊆ exact (t76's contract)") {
+    // index mixes one 40-row hot cluster with a distinct cold tail, so
+    // both branches of the probe's label explode run; probes hit both
+    val ixDocs = ((1L to 40L).map(id =>
+      (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee"))) ++
+      (60L to 75L).map(id =>
+        (id, Seq(s"u${id}_a", s"u${id}_b", s"u${id}_c", s"u${id}_d"))))
+      .toDF("doc_id", "sh")
+    val pbDocs = ((101L to 108L).map(id =>
+      (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee"))) :+
+      ((150L, Seq("u60_a", "u60_b", "u60_c", "u60_d"))))
+      .toDF("doc_id", "sh")
+    val ixSig = Dedup.minhashSignatures(ixDocs, "doc_id", "sh", k)
+    val ixBands = Dedup.bandTable(ixSig, "doc_id", bands, rows)
+    val pbSig = Dedup.minhashSignatures(pbDocs, "doc_id", "sh", k)
+    val uncapped = Dedup.probeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, Int.MaxValue).as[(Long, Long)].collect().toSet
+    // ground truth sanity: every hot probe reaches all 40 hot index
+    // rows, and the cold probe finds its cold source
+    assert((101L to 108L).forall(a => uncapped.contains((a, 1L))))
+    assert(uncapped.contains((150L, 60L)))
+    Seq(2, 3, 5, 50).foreach { mb =>
+      val exact = Dedup.exactProbeBandTable(pbSig, ixBands, "doc_id",
+        bands, rows, mb).as[(Long, Long)].collect().toSet
+      assert(exact == uncapped,
+        s"maxBucket=$mb: exact probe diverged from the uncapped join " +
+          s"(missing ${uncapped -- exact}, extra ${exact -- uncapped})")
+      val split = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+        bands, rows, mb).as[(Long, Long)].collect().toSet
+      assert(split.subsetOf(exact),
+        s"maxBucket=$mb: split-probe pairs escaped exact: ${split -- exact}")
+    }
+    // and the skew-spread shape holds: sort-free, no Window
+    val plan = Dedup.exactProbeBandTable(pbSig, ixBands, "doc_id",
+      bands, rows, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"exact probe contains a window:\n$plan")
+  }
+
   test("re-pinned incremental geometry (t32/t34): capped ⊆ split at the " +
     "production cap, and every replayed probe finds its source") {
     // the exact geometry the round-10 re-pinned entries run: k=15, 3×5
