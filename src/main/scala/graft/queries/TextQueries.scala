@@ -1337,6 +1337,54 @@ object TextQueries {
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = Int.MaxValue,
       threshold = 0.8)))
 
+  // ---- t77: streaming near-dup probe, oracle-checked (batch form) -----
+  //
+  // [[graft.streaming.StreamOps.nearDupSplitProbeStream]] is ONE
+  // definition for batch and streaming frames (StreamingSpec pins
+  // streamed ≡ batch ≡ splitProbeBandTable + verifyJaccard on a
+  // hot-bucket fixture) — this entry runs that SAME function on a batch
+  // frame over the shared incremental fixture, putting the streaming
+  // composition (row signatures → band rows → split-probe keys →
+  // two-sided verify → pair dedup) under the full DuckDB oracle, the
+  // same batch-form discipline as every other stream entry (q34, q41,
+  // q45). The probe carries an arrival-time column the streaming half
+  // watermarks on; here it is a deterministic function of doc_id
+  // (epoch + doc_id), so the oracle just projects it back onto the
+  // split-probe SQL — no new mirror math. Geometry = t74's aggressive
+  // cap (3) so hot-bucket splitting genuinely engages at every tested
+  // scale.
+
+  private val probeTsEpoch = 1700000000L
+
+  private val t77 = Q(
+    "t77_stream_neardup_probe",
+    (s, d) => {
+      def shingled(df: DataFrame) = df
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpus = shingled(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = shingled(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+        .withColumn("ts", lit(probeTsEpoch) + col("doc_id"))
+      val ixBands = Dedup.bandTable(
+        Dedup.minhashSignatures(corpus, "doc_id", "sh", 15), "doc_id",
+        numBands = 3, rowsPerBand = 5)
+      graft.streaming.StreamOps.nearDupSplitProbeStream(
+        batch, ixBands, corpus,
+        k = 15, numBands = 3, rowsPerBand = 5,
+        maxBucket = probeSplitMaxBucket, threshold = 0.8)
+    },
+    Some(s"""
+      SELECT doc_a AS a, $probeTsEpoch + doc_a AS ts, doc_b AS b, jaccard
+      FROM (${lshSplitProbeSql(incIndexSql, incProbeSql,
+        k = 15, numBands = 3, rowsPerBand = 5,
+        maxBucket = probeSplitMaxBucket, threshold = 0.8)})
+    """))
+
   // ---- t33: split leakage audit ---------------------------------------
   //
   // The check every train/val/test split needs AFTER near-dup detection:
@@ -3309,5 +3357,6 @@ object TextQueries {
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
-      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76)
+      t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76,
+      t77)
 }
