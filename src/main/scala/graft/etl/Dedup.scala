@@ -330,13 +330,8 @@ object Dedup {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val hot = splitHot(indexBands, maxBucket)
     val ix = splitIndexLabels(indexBands, hot, idCol, maxBucket)
-    val nsub = nsubCol(maxBucket)
-    val p = banded(probeSig, idCol, numBands, rowsPerBand)
-      .join(hot, Seq("bidx", "bh"), "left")
-      .select(col(idCol).as("a"), col("bidx"), col("bh"),
-        explode(when(col("_n").isNotNull,
-            sequence(lit(0L), nsub - lit(1L)))
-          .otherwise(array(lit(0L)))).as("_k"))
+    val p = exactProbeKeys(banded(probeSig, idCol, numBands, rowsPerBand),
+      hot, idCol, maxBucket)
     p.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
@@ -391,6 +386,26 @@ object Dedup {
       .select(carried :+ explode(when(col("_n").isNotNull,
           array(col("_sub"), pmod(col("_sub") + lit(1L), nsub)))
         .otherwise(array(col("_sub")))).as("_k"): _*)
+  }
+
+  /** Probe band rows exploded to ALL `nsub` sub-bucket keys of their
+    * bucket — the exact-recall analog of [[splitProbeKeys]]:
+    * `(a, keep..., bidx, bh, _k)`. The candidate set downstream EQUALS
+    * the uncapped probe join (every index label is visited), while a
+    * hot bucket still arrives as nsub distinct join keys. Same
+    * stateless shape on a stream: pure map work after the (tiny,
+    * broadcastable) `hot` join.
+    */
+  private[graft] def exactProbeKeys(bandRows: DataFrame, hot: DataFrame,
+                                    idCol: String, maxBucket: Int,
+                                    keep: Seq[String] = Nil): DataFrame = {
+    val nsub = nsubCol(maxBucket)
+    val carried = Seq(col(idCol).as("a")) ++ keep.map(col) ++
+      Seq(col("bidx"), col("bh"))
+    bandRows.join(hot, Seq("bidx", "bh"), "left")
+      .select(carried :+ explode(when(col("_n").isNotNull,
+          sequence(lit(0L), nsub - lit(1L)))
+        .otherwise(array(lit(0L)))).as("_k"): _*)
   }
 
   /** Incremental probe (drop-cap variant): candidate (probe, index)

@@ -1385,6 +1385,47 @@ object TextQueries {
         maxBucket = probeSplitMaxBucket, threshold = 0.8)})
     """))
 
+  // ---- t78: streaming EXACT probe, oracle-checked (batch form) --------
+  //
+  // Completes the streaming curve to the batch family's three trades:
+  // drop cap (nearDupProbeStream, audited), bounded split (t77), and
+  // EXACT — [[graft.streaming.StreamOps.nearDupExactProbeStream]], for
+  // compliance-critical batches arriving as a stream. Same batch-form
+  // oracle discipline as t77; because the exact probe's candidate set
+  // equals the uncapped join (t76's declared semantics), the oracle is
+  // the plain uncapped lshSql with the ts projection — no label math.
+  // StreamingSpec pins streamed ≡ batch ≡ exactProbeBandTable and
+  // split ⊆ exact at nsub=4.
+
+  private val t78 = Q(
+    "t78_stream_exact_probe",
+    (s, d) => {
+      def shingled(df: DataFrame) = df
+        .withColumn("_toks", TA.tokens(col("text")))
+        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = Tables.spread(Tables.documents(s, d))
+      val corpus = shingled(docs.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = shingled(docs
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+        .withColumn("ts", lit(probeTsEpoch) + col("doc_id"))
+      val ixBands = Dedup.bandTable(
+        Dedup.minhashSignatures(corpus, "doc_id", "sh", 15), "doc_id",
+        numBands = 3, rowsPerBand = 5)
+      graft.streaming.StreamOps.nearDupExactProbeStream(
+        batch, ixBands, corpus,
+        k = 15, numBands = 3, rowsPerBand = 5,
+        maxBucket = probeSplitMaxBucket, threshold = 0.8)
+    },
+    Some(s"""
+      SELECT doc_a AS a, $probeTsEpoch + doc_a AS ts, doc_b AS b, jaccard
+      FROM (${lshSql(incIndexSql, Some(incProbeSql),
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = Int.MaxValue,
+        threshold = 0.8)})
+    """))
+
   // ---- t33: split leakage audit ---------------------------------------
   //
   // The check every train/val/test split needs AFTER near-dup detection:
@@ -3358,5 +3399,5 @@ object TextQueries {
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
       t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76,
-      t77)
+      t77, t78)
 }

@@ -146,7 +146,26 @@ object StreamOps {
       rowsPerBand: Int = 5,
       maxBucket: Int = 20,
       threshold: Double = 0.8,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
+      rowsPerBand, maxBucket, threshold, watermarkDelay,
+      graft.etl.Dedup.splitProbeKeys(_, _, "doc_id", maxBucket,
+        keep = Seq("ts", "sh")))
+
+  /** Shared core of the labeled streaming probes: signatures → band
+    * rows → plan-time static index labels (pinned; hot table broadcast)
+    * → the variant's probe-key explosion → equi-join → two-sided
+    * verify → watermark-bounded pair dedup. The probe-keys function is
+    * the ONLY difference between the split and exact variants, so the
+    * geometry cannot desync between them.
+    */
+  private def labeledProbeStream(
+      docs: DataFrame,
+      indexBands: DataFrame,
+      corpusSh: DataFrame,
+      k: Int, numBands: Int, rowsPerBand: Int, maxBucket: Int,
+      threshold: Double, watermarkDelay: String,
+      probeKeys: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.etl.Dedup
     val src =
       if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
@@ -158,8 +177,7 @@ object StreamOps {
     val (hot, ix) =
       if (docs.isStreaming) (hot0.localCheckpoint(true), ix0.localCheckpoint(true))
       else (hot0, ix0)
-    val pbk = Dedup.splitProbeKeys(bands, broadcast(hot), "doc_id", maxBucket,
-      keep = Seq("ts", "sh"))
+    val pbk = probeKeys(bands, broadcast(hot))
     val verified = pbk.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
       .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
@@ -171,6 +189,42 @@ object StreamOps {
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
     else verified.dropDuplicates("a", "b")
   }
+
+  /** EXACT streaming near-dup probe — the total-recall point of the
+    * streaming curve, completing the batch family's three trades
+    * (drop cap [[nearDupProbeStream]] / bounded split
+    * [[nearDupSplitProbeStream]] / exact THIS) for the arrival shape
+    * that needs it most: small compliance-critical batches
+    * (dedup-before-release, takedown checks) landing as a stream.
+    * Identical plan-time geometry to the split variant — static index
+    * labels pin once, the hot table broadcasts — but each probe band
+    * row explodes to ALL nsub sub-bucket keys
+    * ([[graft.etl.Dedup.exactProbeKeys]]), so the candidate set EQUALS
+    * the uncapped probe join (zero recall loss anywhere) while a hot
+    * bucket still arrives as nsub distinct join keys instead of one
+    * straggler. Cost per probe row is the bucket's TRUE heat (~n index
+    * comparisons) — the honest price of exactness, bounded by the
+    * batch being small; the stream side stays stateless and
+    * watermark-bounded exactly as the split variant.
+    *
+    * ONE definition for batch and stream: on a batch frame this is
+    * exactly the t76 pair set (StreamingSpec pins batch ≡
+    * `Dedup.exactProbeBandTable` ≡ the streamed result, split ⊆ exact).
+    */
+  def nearDupExactProbeStream(
+      docs: DataFrame,
+      indexBands: DataFrame,
+      corpusSh: DataFrame,
+      k: Int = 15,
+      numBands: Int = 3,
+      rowsPerBand: Int = 5,
+      maxBucket: Int = 20,
+      threshold: Double = 0.8,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
+      rowsPerBand, maxBucket, threshold, watermarkDelay,
+      graft.etl.Dedup.exactProbeKeys(_, _, "doc_id", maxBucket,
+        keep = Seq("ts", "sh")))
 
   /** Native engine-merged session windows (`session_window(ts, gap)`) —
     * ONE definition for batch (q45's oracle-checked form) and streaming

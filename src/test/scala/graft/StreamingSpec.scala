@@ -579,6 +579,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupExactProbeStream: total recall on a hot bucket at nsub=4; " +
+    "streamed ≡ batch ≡ exactProbeBandTable; split ⊆ exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Dedup
+    val base = 1700000000L * US
+    val mb = 2 // 8-doc hot bucket → nsub = 4: the split probe visits
+               // only its own + adjacent label, the exact probe all 4
+
+    val hotSh = Seq("b_a", "b_b", "b_c", "b_d")
+    val corpusSh = ((1L to 8L).map(id => (id, hotSh)) ++ Seq(
+      (20L, Seq("u20_a", "u20_b", "u20_c", "u20_d")),
+      (21L, Seq("u21_a", "u21_b", "u21_c", "u21_d"))))
+      .toDF("doc_id", "sh")
+    val indexBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpusSh, "doc_id", "sh", 15),
+      "doc_id", numBands = 3, rowsPerBand = 5)
+
+    val probeRows = Seq((901L, base, hotSh),
+      (920L, base + MIN, Seq("u20_a", "u20_b", "u20_c", "u20_d")))
+    def probeDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("sh"))
+
+    val input = MemoryStream[(Long, Long, Seq[String])]
+    val streamDocs = probeDf(input.toDS().toDF("doc_id", "us", "sh"))
+    val out = StreamOps.nearDupExactProbeStream(streamDocs, indexBands,
+      corpusSh, maxBucket = mb)
+    val ckpt = Files.createTempDirectory("ckpt11").toString
+    val q = out.writeStream
+      .format("memory").queryName("neardup_exact_probe_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(probeRows: _*)
+      q.processAllAvailable()
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("a"), col("b"), col("jaccard"))
+          .as[(Long, Long, Double)].collect().sorted.toSeq
+
+      val streamed = canon(spark.table("neardup_exact_probe_out"))
+      val batchDocs = probeDf(probeRows.toDF("doc_id", "us", "sh"))
+      val batch = canon(StreamOps.nearDupExactProbeStream(batchDocs,
+        indexBands, corpusSh, maxBucket = mb))
+      assert(streamed == batch)
+
+      // TOTAL recall on the hot bucket — guaranteed, not band-lucky
+      assert(batch.filter(_._1 == 901L).map(_._2).toSet == (1L to 8L).toSet)
+      assert(batch.filter(_._1 == 920L).map(_._2) == Seq(20L))
+
+      // split ⊆ exact at the same geometry
+      val split = canon(StreamOps.nearDupSplitProbeStream(batchDocs,
+        indexBands, corpusSh, maxBucket = mb))
+      assert(split.toSet.subsetOf(batch.toSet))
+
+      // batch twin ≡ the t76 production path (exactProbeBandTable)
+      val sigPb = Dedup.minhashSignatures(
+        batchDocs.select(col("doc_id"), col("sh")), "doc_id", "sh", 15)
+      val cand = Dedup.exactProbeBandTable(sigPb, indexBands, "doc_id",
+        numBands = 3, rowsPerBand = 5, maxBucket = mb)
+      val viaBatchApi = Dedup.verifyJaccard(
+        batchDocs.select(col("doc_id"), col("sh")), corpusSh,
+        "doc_id", "sh", cand, 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(viaBatchApi == batch)
+    } finally q.stop()
+  }
+
   test("checkpointed aggregation restarts exactly-once: state kept, files not replayed") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckpt = Files.createTempDirectory("ckpt6").toString
