@@ -294,8 +294,9 @@ object Dedup {
   }
 
   /** EXACT probe of a persisted band table — zero recall loss on
-    * either side, with the sub-bucket labels retained purely as a skew
-    * spreader.
+    * either side RELATIVE TO THE UNCAPPED BANDED JOIN (LSH band recall
+    * itself stays probabilistic, as everywhere), with the sub-bucket
+    * labels retained purely as a skew spreader.
     *
     * Semantics: identical to the UNCAPPED probe join (probe bands ⋈
     * index bands on (bidx, bh), self-pairs removed). Proof: every index

@@ -200,7 +200,8 @@ object StreamOps {
     * labels pin once, the hot table broadcasts — but each probe band
     * row explodes to ALL nsub sub-bucket keys
     * ([[graft.etl.Dedup.exactProbeKeys]]), so the candidate set EQUALS
-    * the uncapped probe join (zero recall loss anywhere) while a hot
+    * the uncapped probe join — zero loss vs the banded join; LSH band
+    * recall itself stays probabilistic as everywhere — while a hot
     * bucket still arrives as nsub distinct join keys instead of one
     * straggler. Cost per probe row is the bucket's TRUE heat (~n index
     * comparisons) — the honest price of exactness, bounded by the
