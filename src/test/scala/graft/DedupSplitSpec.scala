@@ -208,6 +208,57 @@ class DedupSplitSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"exact probe contains a window:\n$plan")
   }
 
+  test("seeded random corpora: exact ≡ uncapped and capped ⊆ split ⊆ exact " +
+    "at every cap width") {
+    // the fixed fixtures above pin the geometry on planted shapes; this
+    // property re-derives the same containment chain on SEEDED random
+    // corpora (random cluster count/size/shingle sets, random probe
+    // subsets) so a future change to the label formula cannot pass by
+    // fitting the planted shapes
+    val rnd = new scala.util.Random(0xD5EED)
+    (1 to 4).foreach { trial =>
+      var id = 0L
+      val nClusters = 2 + rnd.nextInt(3)
+      val ixRows = Seq.newBuilder[(Long, Seq[String])]
+      (0 until nClusters).foreach { c =>
+        val sh = (0 until 3 + rnd.nextInt(3)).map(i => s"t${trial}_c${c}_$i")
+        (0 until 1 + rnd.nextInt(12)).foreach { _ =>
+          id += 1; ixRows += ((id, sh))
+        }
+      }
+      (0 until 4 + rnd.nextInt(8)).foreach { _ =>
+        id += 1
+        ixRows += ((id, (0 until 3 + rnd.nextInt(4)).map(i => s"t${trial}_u${id}_$i")))
+      }
+      val ix = ixRows.result()
+      val pb = ix.filter(_ => rnd.nextDouble() < 0.4)
+        .map { case (i, sh) => (i + 1000L, sh) } ++
+        Seq((2001L, Seq(s"t${trial}_novel_a", s"t${trial}_novel_b", s"t${trial}_novel_c")))
+      val ixBands = Dedup.bandTable(
+        Dedup.minhashSignatures(ix.toDF("doc_id", "sh"), "doc_id", "sh", k),
+        "doc_id", bands, rows)
+      val pbSig = Dedup.minhashSignatures(pb.toDF("doc_id", "sh"),
+        "doc_id", "sh", k)
+      val uncapped = Dedup.probeBandTable(pbSig, ixBands, "doc_id",
+        bands, rows, Int.MaxValue).as[(Long, Long)].collect().toSet
+      Seq(1, 2, 3, 8).foreach { mb =>
+        val exact = Dedup.exactProbeBandTable(pbSig, ixBands, "doc_id",
+          bands, rows, mb).as[(Long, Long)].collect().toSet
+        assert(exact == uncapped,
+          s"trial $trial mb=$mb: exact != uncapped " +
+            s"(missing ${uncapped -- exact}, extra ${exact -- uncapped})")
+        val split = Dedup.splitProbeBandTable(pbSig, ixBands, "doc_id",
+          bands, rows, mb).as[(Long, Long)].collect().toSet
+        assert(split.subsetOf(exact),
+          s"trial $trial mb=$mb: split pairs escaped exact: ${split -- exact}")
+        val capped = Dedup.probeBandTable(pbSig, ixBands, "doc_id",
+          bands, rows, mb).as[(Long, Long)].collect().toSet
+        assert(capped.subsetOf(split),
+          s"trial $trial mb=$mb: capped pairs escaped split: ${capped -- split}")
+      }
+    }
+  }
+
   test("re-pinned incremental geometry (t32/t34): capped ⊆ split at the " +
     "production cap, and every replayed probe finds its source") {
     // the exact geometry the round-10 re-pinned entries run: k=15, 3×5
