@@ -12,8 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER/SPARK_GRAFT_JARS: same cluster-topology seam as
+    // graft.Verify (local-cluster smoke runs) — default is local[cpus]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // single registration mechanism (the conf — spark-submit parity);
       // adding .withExtensions too would inject the optimizer rule and
@@ -44,7 +47,8 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: initializes codegen, parquet reader, shuffle and
     // noop-sink machinery so the first measured query doesn't absorb
@@ -52,24 +56,22 @@ object Bench {
     // same flagship query is measured again below).
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // optional args: restrict to the named queries (dev iteration)
+    // optional args: restrict to the named queries (dev iteration).
+    // The default run is the FULL registry — bench set ≡ correctness set.
     val wanted = args.toSet
-    // deprecated-geometry entries stay correctness-pinned (Verify dumps
-    // them) but are off the default bench path — naming them as args or
-    // SPARK_GRAFT_BENCH_LEGACY=true opts them back in
-    val includeLegacy = wanted.nonEmpty ||
-      Set("true", "1", "yes").contains(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_LEGACY", "false").toLowerCase)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
-      .filter { case (n, _) =>
-        includeLegacy || !graft.queries.Registry.legacyBenchOptOut(n) }
     // SPARK_GRAFT_BENCH_PROFILE=true: split each query's wall time into
     // build (the queries() closure: plan construction + any driver-side
     // work it does), plan (Catalyst analysis/optimization/physical
     // planning, forced via executedPlan) and exec (the noop write) — the
     // flat-cost profiler behind the steady-state s/query work. Timings
     // go to stderr; the JSON artifact is unchanged.
+    // APPROXIMATION: executedPlan forces planning of the READ-side
+    // QueryExecution, but df.write starts a fresh QueryExecution for the
+    // write command, so the write side's (small) planning recurs inside
+    // the exec bucket — the split is a lower bound on plan time, good
+    // enough for the constant-vs-execution decomposition it exists for.
     val profile = Set("true", "1", "yes").contains(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "false").toLowerCase)
     val results = selected.map { case (name, fn) =>
@@ -121,14 +123,28 @@ object Bench {
     // Also persist the JSON to a file: the stdout line sits at the end of a
     // long sbt log and a fixed-size log tail can clip it (a ~97-query line
     // is several KB). The file is the durable artifact; stdout is a preview.
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+    //
+    // Output path, in precedence order:
+    //   1. SPARK_GRAFT_BENCH_OUT — the full file path, verbatim;
+    //   2. SPARK_GRAFT_OUT/bench.json for a FULL run,
+    //      SPARK_GRAFT_OUT/bench_subset.json for a name-restricted run.
+    // The subset default keeps dev iteration and confirmation runs from
+    // silently clobbering the committed full-run median in ./bench.json
+    // (the r11 hygiene lesson: every focused experiment overwrote it).
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+        val fname = if (wanted.isEmpty) "bench.json" else "bench_subset.json"
+        java.nio.file.Paths.get(outDir, fname)
+      }
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outDir, "bench.json"), json + "\n")
-      System.err.println(s"[bench] wrote $outDir/bench.json")
+      Option(outPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(outPath, json + "\n")
+      System.err.println(s"[bench] wrote $outPath")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

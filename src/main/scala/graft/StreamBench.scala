@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-throughput measurement for the t77/t78 streaming halves
+  * ([[graft.streaming.StreamOps.nearDupSplitProbeStream]] /
+  * [[graft.streaming.StreamOps.nearDupExactProbeStream]]): the
+  * MemoryStream pins in StreamingSpec prove the SEMANTICS (streamed ≡
+  * batch); this main measures the streaming RUNTIME shape the docs
+  * claim — stateless probe side, watermark-bounded dedup state — as
+  * rows/sec, per-batch wall, state-store rows, and watermark lag on
+  * real sf-scale micro-batches.
+  *
+  * Method: the corpus + band index build ONCE (the persisted-artifact
+  * role); the probe set (every 10th doc, the t77 fixture shape) is
+  * replicated `SPARK_GRAFT_STREAM_REPLICAS` times with distinct ids and
+  * fed as `SPARK_GRAFT_STREAM_BATCHES` MemoryStream micro-batches, each
+  * stamped one minute later than the previous so the watermark
+  * genuinely advances and `dropDuplicatesWithinWatermark` state is
+  * EVICTED, not accumulated — the bounded-state claim under test.
+  * Sink = noop (no result materialization cost in the datum).
+  *
+  * Prints one JSON line per variant:
+  * `{"variant":…,"rows":N,"batches":B,"total_sec":…,"rows_per_sec":…,
+  *   "batch_sec":[…],"state_rows_max":…,"watermark_lag_sec":…}`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    import graft.etl.{Dedup, Tables}
+    def shingled(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_toks", graft.etl.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.functions.Portable.tokenShingles(col("_toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val docs = Tables.spread(Tables.documents(spark, sfDir))
+    val corpus = shingled(docs.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ixBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpus, "doc_id", "sh", 15), "doc_id",
+      numBands = 3, rowsPerBand = 5).localCheckpoint(true)
+
+    // probe rows collected once (probe-set-sized, ~1/10 corpus × replicas):
+    // (doc_id, sh) replicated with disjoint id ranges per replica
+    val probeBase = shingled(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text")))
+      .as[(Long, Seq[String])].collect().toSeq
+    val idShift = 10000000L
+    val allProbes = (0 until replicas).flatMap(rep =>
+      probeBase.map { case (id, sh) => (id + (rep + 1) * idShift, sh) })
+    val perBatch = math.max(1, allProbes.length / nBatches)
+    val batches = allProbes.grouped(perBatch).toSeq
+    val baseUs = 1700000000L * 1000000L
+
+    def runVariant(
+        name: String,
+        fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+             org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : Unit = {
+      // event time is carried IN the tuple (all rows of batch i are
+      // stamped base + i minutes), so the watermark advances batch over
+      // batch and state eviction is actually exercised
+      val input3 = MemoryStream[(Long, Long, Seq[String])]
+      val stream3 = input3.toDS().toDF("doc_id", "us", "sh")
+        .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("sh"))
+      val out = fn(stream3, ixBands, corpus)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sb_$name").toString
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val times = Seq.newBuilder[Double]
+      var stateMax = 0L
+      var wmLagSec = -1.0
+      val t0 = System.nanoTime()
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val ts = baseUs + i * 60L * 1000000L
+        val tb = System.nanoTime()
+        input3.addData(b.map { case (id, sh) => (id, ts, sh) }: _*)
+        q.processAllAvailable()
+        times += (System.nanoTime() - tb) / 1e9
+        Option(q.lastProgress).foreach { p =>
+          p.stateOperators.foreach(so => stateMax = math.max(stateMax, so.numRowsTotal))
+          val wm = Option(p.eventTime.get("watermark")).getOrElse("")
+          if (wm.nonEmpty) {
+            val wmUs = java.time.Instant.parse(wm).toEpochMilli * 1000L
+            wmLagSec = (ts - wmUs) / 1e6
+          }
+        }
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val rows = allProbes.length
+      val bj = times.result().map(t => f"$t%.3f").mkString("[", ",", "]")
+      println(f"""{"variant":"$name","rows":$rows,"batches":${batches.length},""" +
+        f""""total_sec":$total%.2f,"rows_per_sec":${rows / total}%.1f,""" +
+        f""""batch_sec":$bj,"state_rows_max":$stateMax,""" +
+        f""""watermark_lag_sec":$wmLagSec%.1f,"sf":"$sfDir"}""")
+    }
+
+    runVariant("split", (d, ix, c) =>
+      graft.streaming.StreamOps.nearDupSplitProbeStream(d, ix, c,
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = 3, threshold = 0.8,
+        watermarkDelay = "2 minutes"))
+    runVariant("exact", (d, ix, c) =>
+      graft.streaming.StreamOps.nearDupExactProbeStream(d, ix, c,
+        k = 15, numBands = 3, rowsPerBand = 5, maxBucket = 3, threshold = 0.8,
+        watermarkDelay = "2 minutes"))
+    spark.stop()
+  }
+}

@@ -11,8 +11,15 @@ object Verify {
     // optional extra args: restrict the dump to the named queries
     val wanted = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master URL — the cluster-topology
+    // smoke seam: `local-cluster[2,4,4096]` runs REAL separate-JVM
+    // executors (real serialization, real broadcasts), the cheapest way
+    // to catch closure-capture/encoder bugs local mode structurally
+    // hides. Executor JVMs need the graft classes: pass the `sbt
+    // package` jar via SPARK_GRAFT_JARS (see dev/local_cluster_verify.sh).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // single registration mechanism (the conf — spark-submit parity);
       // adding .withExtensions too would inject the optimizer rule and
@@ -20,7 +27,8 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1)

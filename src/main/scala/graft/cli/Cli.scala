@@ -72,12 +72,22 @@ private[cli] object Args {
     spark.read.option("header", "true").csv(path)
 }
 
-/** `graft.cli.FanOutMain --input-dir I --output-dir O [--encoding E] [--key 商店序號]` */
+/** `graft.cli.FanOutMain --input-dir I --output-dir O [--encoding E]
+  * [--output-encoding E2] [--key 商店序號]`
+  *
+  * `--output-encoding` defaults to UTF-8 (this library's documented
+  * normalize-to-UTF-8 stance). The reference writes output in the
+  * INPUT encoding (one `--encoding` for both, fan_out_by_storeid.py:42)
+  * — pass `--output-encoding big5` alongside `--encoding big5` for
+  * strict byte parity with it.
+  */
 object FanOutMain {
   def main(args: Array[String]): Unit = {
-    val a = Args.parse(args, Set("input-dir", "output-dir", "encoding", "key"))
+    val a = Args.parse(args,
+      Set("input-dir", "output-dir", "encoding", "output-encoding", "key"))
     val (in, out) = (Args.required(a, "input-dir"), Args.required(a, "output-dir"))
     val enc = a.getOrElse("encoding", "UTF-8")
+    val outEnc = a.getOrElse("output-encoding", "UTF-8")
     val key = a.getOrElse("key", HeaderScan.defaultKeyCol)
     val spark = Args.session("graft-fanout")
     val frames = HeaderScan.readDirFrames(spark, in, key, enc)
@@ -89,7 +99,8 @@ object FanOutMain {
         names.groupBy(identity).collect { case (n, g) if g.length > 1 => n }.mkString(", "))
     frames.zip(names).foreach { case ((info, df), srcName) =>
       println(s"[info] processing: ${info.path}")
-      FanOut.write(df.drop("_src"), key, out, srcName, prefixRows = info.prefixRows)
+      FanOut.write(df.drop("_src"), key, out, srcName,
+        prefixRows = info.prefixRows, encoding = outEnc)
     }
     spark.stop()
   }

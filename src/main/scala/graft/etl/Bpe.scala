@@ -319,6 +319,17 @@ object Bpe {
     * on trained and unseen words — and t75 runs it under the DuckDB
     * oracle at a 100-merge schedule.
     *
+    * BROADCAST LIFETIME: the merge-table broadcast is captured by the
+    * returned DataFrame's plan and is NOT explicitly destroyed here —
+    * destroying it after this call would break the (lazy) consumer.
+    * Spark's ContextCleaner reference-tracks broadcasts, so each one
+    * is unpersisted asynchronously once the returned frame (and any
+    * plan derived from it) becomes unreachable on the driver; a
+    * long-lived session that calls this repeatedly while HOLDING the
+    * results (e.g. a prefix sweep keeping every frame) accumulates one
+    * executor-side block per live frame — drop the references (or
+    * `broadcast.destroy()` via your own lifecycle) when done.
+    *
     * Returns `(wordCol, outCol)` — the input word column and its
     * segmentation as array<string>.
     */

@@ -77,6 +77,21 @@ object CheckpointPolicy {
         val path = dir.getOrElse(
           s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
             s"${ProcessHandle.current().pid()}")
+        // The per-process tmpdir default is a LOCAL file: path. On a
+        // multi-node master that gives reliable checkpoints no actual
+        // replayability (an executor restarting on another node cannot
+        // read a peer's /tmp) — the mode would silently lose its
+        // fault-tolerance purpose. Warn loudly; the operator must set
+        // SPARK_GRAFT_CHECKPOINT_DIR to shared storage (HDFS/object
+        // store) on a real cluster.
+        if (dir.isEmpty && !sc.isLocal)
+          System.err.println(
+            "[graft] WARNING: SPARK_GRAFT_CHECKPOINT=reliable on a " +
+              s"non-local master (${sc.master}) with no " +
+              "SPARK_GRAFT_CHECKPOINT_DIR — defaulting to the driver-" +
+              s"local tmpdir $path, which other nodes CANNOT read. " +
+              "Reliable checkpoints will not survive executor loss; " +
+              "point SPARK_GRAFT_CHECKPOINT_DIR at shared storage.")
         sc.setCheckpointDir(path)
         // per-process default dir: clean it up on exit (an explicit
         // SPARK_GRAFT_CHECKPOINT_DIR is the operator's to manage)

@@ -396,6 +396,19 @@ object Dedup {
     * hot bucket still arrives as nsub distinct join keys. Same
     * stateless shape on a stream: pure map work after the (tiny,
     * broadcastable) `hot` join.
+    *
+    * CEILING: the `sequence(0, nsub−1)` expansion materializes one
+    * nsub-element array PER HOT PROBE ROW before the explode, so nsub
+    * (= ceil(bucketHeat / maxBucket)) is bounded by per-row memory —
+    * at maxBucket 64, a 10⁸-hot bucket means a ~1.5M-element (~12 MB)
+    * array per probe row touching it, and Spark arrays cap at 2³¹
+    * elements outright. In that regime EXACT recall against a
+    * boilerplate bucket is the wrong trade by construction (the
+    * candidate join itself is bucketHeat-sized per probe row); use the
+    * recall-preserving [[splitProbeKeys]] (bounded ~2·maxBucket keys
+    * per probe row) or raise maxBucket so nsub stays plan-sized
+    * (≤ ~10⁵). Callers at 100 TB should treat nsub > 10⁵ as a signal
+    * the bucket belongs on the split path, not the exact one.
     */
   private[graft] def exactProbeKeys(bandRows: DataFrame, hot: DataFrame,
                                     idCol: String, maxBucket: Int,

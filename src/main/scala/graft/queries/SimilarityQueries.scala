@@ -16,7 +16,7 @@ import graft.functions.Portable
   * `list_dot_product`, so ranking and thresholding agree across engines
   * with no tolerance games.
   *
-  * Scale design: the query side of e01 is a tiny broadcast; e02/e03 replace
+  * Scale design: the query side of e01 is a tiny broadcast; e02 replaces
   * the cross join with an equi-join on an 8-bit hyperplane-sign bucket
   * (hyperplanes are deterministic ±1 literals compiled into the plan — at
   * 100 TB they'd be a broadcast variable, same plan shape). Buckets from
@@ -32,11 +32,14 @@ object SimilarityQueries {
     * same literals are embedded in the Spark plan and the oracle SQL.
     *
     * KNOWN-WEAK FAMILY, kept verbatim because plane indices 0..7 are
-    * baked into the e02/e03/e07 result hashes: taking a single bit of a
-    * raw LCG at sequential inputs yields CORRELATED (sometimes
-    * identical) planes — measured on this corpus, the 8-plane bucket
-    * uses only ~93 of 256 codes. The e13 audit quantifies what that
-    * costs in candidate volume; [[planeVecMix]] is the fixed family.
+    * baked into the e02 result hash: taking a single bit of a raw LCG
+    * at sequential inputs yields CORRELATED (sometimes identical)
+    * planes — measured on this corpus, the 8-plane bucket uses only
+    * ~93 of 256 codes. Fine for e02's top-k probe (a weak bucket just
+    * widens candidates); fatal for pair enumeration, which is why the
+    * near-dup family (e29/e30) uses [[planeVecMix]] banding instead —
+    * the round-7 geometry audit measured the legacy family's candidate
+    * volume at ~7x the uniform expectation before retiring it.
     */
   private def planeVec(p: Int): Seq[Double] =
     (0 until dim).map { i =>
@@ -48,7 +51,8 @@ object SimilarityQueries {
     * decisions are decorrelated across planes/coords, so r planes give
     * ~2^r effective buckets (measured: 16-plane band → 491 distinct
     * codes on 500 vectors vs the legacy family's 200). Banded
-    * geometries (e13) and any new plane-count choice use THIS family.
+    * geometries (e29/e30/e33) and any new plane-count choice use THIS
+    * family.
     */
   private def planeVecMix(p: Int): Seq[Double] =
     (0 until dim).map { i =>
@@ -184,32 +188,19 @@ object SimilarityQueries {
       ${OracleSql.knnTailSql(k)}
     """))
 
-  // ---- e03: embedding-cosine near-dup pairs --------------------------
+  // ---- near-dup shared fixture (doubled corpus + banded geometry) -----
 
   private val dupShift = 1000000L
 
   /** The doubled corpus (every vector gets one exact duplicate at
     * vec_id + dupShift) — the deterministic near-dup fixture shared by
-    * e03/e07/e13/e29/e30.
+    * e29/e30/e33.
     */
   private def doubledEmb(s: SparkSession, d: String): DataFrame = {
     val raw = normalizedEmb(s, d).select(col("vec_id"), col("e"), col("en"))
     raw.unionAll(
       raw.select((col("vec_id") + dupShift).as("vec_id"), col("e"), col("en")))
   }
-
-  /** ALL scored candidate pairs (vec_a < vec_b, cos — PRE-threshold) of
-    * one banded geometry over the doubled corpus, as a shared artifact.
-    * One table serves three consumer shapes: the production pair sets
-    * (filter cos ≥ 0.95 → e03/e07 legacy, e29/e30 banded) and the e13
-    * geometry audit's cost/recall aggregates (which must see the
-    * pre-threshold candidate volume — the Σ|bucket|² number).
-    */
-  private def scoredCandidates(
-      s: SparkSession, d: String, tag: String,
-      bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): DataFrame =
-    scoredCandidatesFrom(s, d, tag,
-      bandRowsOf(doubledEmb(s, d), bandPlanes, fam))
 
   /** (vec_id, band, bkt) rows of `emb` under the given geometry. */
   private def bandRowsOf(emb: DataFrame, bandPlanes: Seq[Seq[Int]],
@@ -247,39 +238,14 @@ object SimilarityQueries {
           Portable.dot(col("ea"), col("eb")).as("cos"))
     }
 
-  /** Stage-1 near-dup pairs over the doubled corpus (legacy 8-plane
-    * geometry), cos ≥ 0.95. e03's output rows and e07's recall stage are
-    * the SAME relation — one artifact (shared further with e13's hp8x1
-    * audit row, which reads the pre-threshold candidates).
-    */
-  private def neardupPairs(s: SparkSession, d: String): DataFrame =
-    scoredCandidates(s, d, "nd_scored_legacy", Seq(0 until numPlanes), planeVec)
-      .filter(col("cos") >= 0.95)
-
-  /** DEPRECATED geometry (kept as a frozen legacy pin — plane indices
-    * 0..7 of [[planeVec]] are baked into the result hash): the 8-plane
-    * correlated family yields ~93 effective buckets, so the bucket join
-    * is ≈ N²/93 — quadratic at corpus scale. New pipelines should use
-    * e29_embed_neardup_banded (mixed-family 16×4 banding, e13-audited).
-    * Off the default bench path since round 8
-    * ([[Registry.legacyBenchOptOut]]); Verify still hash-checks it.
-    */
-  private val e03 = Q(
-    "e03_embed_neardup",
-    (s, d) => neardupPairs(s, d)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim")),
-    Some(s"""
-      WITH $normalizedSql,
-      dbl AS (
-        SELECT vec_id, e, en FROM emb
-        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
-      bk AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM dbl),
-      p AS (
-        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-               list_dot_product(x.en, y.en) AS cos
-        FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
-      SELECT vec_a, vec_b, round(cos, 6) AS sim FROM p WHERE cos >= 0.95
-    """))
+  // Retired in round 12: the deprecated 8-plane near-dup family
+  // (e03_embed_neardup / e07_semantic_neardup and the e13 geometry
+  // audit that condemned it). The correlated legacy family's ~93
+  // effective buckets made the bucket self-join ≈ N²/93 — quadratic at
+  // corpus scale; e29/e30 (the banded mix16x4 production entries below)
+  // are the maintained near-dup surface, and RoundSevenOpsSpec pins the
+  // planted-recall-1.0 / candidate-volume-≈-planted claims directly on
+  // e29's output.
 
   // ---- e04: IVF (inverted-file) approximate top-k ---------------------
   //
@@ -510,69 +476,6 @@ object SimilarityQueries {
       SELECT a.vec_id, min(a.cent_id) AS cluster, min(a.dist) AS dist
       FROM a2 a JOIN m2 ON m2.vec_id = a.vec_id AND a.dist = m2.md
       GROUP BY 1
-    """))
-
-  // ---- e07: SemDeDup composition (embedding recall ⊳ lexical verify) --
-  //
-  // The two-stage semantic-dedup pipeline production corpora run:
-  // stage 1 (recall) proposes candidate pairs cheaply from embedding
-  // space (hyperplane bucket equi-join + cosine ≥ 0.95 — e03's shape);
-  // stage 2 (precision) verifies each surviving pair lexically (token-set
-  // Jaccard over the documents table, vec_id ≡ doc_id in the testdata).
-  // Only stage-1 survivors are ever joined to text — at 100 TB the text
-  // join touches |pairs| rows, not the corpus, and both stages are
-  // equi-joins (no all-pairs anywhere). Doubled corpus (the e03/t05
-  // fixture convention) guarantees deterministic output.
-
-  /** DEPRECATED stage-1 geometry — same legacy pin as [[e03]]; new
-    * pipelines should use e30_semantic_neardup_banded.
-    */
-  private val e07 = Q(
-    "e07_semantic_neardup",
-    (s, d) => {
-      val cands = neardupPairs(s, d)
-      val docs = Tables.spread(Tables.documents(s, d))
-        .select(col("doc_id"), col("text"))
-      val toks = docs.unionAll(
-          docs.select((col("doc_id") + dupShift).as("doc_id"), col("text")))
-        .select(col("doc_id"),
-          array_distinct(graft.etl.TextAnalysis.tokens(col("text"))).as("ts"))
-      cands
-        .join(toks.select(col("doc_id").as("vec_a"), col("ts").as("ts_a")), Seq("vec_a"))
-        .join(toks.select(col("doc_id").as("vec_b"), col("ts").as("ts_b")), Seq("vec_b"))
-        // threshold on the RAW jaccard (rounding only for display — a
-        // value rounding up onto .5 must not flip is_dup vs the oracle)
-        .withColumn("_jac", Portable.jaccard(col("ts_a"), col("ts_b")))
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"),
-          round(col("_jac"), 6).as("jaccard"),
-          (col("_jac") >= 0.5).cast("int").as("is_dup"))
-    },
-    Some(s"""
-      WITH $normalizedSql,
-      dbl AS (
-        SELECT vec_id, e, en FROM emb
-        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb),
-      bk AS (SELECT vec_id, en, ${bucketSql("e")} AS bkt FROM dbl),
-      cands AS (
-        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-               list_dot_product(x.en, y.en) AS cos
-        FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
-      surv AS (SELECT * FROM cands WHERE cos >= 0.95),
-      toks AS (
-        SELECT doc_id, list_distinct(${OracleSql.toksSql}) AS ts
-        FROM (SELECT doc_id, text FROM documents
-              UNION ALL SELECT doc_id + $dupShift, text FROM documents)
-             AS documents(doc_id, text)),
-      j AS (
-        SELECT vec_a, vec_b, cos,
-               CASE WHEN len(list_distinct(a.ts || b.ts)) > 0
-                    THEN CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                         / len(list_distinct(a.ts || b.ts)) END AS jac
-        FROM surv JOIN toks a ON a.doc_id = surv.vec_a
-                  JOIN toks b ON b.doc_id = surv.vec_b)
-      SELECT vec_a, vec_b, round(cos, 6) AS sim, round(jac, 6) AS jaccard,
-             CAST(jac >= 0.5 AS INTEGER) AS is_dup
-      FROM j
     """))
 
   // ---- e08: product quantization (PQ) encoding ------------------------
@@ -1048,92 +951,18 @@ object SimilarityQueries {
       GROUP BY qid
     """))
 
-  // ---- e13: embedding-LSH geometry audit (bucket-count scaling) -------
-  //
-  // The tuning gate for the e03/e07 near-dup geometry. A single 8-plane
-  // bucket table (256 buckets) makes the within-bucket pair join cost
-  // Σ|bucket|² ≈ N²/256 — fine at 10⁴ vectors, quadratic death at 10⁹.
-  // The scale fix is the SAME discipline the token-LSH dedup applies
-  // (band geometry tuned to threshold): MORE planes per bucket (16 →
-  // 65 536 buckets, N²/65 536 pairs per band) recovers the lost recall
-  // with B independent bands — candidate cost grows linearly in B while
-  // bucket-count growth cuts it exponentially in planes-per-band.
-  //
-  // This audit runs both geometries over the doubled corpus (every
-  // vector has a planted exact dup) and reports, per geometry: candidate
-  // pairs generated (the Σ|bucket|² cost — the "no silent caps" number),
-  // verified pairs (cos ≥ 0.95), and planted dups found (recall
-  // numerator; exact dups collide in every band, so banding loses none
-  // of them while scaling the candidate volume down ~B·2^(r-8)-fold).
-  // All outputs are integers — engine-exact.
-  //
-  // The audit also exposes a real defect it was built to catch: the
-  // legacy plane family ([[planeVec]]) produces correlated planes, so
-  // its 256 nominal buckets behave like ~93 — its candidate volume is
-  // ~7× the uniform expectation. The banded geometry therefore uses the
-  // avalanche-mixed family ([[planeVecMix]]); on this corpus it cuts
-  // candidates to ~planted-only while keeping planted recall at 1.0.
-  //
-  // Scale shape per geometry: explode to (vec_id, band, bkt) — B rows per
-  // vector, partition-local; candidates from a (band, bkt) equi-join;
-  // distinct-pair dedup and the verify join touch |candidates|, never N².
-
+  /** The production banding geometry: 4 independent bands of 16
+    * avalanche-mixed planes each. Per band ~2^16 effective buckets cut
+    * within-bucket candidate volume ~2^8-fold vs an 8-plane single-band
+    * scheme, while exact/near dups still collide in some band — the
+    * discipline that keeps the e29/e30 candidate join linear-ish at
+    * corpus scale (candidates grow linearly in bands, shrink
+    * exponentially in planes-per-band). RoundSevenOpsSpec pins the
+    * resulting candidate volume at ≈ planted-pairs-only on the doubled
+    * corpus.
+    */
   private val bandedPlanes: Seq[Seq[Int]] =
     (0 until 4).map(b => (b * 16) until (b * 16 + 16))
-
-  /** Candidate/verified/planted counts for one banded geometry — a
-    * pure aggregation over the geometry's [[scoredCandidates]] artifact
-    * (the same table the production pair sets filter), so the audit
-    * costs one artifact read instead of a second full pipeline.
-    */
-  private def lshGeometryStats(name: String, scored: DataFrame): DataFrame =
-    scored
-      .agg(
-        count(lit(1)).as("n_cand"),
-        sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_dup"),
-        sum(when(col("cos") >= 0.95 && col("vec_b") === col("vec_a") + dupShift, 1L)
-          .otherwise(0L)).as("n_planted"))
-      .select(lit(name).as("geometry"),
-        col("n_cand"), col("n_dup"), col("n_planted"))
-
-  private def lshGeometrySql(
-      name: String, bandPlanes: Seq[Seq[Int]], fam: Int => Seq[Double]): String = {
-    val bandsSql = bandPlanes.zipWithIndex.map { case (ps, b) =>
-      s"SELECT vec_id, $b AS band, ${bucketSqlOf(ps, fam, "e")} AS bkt FROM dbl"
-    }.mkString("\n        UNION ALL ")
-    s"""(
-      WITH bands AS ($bandsSql),
-      cand AS (
-        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
-      sc AS (
-        SELECT c.a, c.b, list_dot_product(x.en, y.en) AS cos
-        FROM cand c JOIN dbl x ON x.vec_id = c.a
-                    JOIN dbl y ON y.vec_id = c.b)
-      SELECT '$name' AS geometry,
-             CAST(count(*) AS BIGINT) AS n_cand,
-             CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-             CAST(sum(CASE WHEN cos >= 0.95 AND b = a + $dupShift
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
-      FROM sc)"""
-  }
-
-  private val e13 = Q(
-    "e13_lsh_geometry_audit",
-    (s, d) => lshGeometryStats("hp8x1",
-        scoredCandidates(s, d, "nd_scored_legacy", Seq(0 until numPlanes), planeVec))
-      .unionAll(lshGeometryStats("mix16x4",
-        scoredCandidatesFrom(s, d, "nd_scored_banded", dblBandsMix(s, d)))),
-    Some(s"""
-      WITH $normalizedSql,
-      dbl AS (
-        SELECT vec_id, e, en FROM emb
-        UNION ALL SELECT vec_id + $dupShift, e, en FROM emb)
-      ${lshGeometrySql("hp8x1", Seq(0 until numPlanes), planeVec)}
-      UNION ALL
-      ${lshGeometrySql("mix16x4", bandedPlanes, planeVecMix)}
-    """))
 
   // ---- e14/e15: multi-probe LSH search + its cost/recall audit --------
   //
@@ -1145,7 +974,8 @@ object SimilarityQueries {
   // that disagrees on exactly one plane. Probing is still a pure
   // equi-join (probe bucket list exploded on the tiny query side; the
   // corpus side is hashed once and never re-bucketed). Planes are the
-  // avalanche-mixed family — e13 showed the legacy family's correlated
+  // avalanche-mixed family — the retired round-7 geometry audit showed
+  // the legacy family's correlated
   // planes waste buckets.
   //
   // e15 is the e09-discipline audit over BOTH knob settings (radius 0 =
@@ -2022,7 +1852,7 @@ object SimilarityQueries {
 
   // ---- e25: IVF recall-vs-nProbe tuning sweep -------------------------
   //
-  // The missing member of the audit family: e13/e15 sweep the LSH knobs,
+  // The missing member of the audit family: e15 sweeps the LSH probe knob,
   // e09/e12 measure one fixed geometry — this sweeps nProbe ∈ {1,2,4}
   // over the IVF flat index and reports aggregate recall@k per setting,
   // the curve an operator reads to pick the probe budget BEFORE trusting
@@ -2303,7 +2133,7 @@ object SimilarityQueries {
   // inner-product top-k by brute force over the broadcast query subset,
   // joined against e26's bucketed result — integer hits of k per query,
   // engine-exact. This is the number that decides whether the 8-plane
-  // augmented geometry suffices or needs the e13/e14 banding treatment
+  // augmented geometry suffices or needs the e14/e29 banding treatment
   // (which carries over to the augmented space unchanged).
 
   private val e28 = Q(
@@ -2418,16 +2248,15 @@ object SimilarityQueries {
 
   // ---- e29/e30: PRODUCTION banded near-dup (mix16x4 geometry) ---------
   //
-  // The e13 audit's conclusion promoted to the entries a user actually
-  // runs: the legacy 8-plane family (e03/e07, kept as frozen legacy
-  // pins) has ~93 effective buckets, so its candidate join is ≈ N²/93 —
-  // quadratic at corpus scale. The production geometry is 4 independent
-  // bands × 16 avalanche-mixed planes: per band ~2^16 effective buckets
-  // cut candidate volume ≈ 2^8-fold per band (e13 measures it at
-  // ~planted-pairs-only on this corpus) while exact/near dups still
-  // collide in some band. Same two-stage SemDeDup contract as e03/e07:
-  // banded equi-join recall → cosine gate (e29), then lexical Jaccard
-  // verify on survivors only (e30).
+  // The production two-stage SemDeDup pipeline: 4 independent bands ×
+  // 16 avalanche-mixed planes — per band ~2^16 effective buckets keep
+  // the within-bucket candidate join at ~planted-pairs-only on this
+  // corpus (RoundSevenOpsSpec pins it) while exact/near dups still
+  // collide in some band. An 8-plane single-band scheme was measured at
+  // ~93 effective buckets (candidate join ≈ N²/93, quadratic at corpus
+  // scale) and retired in round 12. Stage 1: banded equi-join recall →
+  // cosine gate (e29); stage 2: lexical Jaccard verify on survivors
+  // only (e30).
   //
   // Scale shape: explode to (vec_id, band, bkt) — 4 rows per vector,
   // partition-local; candidates from a (band, bkt) equi-join with a
@@ -2436,7 +2265,7 @@ object SimilarityQueries {
 
   /** Banded (mix16x4) candidate pairs over the doubled corpus with
     * cos ≥ 0.95 — e29's output rows and e30's recall stage, checkpointed
-    * once (same contract as [[neardupPairs]]).
+    * once.
     */
   private def neardupPairsBanded(s: SparkSession, d: String): DataFrame =
     scoredCandidatesFrom(s, d, "nd_scored_banded", dblBandsMix(s, d))
@@ -2522,7 +2351,7 @@ object SimilarityQueries {
   // are too easy to teach a margin, and near-duplicates are false
   // negatives (they are positives mislabeled). The mining rule composes
   // three gates over the scored candidates: label mismatch (cannot be a
-  // positive), cos < 0.95 (below the e03/e29 near-dup gate — not a
+  // positive), cos < 0.95 (below the e29 near-dup gate — not a
   // missed duplicate), then top-k by cosine (as hard as allowed).
   //
   // Scale: the gates compose with ANY candidate generator — here the
@@ -2650,7 +2479,7 @@ object SimilarityQueries {
   // deterministic hash rule (bucket = hash60(id, 13) % 100, < 90 train)
   // so the two audits compose over the same partition of the corpus.
   //
-  // Corpus = the doubled fixture (the e03/e29 convention): every vector
+  // Corpus = the doubled fixture (the e29 convention): every vector
   // gains one exact copy at +dupShift whose split is assigned
   // INDEPENDENTLY (hash of the new id) — copies landing on the other
   // side of the split from their source are PLANTED leaks (cos = 1)
@@ -2748,7 +2577,7 @@ object SimilarityQueries {
     })
 
   def all: Seq[Q] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13,
+    Seq(e01, e02, e04, e05, e06, e08, e09, e10, e11, e12,
       e14, e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27,
       e28, e29, e30, e31, e32, e33)
 }

@@ -3158,6 +3158,87 @@ object TextQueries {
       FROM j GROUP BY doc_id
     """))
 
+  // ---- t79: vocab-size stop condition (budget arithmetic + dry stop) --
+  //
+  // The stop condition a real tokenizer build configures (SentencePiece
+  // / HF `vocab_size`), exercised under the oracle in BOTH of its
+  // regimes on one corpus:
+  //   - "budget": `Bpe.trainToVocab` (the distributed trainer) at a
+  //     target just above the base alphabet — the merge budget is
+  //     vocabSize − |base alphabet|, and the oracle DERIVES the same
+  //     budget from its own alphabet count rather than hardcoding the
+  //     round count, so a miscounted alphabet on either engine flips
+  //     the row count and fails the hash;
+  //   - "dried": `Bpe.trainLocalToVocab` (the production collected-
+  //     histogram trainer) at a target far past the corpus's merge
+  //     capacity — training must stop when no adjacent pair remains
+  //     (this corpus dries at 89 merges), and the oracle's CTE chain
+  //     goes empty past the dry point so the same 89-row schedule
+  //     falls out of a static [[driedCap]]-round chain.
+  //
+  // Scale shape: the corpus-sized work is ONE word histogram (budget
+  // mode keeps it distributed; dried mode collects it — the documented
+  // vocabulary-sized trainLocal boundary); the alphabet count is a
+  // distinct over the character explode of the VOCABULARY (alphabet-
+  // sized, not corpus-sized). A production 30k-vocab build is the
+  // dried-mode call with vocabSize = 30000.
+
+  /** Static oracle CTE depth for t79's dried mode — must exceed the
+    * corpus's merge capacity (89 on this fixture) so the dry stop, not
+    * the chain length, bounds the schedule.
+    */
+  private val driedCap = 96
+
+  /** Budget-mode vocabulary target: base alphabet (24 on this corpus)
+    * + 12 merges — small enough to keep the distributed per-round
+    * barriers benchable, large enough that several merges land on
+    * symbols produced by earlier rounds.
+    */
+  private val vocabBudgetTarget = 36
+
+  /** Dried-mode vocabulary target: far past the corpus's merge
+    * capacity, so the early stop (not the budget) ends training.
+    */
+  private val vocabDriedTarget = 224
+
+  private val t79 = Q(
+    "t79_bpe_vocab_target",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(explode(TA.tokens(col("text"))).as("w"))
+      val histDf = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val budget = graft.etl.Bpe.trainToVocab(histDf, vocabBudgetTarget,
+          policy = graft.etl.CheckpointPolicy.fromEnv(s))
+        .select(lit("budget").as("mode"), col("round"), col("s1"),
+          col("s2"), col("freq"))
+      // vocabulary-sized collect — the trainLocal production boundary
+      // (same contract as t75's trainer)
+      val hist = histDf.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val driedRows = graft.etl.Bpe.trainLocalToVocab(hist, vocabDriedTarget)
+      import s.implicits._
+      val dried = driedRows.toDF("round", "s1", "s2", "freq")
+        .select(lit("dried").as("mode"), col("round"), col("s1"),
+          col("s2"), col("freq"))
+      budget.unionAll(dried)
+    },
+    Some {
+      val unioned = (1 to driedCap)
+        .map(r => s"SELECT $r AS round, s1, s2, freq FROM b$r")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH RECURSIVE ${bpeCtes(driedCap)},
+      alpha AS (
+        SELECT count(DISTINCT substr(w, CAST(i AS INTEGER), 1)) AS nb
+        FROM hist, LATERAL unnest(generate_series(1, length(w))) g(i)),
+      allr AS MATERIALIZED ($unioned)
+      SELECT 'budget' AS mode, round, s1, s2, freq FROM allr
+      WHERE round <= (SELECT $vocabBudgetTarget - nb FROM alpha)
+      UNION ALL
+      SELECT 'dried' AS mode, round, s1, s2, freq FROM allr
+    """
+    })
+
   // ---- t68: token frequency spectrum (Zipf audit) ---------------------
   //
   // The corpus-statistics table a tokenizer or data audit starts from:
@@ -3399,5 +3480,5 @@ object TextQueries {
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
       t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76,
-      t77, t78)
+      t77, t78, t79)
 }

@@ -31,6 +31,15 @@ object FanOut {
     * `os.path.join(out, key)`, and flagged by the same verify pass in
     * both systems (the depth-1 read glob won't see it). Callers wanting
     * path-safe keys sanitize before writing, as they would there.
+    *
+    * `encoding` selects the OUTPUT charset and `lineSep` the output
+    * line terminator (the reference writes output in the input's
+    * encoding — one `--encoding` for both, fan_out_by_storeid.py:14/:42
+    * — and its `csv.writer` terminates rows with CRLF); the defaults
+    * stay UTF-8 + LF (this library's documented normalize stance —
+    * COVERAGE.md). Pass `encoding = "big5", lineSep = "\r\n"` for
+    * byte-identical reference output (FanOutSpec pins it). `bom` is
+    * the utf-8-sig marker and therefore requires UTF-8 output.
     */
   def write(
       df: DataFrame,
@@ -38,7 +47,9 @@ object FanOut {
       outDir: String,
       srcName: String,
       prefixRows: Seq[String] = Nil,
-      bom: Boolean = false): Unit = {
+      bom: Boolean = false,
+      encoding: String = "UTF-8",
+      lineSep: String = "\n"): Unit = {
     val spark = df.sparkSession
     val staging = s"$outDir/_staging_$srcName"
     // reserved partition-helper name: a source column literally named
@@ -54,19 +65,28 @@ object FanOut {
     // row content (Spark drops partition columns from files; the reference
     // keeps the key cell — that's the invariant verify_fanout checks).
     val helper = "_gk"
+    require(!bom || java.nio.charset.Charset.forName(encoding) ==
+      java.nio.charset.StandardCharsets.UTF_8,
+      s"bom (utf-8-sig) requires UTF-8 output, got $encoding")
+    // staging is ALWAYS UTF-8 + LF: Spark 4's CSV writer whitelists
+    // charsets (big5 is rejected without a legacy flag) and caps the
+    // write-side lineSep at one char, so non-default output encodings
+    // are produced by the DISTRIBUTED finalize pass transcoding the
+    // staging bytes (one task per key — same scale shape as the concat)
     cleaned.withColumn(helper, col(keyCol)).write
       .mode("overwrite")
       .option("header", true)
       .partitionBy(helper)
       .csv(staging)
-    finalizeLayout(spark, staging, outDir, helper, srcName, prefixRows, bom)
+    finalizeLayout(spark, staging, outDir, helper, srcName, prefixRows, bom,
+      encoding, lineSep)
   }
 
   /** Hadoop `Configuration` isn't `java.io.Serializable`; it IS a Hadoop
     * `Writable`, so ship it to tasks via writeObject/readFields (the same
     * trick Spark uses internally for its own config broadcasts).
     */
-  private class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
+  private[sources] class SerializableHadoopConf(@transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject()
@@ -99,10 +119,13 @@ object FanOut {
       keyCol: String,
       srcName: String,
       prefixRows: Seq[String],
-      bom: Boolean): Unit = {
+      bom: Boolean,
+      encoding: String,
+      lineSep: String): Unit = {
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = (if (bom) "﻿" else "") +
-      (if (prefixRows.nonEmpty) prefixRows.mkString("", "\n", "\n") else "")
+      (if (prefixRows.nonEmpty) prefixRows.mkString("", lineSep, lineSep)
+       else "")
     val plan: Array[KeyParts] = fs.listStatus(new Path(staging))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$keyCol="))
       .map { partDir =>
@@ -116,8 +139,14 @@ object FanOut {
           .map(_.getPath.toString).sorted.toSeq
         (key, parts)
       }
+    // non-default encoding or terminator ⇒ every key needs the
+    // (distributed) transcode pass; the metadata-only rename fast path
+    // is only byte-correct when staging bytes ARE the output bytes
+    val transcode = java.nio.charset.Charset.forName(encoding) !=
+      java.nio.charset.StandardCharsets.UTF_8 || lineSep != "\n"
     val (renameable, needConcat) =
-      plan.partition { case (_, parts) => parts.length == 1 && prefix.isEmpty }
+      plan.partition { case (_, parts) =>
+        parts.length == 1 && prefix.isEmpty && !transcode }
     renameable.foreach { case (key, parts) =>
       val dest = new Path(s"$outDir/$key/$srcName.csv")
       fs.mkdirs(dest.getParent)
@@ -129,10 +158,10 @@ object FanOut {
     }
     if (needConcat.nonEmpty) {
       val serConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-      val (out, src, pfx) = (outDir, srcName, prefix)
+      val (out, src, pfx, enc, sep) = (outDir, srcName, prefix, encoding, lineSep)
       val slices = math.min(needConcat.length, spark.sparkContext.defaultParallelism)
       spark.sparkContext.parallelize(needConcat.toSeq, slices).foreach {
-        case (key, parts) => concatKey(serConf.value, out, src, pfx, key, parts)
+        case (key, parts) => concatKey(serConf.value, out, src, pfx, enc, sep, key, parts)
       }
       // Sweep orphaned attempt temps (crashed or speculation-killed
       // attempts that never renamed). Done HERE, after the job has
@@ -167,9 +196,12 @@ object FanOut {
       outDir: String,
       srcName: String,
       prefix: String,
+      encoding: String,
+      lineSep: String,
       key: String,
       parts: Seq[String]): Unit = {
-    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val cs = java.nio.charset.Charset.forName(encoding)
+    val stagingCs = java.nio.charset.StandardCharsets.UTF_8 // staging is UTF-8+LF
     val dest = new Path(s"$outDir/$key/$srcName.csv")
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest.getParent)
@@ -179,20 +211,20 @@ object FanOut {
     val tmp = new Path(dest.getParent, s".${dest.getName}.$attempt.tmp")
     val out = fs.create(tmp, true)
     try {
-      if (prefix.nonEmpty) out.write(prefix.getBytes(utf8))
+      if (prefix.nonEmpty) out.write(prefix.getBytes(cs))
       var wroteHeader = false
       parts.foreach { p =>
         val in = fs.open(new Path(p))
         try {
-          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, utf8))
+          val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, stagingCs))
           var line = reader.readLine() // header line of this part file
           if (!wroteHeader && line != null) {
-            out.write((line + "\n").getBytes(utf8))
+            out.write((line + lineSep).getBytes(cs))
             wroteHeader = true
           }
           line = reader.readLine()
           while (line != null) {
-            out.write((line + "\n").getBytes(utf8))
+            out.write((line + lineSep).getBytes(cs))
             line = reader.readLine()
           }
         } finally in.close()

@@ -92,7 +92,26 @@ object HeaderScan {
     val p = new Path(file)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.BufferedInputStream(fs.open(p))
-    try {
+    try scanStream(in, file, keyCol, maxScanLines, encoding)
+    finally in.close()
+  }
+
+  /** The head-scan core over an already-open stream — ONE body shared
+    * by the driver-side [[scanHeader]] and the executor-side
+    * [[scanDirDistributed]], so the two paths cannot diverge on offset
+    * arithmetic (HeaderScanSpec asserts their equality on real files).
+    */
+  private[sources] def scanStream(
+      rawIn: java.io.InputStream,
+      file: String,
+      keyCol: String,
+      maxScanLines: Int,
+      encoding: String): Option[HeaderInfo] = {
+    val in = rawIn match {
+      case b: java.io.BufferedInputStream => b
+      case other => new java.io.BufferedInputStream(other)
+    }
+    {
       val cs = java.nio.charset.Charset.forName(encoding)
       val prefix = ArrayBuffer.empty[String]
       var found: Option[HeaderInfo] = None
@@ -130,7 +149,7 @@ object HeaderScan {
       if (found.isEmpty)
         System.err.println(s"[headerscan] WARN: key column '$keyCol' not found in $file — skipping")
       found
-    } finally in.close()
+    }
   }
 
   /** ONE distributed scan over same-schema files: every line keyed by
@@ -187,20 +206,66 @@ object HeaderScan {
   def readFile(spark: SparkSession, info: HeaderInfo, encoding: String = "UTF-8"): DataFrame =
     readGroup(spark, Seq(info), encoding).drop("_src")
 
-  /** Scan every `*.csv` in a flat directory (bounded driver-side head
-    * reads), skipping files without the key column.
+  /** Scan every `*.csv` in a flat directory, skipping files without the
+    * key column. The driver touches ONLY the file listing; the per-file
+    * head-reads run in EXECUTORS ([[scanDirDistributed]]) — at the
+    * reference's ~60 files the difference is noise, at a million-file
+    * lake the driver-serial head-read loop (one round-trip per file)
+    * was the §4 bottleneck. Results are byte-identical to the
+    * driver-side [[scanHeader]] per file: both run [[scanStream]].
     */
   def scanDir(
       spark: SparkSession,
       dir: String,
       keyCol: String = defaultKeyCol,
-      encoding: String = "UTF-8"): Seq[HeaderInfo] = {
+      encoding: String = "UTF-8"): Seq[HeaderInfo] =
+    scanDirDistributed(spark, dir, keyCol, encoding)
+
+  /** Executor-side directory head-scan: the driver lists the directory
+    * (metadata-only) and parallelizes the path list; each task opens
+    * its files and runs the shared [[scanStream]] head-read, returning
+    * (path, prefix, columns, dataStart) — file-count-sized metadata,
+    * safe to collect (the listing itself was already driver-memory-
+    * sized). Warn-and-skip for keyless files happens in the task (the
+    * warning lands in that executor's stderr; locally, the same
+    * console). Output is sorted by path — same deterministic order as
+    * the old driver-serial loop.
+    *
+    * Scale shape: head-reads are embarrassingly parallel (one bounded
+    * ≤ maxScanLines read per file, no shuffle); partition count is
+    * capped so a small directory doesn't schedule empty tasks. At a
+    * million files this is the schema-inference pattern Spark's own
+    * CSV/JSON readers use for their sampling pass.
+    */
+  def scanDirDistributed(
+      spark: SparkSession,
+      dir: String,
+      keyCol: String = defaultKeyCol,
+      encoding: String = "UTF-8",
+      maxScanLines: Int = 100): Seq[HeaderInfo] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath)
+    val files = fs.listStatus(p).map(_.getPath)
       .filter(f => f.getName.toLowerCase.endsWith(".csv"))
-      .sortBy(_.getName).toSeq
-      .flatMap(f => scanHeader(spark, f.toString, keyCol, encoding = encoding))
+      .map(_.toString).sorted.toSeq
+    if (files.isEmpty) return Seq.empty
+    val bconf = spark.sparkContext.broadcast(
+      new FanOut.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val (k, enc, msl) = (keyCol, encoding, maxScanLines)
+    val nPart = math.max(1,
+      math.min(files.length, spark.sparkContext.defaultParallelism))
+    val infos = spark.sparkContext.parallelize(files, nPart)
+      .mapPartitions { it =>
+        val conf = bconf.value.value
+        it.flatMap { f =>
+          val fp = new Path(f)
+          val in = new java.io.BufferedInputStream(fp.getFileSystem(conf).open(fp))
+          try scanStream(in, f, k, msl, enc) finally in.close()
+        }
+      }
+      .collect().toSeq.sortBy(_.path)
+    bconf.destroy()
+    infos
   }
 
   /** Scan + read every `*.csv` in a directory, one DataFrame per readable

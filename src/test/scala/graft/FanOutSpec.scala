@@ -54,6 +54,34 @@ class FanOutSpec extends SparkSpec {
       sum.getLong(2) == 0 && sum.getLong(3) == 2)
   }
 
+  test("output-encoding big5 + CRLF: byte-identical to the reference's contract") {
+    // the reference writes output in the INPUT encoding with csv.writer
+    // (CRLF terminator, fan_out_by_storeid.py:42). Reproduce its exact
+    // bytes for one store: prefix rows + header + the store's rows, all
+    // big5-encoded, CRLF-terminated.
+    val out = tmpDir("fanout_b5").toString
+    val df = Seq(("s1", "台北", "100"), ("s2", "高雄", "200"),
+      ("s1", "門市", "300")).toDF(S, "城市", "額")
+    FanOut.write(df, S, out, "srcB5",
+      prefixRows = Seq("報表年度,2025,2024"),
+      encoding = "big5", lineSep = "\r\n")
+    val big5 = java.nio.charset.Charset.forName("big5")
+    val got = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/s1/srcB5.csv"))
+    // what the reference's split_csv_file writes for store s1 (same
+    // column order, same cells — simple cells need no csv quoting)
+    val expected = (s"報表年度,2025,2024\r\n$S,城市,額\r\n" +
+      "s1,台北,100\r\ns1,門市,300\r\n").getBytes(big5)
+    assert(java.util.Arrays.equals(got, expected),
+      s"big5 bytes differ:\n got=${new String(got, big5)}\n " +
+        s"want=${new String(expected, big5)}")
+    // and the bytes really are big5, not utf-8 (台 is 2 bytes in big5,
+    // 3 in utf-8 — a utf-8 write would change the file length)
+    assert(new String(got, big5).contains("台北"))
+    assert(!new String(got, java.nio.charset.StandardCharsets.UTF_8)
+      .contains("台北"))
+  }
+
   test("multi-part keys: distributed concat keeps one header and all rows") {
     val out = tmpDir("fanout_mp").toString
     // 8 input partitions × 3 keys → several part files per key in staging;

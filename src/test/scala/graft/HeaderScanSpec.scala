@@ -57,6 +57,37 @@ class HeaderScanSpec extends SparkSpec {
     assert(HeaderScan.readFile(spark, info).count() == 1)
   }
 
+  test("distributed dir scan ≡ driver-side scanHeader per file") {
+    val dir = tmpDir("dist")
+    // a mix that exercises every offset case: BOM+CRLF, CR-only, plain,
+    // multi-meta-row, and a keyless file that must be warn-skipped
+    Files.write(dir.resolve("a.csv"),
+      "﻿Report 報表,x\r\nstore,金額\r\ns1,10\r\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("b.csv"),
+      "meta,x\rstore,v\rs1,1\r".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.writeString(dir.resolve("c.csv"), "store,v\na,1\n")
+    Files.writeString(dir.resolve("d.csv"), "m1,x\nm2,y\nstore,w\nb,2\n")
+    Files.writeString(dir.resolve("nokey.csv"), "foo,bar\n1,2\n")
+    val dist = HeaderScan.scanDirDistributed(spark, dir.toString, keyCol = "store")
+    val driver = Seq("a.csv", "b.csv", "c.csv", "d.csv", "nokey.csv")
+      .flatMap(f => HeaderScan.scanHeader(spark, dir.resolve(f).toString,
+        keyCol = "store"))
+    // same files found (keyless skipped), same offsets, same headers —
+    // the executor path and the driver path run the SAME scanStream,
+    // and this pins that they cannot drift
+    assert(dist.map(_.path.stripPrefix("file:")).sorted ==
+      driver.map(_.path).sorted)
+    val byName = dist.map(i => new java.io.File(i.path).getName -> i).toMap
+    driver.foreach { d =>
+      val e = byName(new java.io.File(d.path).getName)
+      assert(e.dataStart == d.dataStart, s"${d.path}: offset drift")
+      assert(e.columns == d.columns && e.prefixRows == d.prefixRows)
+      assert(e.skipLines == d.skipLines)
+    }
+    assert(dist.size == 4) // nokey.csv skipped in the executors too
+  }
+
   test("readDir groups same-schema files into one scan, unions the rest") {
     val dir = tmpDir("grouped")
     // two files share schema (a) with DIFFERENT prefix depths; one file

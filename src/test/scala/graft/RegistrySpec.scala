@@ -55,11 +55,12 @@ class RegistrySpec extends SparkSpec {
       "every registry entry must carry a DuckDB oracle")
   }
 
-  test("legacy bench opt-outs name real entries and stay correctness-pinned") {
-    assert(Registry.legacyBenchOptOut.subsetOf(SparkEntry.queries.keySet),
-      "an opt-out names a query that no longer exists — stale retirement list")
-    // retirement is bench-only: the entries keep their oracles (Verify
-    // dumps them every round, so the frozen hash pins cannot rot silently)
-    assert(Registry.legacyBenchOptOut.subsetOf(SparkEntry.oracleSql.keySet))
+  test("the retired hyperplane trio stays retired (bench set == registry)") {
+    // round 12 removed e03/e07/e13 (deprecated correlated-plane family)
+    // entirely; the default bench path is the full registry again
+    val retired = Set("e03_embed_neardup", "e07_semantic_neardup",
+      "e13_lsh_geometry_audit")
+    assert(retired.intersect(SparkEntry.queries.keySet).isEmpty,
+      "a retired entry resurfaced in the registry")
   }
 }

@@ -38,22 +38,14 @@ class RoundSevenOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("sim") >= 0.95))
   }
 
-  test("e13: production geometry's candidate volume is planted-pairs + ε") {
-    val rows = run("e13_lsh_geometry_audit").collect()
-      .map(r => r.getAs[String]("geometry") ->
-        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_planted")))).toMap
-    val (mixCand, mixPlanted) = rows("mix16x4")
-    // the e29/e30 production geometry: candidate volume within ~25% of
-    // the planted-pair floor (ε covers genuine near-angle band
-    // collisions on the random corpus — measured 15% at sf0.001)
-    assert(mixCand <= mixPlanted + math.max(10L, mixPlanted / 4),
-      s"mix16x4 candidate volume $mixCand vs planted $mixPlanted")
-    assert(mixPlanted > 0)
-    // and the deprecated legacy family is measurably worse — the reason
-    // e03/e07 carry deprecation pins
-    val (legCand, _) = rows("hp8x1")
-    assert(legCand > 3 * mixCand,
-      s"legacy candidate volume $legCand should dwarf banded $mixCand")
+  test("e29: production geometry's survivor volume is planted-pairs only") {
+    // the retired e13 audit's surviving claim, pinned on the production
+    // entry directly: on the doubled random corpus the mix16x4 banding's
+    // cos >= 0.95 survivors are exactly the planted pairs (the first
+    // test asserts set equality; this one pins the count is the corpus
+    // size, i.e. zero false survivors and recall 1.0 by cardinality)
+    val nVecs = graft.etl.Tables.embeddings(spark, sf0001).count()
+    assert(run("e29_embed_neardup_banded").count() == nVecs)
   }
 
   test("e30: planted pairs verify lexically (jaccard 1, is_dup 1)") {
