@@ -20,6 +20,10 @@ sbt -batch package >/dev/null
 JAR=$(ls target/scala-2.13/*.jar | head -1)
 
 export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+# worker-forked executor JVMs resolve their classpath via the launcher,
+# which scans dev-build directories when this is unset ("Cannot find any
+# build directories." against a plain dist)
+export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER="local-cluster[2,4,4096]"
 export SPARK_GRAFT_JARS="file:$(readlink -f "$JAR")"
 export SPARK_GRAFT_CPUS=8   # 2 workers x 4 cores

@@ -1202,6 +1202,56 @@ object TextQueries {
 
   private val incShift = 3000000L
 
+  /** Shingled (doc_id, sh) corpus of the incremental fixture — a shared
+    * parquet artifact (the t34/t52 discipline: in a managed deployment
+    * the shingled corpus and its band index are PERSISTED, built once
+    * and appended per ingest, not re-derived by every consumer). Five
+    * entries read it: t32/t74/t76 (the probe recall/cost curve) and
+    * t77/t78 (the streaming twins).
+    */
+  private def incCorpusSh(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "inccorpsh") {
+      incShingle(Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text")))
+    }
+
+  /** The incremental fixture's probe batch (every 10th doc replayed
+    * under a shifted id), shingled — shared artifact, same contract as
+    * [[incCorpusSh]].
+    */
+  private def incBatchSh(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "incbatchsh") {
+      incShingle(Tables.spread(Tables.documents(s, d))
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+    }
+
+  /** The corpus band-table INDEX of the incremental fixture (3 bands ×
+    * 5 rows, k = 15) — the persisted near-dup index itself, shared by
+    * every probe entry regardless of its hot-bucket strategy (the cap
+    * is a PROBE-side choice; the index is strategy-independent).
+    */
+  private def incIxBands(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "incixbands") {
+      Dedup.bandTable(
+        Dedup.minhashSignatures(incCorpusSh(s, d), "doc_id", "sh", 15),
+        "doc_id", numBands = 3, rowsPerBand = 5)
+    }
+
+  /** The probe batch's minhash signature table — shared by the three
+    * batch probe entries (t32/t74/t76; the streaming twins re-derive
+    * theirs inside StreamOps, one definition for batch and stream).
+    */
+  private def incSigPb(s: SparkSession, d: String): DataFrame =
+    graft.etl.Artifacts.shared(s, d, "incsigpb") {
+      Dedup.minhashSignatures(incBatchSh(s, d), "doc_id", "sh", 15)
+    }
+
+  private def incShingle(df: DataFrame): DataFrame = df
+    .withColumn("_toks", TA.tokens(col("text")))
+    .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
+    .filter(size(col("sh")) > 0)
+
   /** (doc_id, sh) index/probe bases of the incremental fixture — shared
     * by t32 (capped probe) and t74 (split probe).
     */
@@ -1223,24 +1273,10 @@ object TextQueries {
   private val t32 = Q(
     "t32_incremental_neardup",
     (s, d) => {
-      def shingled(df: DataFrame) = df
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val docs = Tables.spread(Tables.documents(s, d))
-      val corpus = shingled(docs.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = shingled(docs
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
-      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
-      val ixBands = Dedup.bandTable(sigIx, "doc_id",
-        numBands = 3, rowsPerBand = 5)
-      val cand = Dedup.splitProbeBandTable(sigPb, ixBands, "doc_id",
-        numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
-      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+      val cand = Dedup.splitProbeBandTable(incSigPb(s, d), incIxBands(s, d),
+        "doc_id", numBands = 3, rowsPerBand = 5, maxBucket = maxBucket)
+      Dedup.verifyJaccard(incBatchSh(s, d), incCorpusSh(s, d),
+        "doc_id", "sh", cand, 0.8)
     },
     Some(lshSplitProbeSql(incIndexSql, incProbeSql,
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = maxBucket,
@@ -1266,24 +1302,11 @@ object TextQueries {
   private val t74 = Q(
     "t74_incremental_split_probe",
     (s, d) => {
-      def shingled(df: DataFrame) = df
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val docs = Tables.spread(Tables.documents(s, d))
-      val corpus = shingled(docs.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = shingled(docs
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
-      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
-      val ixBands = Dedup.bandTable(sigIx, "doc_id",
-        numBands = 3, rowsPerBand = 5)
-      val cand = Dedup.splitProbeBandTable(sigPb, ixBands, "doc_id",
-        numBands = 3, rowsPerBand = 5, maxBucket = probeSplitMaxBucket)
-      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+      val cand = Dedup.splitProbeBandTable(incSigPb(s, d), incIxBands(s, d),
+        "doc_id", numBands = 3, rowsPerBand = 5,
+        maxBucket = probeSplitMaxBucket)
+      Dedup.verifyJaccard(incBatchSh(s, d), incCorpusSh(s, d),
+        "doc_id", "sh", cand, 0.8)
     },
     Some(lshSplitProbeSql(incIndexSql, incProbeSql,
       k = 15, numBands = 3, rowsPerBand = 5,
@@ -1311,24 +1334,11 @@ object TextQueries {
   private val t76 = Q(
     "t76_exact_probe_neardup",
     (s, d) => {
-      def shingled(df: DataFrame) = df
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val docs = Tables.spread(Tables.documents(s, d))
-      val corpus = shingled(docs.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = shingled(docs
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigIx = Dedup.minhashSignatures(corpus, "doc_id", "sh", 15)
-      val sigPb = Dedup.minhashSignatures(batch, "doc_id", "sh", 15)
-      val ixBands = Dedup.bandTable(sigIx, "doc_id",
-        numBands = 3, rowsPerBand = 5)
-      val cand = Dedup.exactProbeBandTable(sigPb, ixBands, "doc_id",
-        numBands = 3, rowsPerBand = 5, maxBucket = probeSplitMaxBucket)
-      Dedup.verifyJaccard(batch, corpus, "doc_id", "sh", cand, 0.8)
+      val cand = Dedup.exactProbeBandTable(incSigPb(s, d), incIxBands(s, d),
+        "doc_id", numBands = 3, rowsPerBand = 5,
+        maxBucket = probeSplitMaxBucket)
+      Dedup.verifyJaccard(incBatchSh(s, d), incCorpusSh(s, d),
+        "doc_id", "sh", cand, 0.8)
     },
     // uncapped probe join — exactProbeBandTable's declared semantics
     // (Int.MaxValue disables lshSql's index cap; the window count it
@@ -1359,22 +1369,10 @@ object TextQueries {
   private val t77 = Q(
     "t77_stream_neardup_probe",
     (s, d) => {
-      def shingled(df: DataFrame) = df
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val docs = Tables.spread(Tables.documents(s, d))
-      val corpus = shingled(docs.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = shingled(docs
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+      val batch = incBatchSh(s, d)
         .withColumn("ts", lit(probeTsEpoch) + col("doc_id"))
-      val ixBands = Dedup.bandTable(
-        Dedup.minhashSignatures(corpus, "doc_id", "sh", 15), "doc_id",
-        numBands = 3, rowsPerBand = 5)
       graft.streaming.StreamOps.nearDupSplitProbeStream(
-        batch, ixBands, corpus,
+        batch, incIxBands(s, d), incCorpusSh(s, d),
         k = 15, numBands = 3, rowsPerBand = 5,
         maxBucket = probeSplitMaxBucket, threshold = 0.8)
     },
@@ -1400,22 +1398,10 @@ object TextQueries {
   private val t78 = Q(
     "t78_stream_exact_probe",
     (s, d) => {
-      def shingled(df: DataFrame) = df
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val docs = Tables.spread(Tables.documents(s, d))
-      val corpus = shingled(docs.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val batch = shingled(docs
-        .filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + incShift).as("doc_id"), col("text")))
+      val batch = incBatchSh(s, d)
         .withColumn("ts", lit(probeTsEpoch) + col("doc_id"))
-      val ixBands = Dedup.bandTable(
-        Dedup.minhashSignatures(corpus, "doc_id", "sh", 15), "doc_id",
-        numBands = 3, rowsPerBand = 5)
       graft.streaming.StreamOps.nearDupExactProbeStream(
-        batch, ixBands, corpus,
+        batch, incIxBands(s, d), incCorpusSh(s, d),
         k = 15, numBands = 3, rowsPerBand = 5,
         maxBucket = probeSplitMaxBucket, threshold = 0.8)
     },
