@@ -397,9 +397,18 @@ object Bpe {
     */
   def trainLocalToVocab(hist: Seq[(String, Long)],
                         vocabSize: Int): Seq[(Int, String, String, Long)] = {
-    val base = hist.iterator.flatMap(w => splitCodepoints(w._1)).toSet.size
+    val base = baseAlphabetLocal(hist)
     require(vocabSize > base,
       s"vocabSize $vocabSize must exceed the base alphabet ($base symbols)")
     trainLocal(hist, vocabSize - base)
   }
+
+  /** Distinct initial symbols (codepoints) of the histogram words — the
+    * base-alphabet term of the vocab-size budget (vocabSize =
+    * |alphabet| + merges). Public so callers sweeping merge BUDGETS can
+    * report the corresponding vocabulary targets (t80's tokenizer
+    * selection curve) with the same codepoint counting the trainers use.
+    */
+  def baseAlphabetLocal(hist: Seq[(String, Long)]): Int =
+    hist.iterator.flatMap(w => splitCodepoints(w._1)).toSet.size
 }

@@ -3225,6 +3225,85 @@ object TextQueries {
     """
     })
 
+  // ---- t80: tokenizer vocab-size selection curve -----------------------
+  //
+  // The sweep a real tokenizer build runs BEFORE fixing `vocab_size`
+  // (the e25/e15 audit discipline at the vocabulary layer): train the
+  // SAME histogram at several merge budgets, apply each resulting
+  // vocabulary to the corpus, and report corpus-level compression —
+  // subword count and integer per-mille fertility per target. Fertility
+  // falls as the vocabulary grows (every merge can only coarsen
+  // segmentations); the knee of this curve is the vocab_size you ship.
+  // Budgets are STATIC {12, 36, 89(=this corpus's full merge
+  // capacity)}; the reported `vocab_target` (= |base alphabet| +
+  // budget) is DERIVED independently by both engines from their own
+  // codepoint distinct-count, so a miscounted alphabet flips a value
+  // column and fails the hash (the t79 cross-check, inverted).
+  //
+  // Scale shape: ONE corpus-sized token explode feeds a map-side-
+  // combined histogram; training runs per budget in the driver over
+  // the collected vocabulary-sized histogram (the trainLocal
+  // production boundary — and a prefix-sweep over ONE trained schedule
+  // would be even cheaper; budgets are trained independently here so
+  // each row is exactly what a build at that vocab_size produces);
+  // each apply is the broadcast-merge-table mapPartitions kernel over
+  // the DISTINCT word vocabulary (t75's shape), joined back to the
+  // token explode for the corpus totals. Per extra curve point: one
+  // vocabulary-sized map pass + one broadcast join — linear, no new
+  // corpus scans (the explode is shared via the artifact-read plan).
+
+  private val vocabCurveBudgets = Seq(12, 36, 89)
+
+  private val t80 = Q(
+    "t80_bpe_vocab_curve",
+    (s, d) => {
+      val toks = Tables.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+      // vocabulary-sized collect — the trainLocal production boundary
+      val hist = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val base = graft.etl.Bpe.baseAlphabetLocal(hist)
+      vocabCurveBudgets.map { b =>
+        val merges = graft.etl.Bpe.trainLocal(hist, b)
+          .map { case (_, s1, s2, _) => (s1, s2) }
+        val vocab = graft.etl.Bpe.segmentWords(
+            toks.select(col("w")).distinct(), merges)
+          .select(col("w"), size(col("seg")).cast("long").as("nsub"))
+        toks.join(vocab, Seq("w"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("nsub")).as("n_subwords"))
+          .select(lit(base + b).as("vocab_target"),
+            lit(merges.length.toLong).as("n_merges"),
+            col("n_tokens"), col("n_subwords"),
+            expr("n_subwords * 1000 div n_tokens").as("fertility_pm"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      def point(b: Int) = s"""
+      SELECT (SELECT nb + $b FROM alpha) AS vocab_target,
+             (SELECT count(*) FROM allm WHERE round <= $b) AS n_merges,
+             count(*) AS n_tokens,
+             CAST(sum(nsub) AS BIGINT) AS n_subwords,
+             CAST(sum(nsub) * 1000 // count(*) AS BIGINT) AS fertility_pm
+      FROM (SELECT coalesce(s.nsub, 1) AS nsub
+            FROM docw LEFT JOIN (
+              SELECT replace(seg, ' ', '') AS w,
+                     len(string_split(trim(seg), ' ')) AS nsub
+              FROM seg$b) s USING (w))"""
+      val maxB = vocabCurveBudgets.max
+      val allm = (1 to maxB)
+        .map(r => s"SELECT $r AS round FROM b$r")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH RECURSIVE ${bpeCtes(maxB)},
+      alpha AS (
+        SELECT count(DISTINCT substr(w, CAST(i AS INTEGER), 1)) AS nb
+        FROM hist, LATERAL unnest(generate_series(1, length(w))) g(i)),
+      allm AS MATERIALIZED ($allm),
+      docw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+      ${vocabCurveBudgets.map(point).mkString("\n      UNION ALL\n")}
+    """
+    })
+
   // ---- t68: token frequency spectrum (Zipf audit) ---------------------
   //
   // The corpus-statistics table a tokenizer or data audit starts from:
@@ -3466,5 +3545,5 @@ object TextQueries {
       t14, t15, t16, t23, t27, t28, t29, t30, t32, t33, t34, t35, t37, t38,
       t39, t40, t43, t46, t47, t48, t49, t52, t53, t54, t55, t56, t57, t59,
       t60, t61, t63, t65, t66, t67, t68, t69, t70, t72, t73, t74, t75, t76,
-      t77, t78, t79)
+      t77, t78, t79, t80)
 }

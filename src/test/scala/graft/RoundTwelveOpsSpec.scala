@@ -35,4 +35,22 @@ class RoundTwelveOpsSpec extends SparkSpec {
       assert(f > 0)
     }
   }
+
+  test("t80: fertility curve is monotone down, capacity point is exact") {
+    val rows = run("t80_bpe_vocab_curve").collect()
+      .sortBy(_.getAs[Int]("vocab_target"))
+    assert(rows.length == 3)
+    // every curve point trained its full budget (no early dry before 89)
+    assert(rows.map(_.getAs[Long]("n_merges")).toSeq == Seq(12L, 36L, 89L))
+    // vocab_target = base alphabet (24 on this corpus) + budget
+    assert(rows.map(_.getAs[Int]("vocab_target")).toSeq == Seq(36, 60, 113))
+    // the corpus doesn't change with the tokenizer
+    assert(rows.map(_.getAs[Long]("n_tokens")).distinct.length == 1)
+    // more merges can only coarsen segmentations: fertility strictly
+    // falls along this curve, and at full merge capacity every word is
+    // a single token — fertility exactly 1000 per-mille
+    val fert = rows.map(_.getAs[Long]("fertility_pm")).toSeq
+    assert(fert.zip(fert.tail).forall { case (a, b) => a > b }, fert)
+    assert(fert.last == 1000L)
+  }
 }
