@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *   "batch_sec":[…],"state_rows_max":…,"watermark_lag_sec":…}`.
   */
 object StreamBench {
+  private def deleteRecursively(f: java.io.File): Unit =
+    if (f.exists()) {
+      val stream = java.nio.file.Files.walk(f.toPath)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => p.toFile.delete())
+      finally stream.close()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,7 +73,9 @@ object StreamBench {
     val idShift = 10000000L
     val allProbes = (0 until replicas).flatMap(rep =>
       probeBase.map { case (id, sh) => (id + (rep + 1) * idShift, sh) })
-    val perBatch = math.max(1, allProbes.length / nBatches)
+    // ceil so the knob is honored exactly: floor would spill a tiny
+    // remainder micro-batch (105 rows / 10 batches -> 11 batches)
+    val perBatch = math.max(1, (allProbes.length + nBatches - 1) / nBatches)
     val batches = allProbes.grouped(perBatch).toSeq
     val baseUs = 1700000000L * 1000000L
 
@@ -106,6 +116,8 @@ object StreamBench {
       }
       val total = (System.nanoTime() - t0) / 1e9
       q.stop()
+      // bench checkpoints are throwaway — reclaim the temp dir
+      deleteRecursively(new java.io.File(ckpt))
       val rows = allProbes.length
       val bj = times.result().map(t => f"$t%.3f").mkString("[", ",", "]")
       println(f"""{"variant":"$name","rows":$rows,"batches":${batches.length},""" +

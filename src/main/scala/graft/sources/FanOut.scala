@@ -202,6 +202,28 @@ object FanOut {
       parts: Seq[String]): Unit = {
     val cs = java.nio.charset.Charset.forName(encoding)
     val stagingCs = java.nio.charset.StandardCharsets.UTF_8 // staging is UTF-8+LF
+    // Strict transcode: the reference Python opens the sink with the
+    // target codec and raises UnicodeEncodeError on any unmappable
+    // character (fan_out_by_storeid.py's `open(..., encoding=enc)`
+    // default errors='strict'). Java's String.getBytes(Charset) instead
+    // REPLACEs with '?' — silent corruption. REPORT restores the loud
+    // failure contract; the message carries the key so a 1000-task run
+    // points at the offending partition, not a stack of anonymous bytes.
+    val strictEnc = cs.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    def encodeStrict(s: String): Array[Byte] =
+      try {
+        val bb = strictEnc.encode(java.nio.CharBuffer.wrap(s))
+        val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+      } catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new java.io.IOException(
+            s"fan-out: row for key '$key' contains characters not " +
+              s"representable in $encoding (strict output-encoding, " +
+              s"matching the reference's UnicodeEncodeError contract): " +
+              s"${s.take(120)}", e)
+      }
     val dest = new Path(s"$outDir/$key/$srcName.csv")
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest.getParent)
@@ -211,7 +233,7 @@ object FanOut {
     val tmp = new Path(dest.getParent, s".${dest.getName}.$attempt.tmp")
     val out = fs.create(tmp, true)
     try {
-      if (prefix.nonEmpty) out.write(prefix.getBytes(cs))
+      if (prefix.nonEmpty) out.write(encodeStrict(prefix))
       var wroteHeader = false
       parts.foreach { p =>
         val in = fs.open(new Path(p))
@@ -219,12 +241,12 @@ object FanOut {
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, stagingCs))
           var line = reader.readLine() // header line of this part file
           if (!wroteHeader && line != null) {
-            out.write((line + lineSep).getBytes(cs))
+            out.write(encodeStrict(line + lineSep))
             wroteHeader = true
           }
           line = reader.readLine()
           while (line != null) {
-            out.write((line + lineSep).getBytes(cs))
+            out.write(encodeStrict(line + lineSep))
             line = reader.readLine()
           }
         } finally in.close()

@@ -82,6 +82,22 @@ class FanOutSpec extends SparkSpec {
       .contains("台北"))
   }
 
+  test("output-encoding strict: unmappable character fails loud, not as '?'") {
+    // the reference's open(..., encoding='big5') raises UnicodeEncodeError
+    // on unmappable input (errors='strict' default); Java's
+    // String.getBytes(Charset) would silently substitute '?'. Pin the
+    // loud-failure contract: an emoji (not in big5) aborts the write with
+    // an error naming the key and the charset.
+    val out = tmpDir("fanout_strict").toString
+    val df = Seq(("s1", "ok", "1"), ("s2", "🚀", "2")).toDF(S, "v", "n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      FanOut.write(df, S, out, "srcX", encoding = "big5", lineSep = "\r\n")
+    }
+    val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.getMessage
+    assert(msg.contains("big5") && msg.contains("s2"),
+      s"expected strict-encoding error naming key s2 and big5, got: $msg")
+  }
+
   test("multi-part keys: distributed concat keeps one header and all rows") {
     val out = tmpDir("fanout_mp").toString
     // 8 input partitions × 3 keys → several part files per key in staging;
