@@ -221,6 +221,77 @@ object HeaderScan {
       encoding: String = "UTF-8"): Seq[HeaderInfo] =
     scanDirDistributed(spark, dir, keyCol, encoding)
 
+  private val globMeta = Set('*', '?', '[', ']', '{', '}')
+
+  private def isCsvName(name: String): Boolean =
+    name.toLowerCase.endsWith(".csv") &&
+      !name.startsWith(".") && !name.startsWith("_")
+
+  /** Recursive walk of one directory: every non-hidden `*.csv` at any
+    * depth (Hadoop's `listFiles(recursive = true)` iterator — one
+    * native recursive call on stores that support it, e.g. S3 LIST).
+    * Hidden entries (`.`/`_` prefix, Spark's own convention) are
+    * excluded so staging temps and `_SUCCESS`-style markers never
+    * ingest as data.
+    */
+  private def walkCsvFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && isCsvName(st.getPath.getName)) {
+        // listFiles recurses into hidden SUBDIRECTORIES (the iterator
+        // is flat) — re-check every path component under the root
+        val rel = st.getPath.toString.stripPrefix(dir.toString)
+        val hiddenParent = rel.split('/').dropRight(1)
+          .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+        if (!hiddenParent) out += st.getPath.toString
+      }
+    }
+    out.result()
+  }
+
+  /** Enumerate the `*.csv` files of a lake path: `dir` may be a plain
+    * directory (recursed to any depth — `ingest/2025/08/store.csv`
+    * layouts list completely) or a Hadoop glob (star wildcards, `{a,b}`
+    * alternation, `?` single-char), whose directory matches are each
+    * recursed. Listing is
+    * metadata-only; when a glob fans out to many directories the
+    * per-directory walks run IN EXECUTORS (the same split Spark's
+    * `InMemoryFileIndex` uses past its parallelism threshold), so a
+    * million-file lake never serializes its listing through one driver
+    * loop — and the head-reads that follow are already distributed.
+    */
+  def listCsvFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val roots: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (dir.exists(globMeta.contains))
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      else if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Seq.empty
+    val (dirs, plainFiles) = roots.partition(_.isDirectory)
+    val direct = plainFiles.map(_.getPath)
+      .filter(f => isCsvName(f.getName)).map(_.toString)
+    val dirPaths = dirs.map(_.getPath.toString)
+    val walked: Seq[String] =
+      if (dirPaths.length >= 32) {
+        // glob fanned out wide: distribute the per-directory walks
+        val bconf = spark.sparkContext.broadcast(
+          new FanOut.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+        val nPart = math.min(dirPaths.length, spark.sparkContext.defaultParallelism)
+        val res = spark.sparkContext.parallelize(dirPaths, nPart)
+          .flatMap { d =>
+            val dp = new Path(d)
+            walkCsvFiles(dp.getFileSystem(bconf.value.value), dp)
+          }.collect().toSeq
+        bconf.destroy()
+        res
+      } else dirPaths.flatMap(d => walkCsvFiles(fs, new Path(d)))
+    (direct ++ walked).distinct.sorted
+  }
+
   /** Executor-side directory head-scan: the driver lists the directory
     * (metadata-only) and parallelizes the path list; each task opens
     * its files and runs the shared [[scanStream]] head-read, returning
@@ -243,11 +314,7 @@ object HeaderScan {
       keyCol: String = defaultKeyCol,
       encoding: String = "UTF-8",
       maxScanLines: Int = 100): Seq[HeaderInfo] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.toLowerCase.endsWith(".csv"))
-      .map(_.toString).sorted.toSeq
+    val files = listCsvFiles(spark, dir)
     if (files.isEmpty) return Seq.empty
     val bconf = spark.sparkContext.broadcast(
       new FanOut.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))

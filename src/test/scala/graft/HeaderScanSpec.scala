@@ -88,6 +88,57 @@ class HeaderScanSpec extends SparkSpec {
     assert(dist.size == 4) // nokey.csv skipped in the executors too
   }
 
+  test("recursive listing + glob: nested lake tree, hidden dirs excluded") {
+    val dir = tmpDir("tree")
+    // ingest/2025/{07,08}/… date-partitioned layout + a root-level file,
+    // a hidden staging dir, an underscore marker, and an uppercase .CSV
+    def put(rel: String, body: String): Unit = {
+      val p = dir.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, body)
+    }
+    put("root.csv", "store,v\nr1,1\n")
+    put("2025/07/j1.csv", "meta\nstore,v\na,1\n")
+    put("2025/07/j2.CSV", "store,v\nb,2\n")
+    put("2025/08/k1.csv", "store,v\nc,3\n")
+    put("2025/08/deep/k2.csv", "store,v\nd,4\n")
+    put(".staging/tmp.csv", "store,v\nx,9\n")
+    put("_meta/marker.csv", "store,v\ny,9\n")
+    put("2025/08/_partial.csv", "store,v\nz,9\n")
+
+    val all = HeaderScan.listCsvFiles(spark, dir.toString)
+      .map(p => dir.toUri.relativize(new java.io.File(
+        p.stripPrefix("file:")).toURI).getPath)
+    assert(all == Seq("2025/07/j1.csv", "2025/07/j2.CSV", "2025/08/deep/k2.csv",
+      "2025/08/k1.csv", "root.csv"),
+      s"recursive listing mismatch: $all")
+
+    // glob: only the 08 partition (directory match recursed)
+    val aug = HeaderScan.listCsvFiles(spark, s"$dir/2025/0[8]")
+      .map(_.split('/').last)
+    assert(aug.sorted == Seq("k1.csv", "k2.csv"))
+    // glob matching FILES directly
+    val j = HeaderScan.listCsvFiles(spark, s"$dir/2025/07/j*.csv")
+      .map(_.split('/').last)
+    assert(j == Seq("j1.csv")) // j2.CSV not matched by lowercase glob
+
+    // distributed ≡ driver pin extended over the nested tree
+    val dist = HeaderScan.scanDirDistributed(spark, dir.toString, keyCol = "store")
+    val driver = all.flatMap(rel => HeaderScan.scanHeader(
+      spark, dir.resolve(rel).toString, keyCol = "store"))
+    assert(dist.size == driver.size && dist.size == 5)
+    dist.sortBy(_.path).zip(driver.sortBy(_.path)).foreach { case (e, d) =>
+      assert(e.dataStart == d.dataStart && e.columns == d.columns &&
+        e.prefixRows == d.prefixRows && e.skipLines == d.skipLines)
+    }
+
+    // readDir over the tree: every non-hidden row, none from hidden dirs
+    val rows = HeaderScan.readDir(spark, dir.toString, keyCol = "store")
+      .select("store").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    assert(rows.toSeq == Seq("a", "b", "c", "d", "r1"))
+  }
+
   test("readDir groups same-schema files into one scan, unions the rest") {
     val dir = tmpDir("grouped")
     // two files share schema (a) with DIFFERENT prefix depths; one file
