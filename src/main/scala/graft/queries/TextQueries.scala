@@ -3241,16 +3241,18 @@ object TextQueries {
   // column and fails the hash (the t79 cross-check, inverted).
   //
   // Scale shape: ONE corpus-sized token explode feeds a map-side-
-  // combined histogram; training runs per budget in the driver over
-  // the collected vocabulary-sized histogram (the trainLocal
-  // production boundary — and a prefix-sweep over ONE trained schedule
-  // would be even cheaper; budgets are trained independently here so
-  // each row is exactly what a build at that vocab_size produces);
-  // each apply is the broadcast-merge-table mapPartitions kernel over
-  // the DISTINCT word vocabulary (t75's shape), joined back to the
-  // token explode for the corpus totals. Per extra curve point: one
-  // vocabulary-sized map pass + one broadcast join — linear, no new
-  // corpus scans (the explode is shared via the artifact-read plan).
+  // combined histogram, and the explode is PERSISTED so the per-budget
+  // corpus totals re-read cache, not raw documents; training runs ONCE
+  // at the maximum budget and every smaller budget takes a PREFIX of
+  // that one schedule — exactly what an independent train at the
+  // smaller budget produces, because BPE's greedy argmax at round r
+  // depends only on rounds < r (the prefix-consistency property
+  // BpePropertySpec pins). Each apply is the broadcast-merge-table
+  // mapPartitions kernel over the DISTINCT word vocabulary (t75's
+  // shape), joined back to the cached explode for the corpus totals.
+  // Per extra curve point: one vocabulary-sized map pass + one
+  // broadcast join — linear, zero new corpus scans and zero new
+  // driver trains.
 
   private val vocabCurveBudgets = Seq(12, 36, 89)
 
@@ -3259,15 +3261,19 @@ object TextQueries {
     (s, d) => {
       val toks = Tables.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(TA.tokens(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val words = toks.select(col("w")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // vocabulary-sized collect — the trainLocal production boundary
       val hist = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val base = graft.etl.Bpe.baseAlphabetLocal(hist)
+      // one train at the max budget; smaller budgets are prefixes
+      val schedule = graft.etl.Bpe.trainLocal(hist, vocabCurveBudgets.max)
+        .map { case (_, s1, s2, _) => (s1, s2) }
       vocabCurveBudgets.map { b =>
-        val merges = graft.etl.Bpe.trainLocal(hist, b)
-          .map { case (_, s1, s2, _) => (s1, s2) }
-        val vocab = graft.etl.Bpe.segmentWords(
-            toks.select(col("w")).distinct(), merges)
+        val merges = schedule.take(b)
+        val vocab = graft.etl.Bpe.segmentWords(words, merges)
           .select(col("w"), size(col("seg")).cast("long").as("nsub"))
         toks.join(vocab, Seq("w"))
           .agg(count(lit(1)).as("n_tokens"), sum(col("nsub")).as("n_subwords"))

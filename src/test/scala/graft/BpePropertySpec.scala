@@ -206,6 +206,21 @@ class BpePropertySpec extends SparkSpec {
       s"tie resolved by UTF-16 code units, not UTF-8 bytes: $local")
   }
 
+  test("trainLocal is prefix-consistent: train(b) == train(maxB).take(b)") {
+    // BPE's greedy argmax at round r depends only on rounds < r, so a
+    // budget-b schedule IS the first b rows of any longer train on the
+    // same histogram. t80's vocab-size curve leans on this to train
+    // ONCE at the max budget and prefix-sweep the smaller points — this
+    // pin is what makes that consolidation hash-safe.
+    val hist = Map("abcabc" -> 7L, "abcab" -> 4L, "bcbcbc" -> 5L,
+      "aabbcc" -> 3L, "cabcab" -> 2L, "abc" -> 9L, "ab" -> 6L).toSeq
+    val full = Bpe.trainLocal(hist, rounds = 12)
+    (1 to full.length).foreach { b =>
+      assert(Bpe.trainLocal(hist, rounds = b) == full.take(b),
+        s"prefix inconsistency at budget $b")
+    }
+  }
+
   test("segmentWords kernel ≡ segment fold at every vocab-size prefix") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
