@@ -35,7 +35,30 @@ object Dedup {
     * overflow-free, bit-identical in the DuckDB oracle. The k mins are
     * map-side-partial aggregates over a single shuffle on the id.
     */
-  def minhashSignatures(base: DataFrame, idCol: String, shCol: String, k: Int): DataFrame = {
+  def minhashSignatures(base: DataFrame, idCol: String, shCol: String, k: Int): DataFrame =
+    // per-row array fold, NOT explode+groupBy: the shingle sets already
+    // live one-row-per-doc, so aggregating k mins over an exploded
+    // (doc, shingle) relation pays a corpus-sized SHUFFLE for math the
+    // row can do in place (array_min over transform) — measured 2.2 s
+    // → 1.3 s on t08's signature build at sf0.1, and the map-only form
+    // pipelines into the band explode with no exchange between them.
+    // Bit-equal to [[minhashSignaturesAgg]] (same hash60, same affine
+    // family, min ≡ array_min — DedupSplitSpec pins the equivalence),
+    // so every oracle mirror of the explode+GROUP BY formulation is
+    // untouched. Requires one row per id (every shingle builder's
+    // contract; the agg form is the one to reach for if rows were ever
+    // pre-exploded). The size filter preserves the agg form's implicit
+    // drop of empty/null shingle sets (explode emits nothing for them;
+    // array_min would emit a null-signature row instead).
+    rowSignatures(base.select(col(idCol), col(shCol))
+      .filter(size(col(shCol)) > 0), shCol, k).drop(shCol)
+
+  /** The explode + groupBy formulation of [[minhashSignatures]] — the
+    * literal mirror of the oracle SQL's `unnest … GROUP BY`, kept as
+    * the equivalence-pin reference and for inputs that arrive
+    * pre-exploded (multiple rows per id).
+    */
+  def minhashSignaturesAgg(base: DataFrame, idCol: String, shCol: String, k: Int): DataFrame = {
     val consts = Portable.minhashConsts(k)
     val ex = base.select(col(idCol), explode(col(shCol)).as("_s"))
       .select(col(idCol), Portable.hash60(col("_s")).as("_h"))

@@ -30,6 +30,25 @@ class DedupSplitSpec extends SparkSpec {
     (1L to n.toLong).map(id => (id, Seq("aa_bb_cc", "bb_cc_dd", "cc_dd_ee")))
       .toDF("doc_id", "sh")
 
+  test("minhashSignatures (array fold) ≡ minhashSignaturesAgg (explode+groupBy)") {
+    // the shipped form skips the corpus-sized shuffle; the agg form is
+    // the literal mirror of the oracle's unnest+GROUP BY — they must be
+    // bit-equal (same hash60, same affine family, min ≡ array_min), and
+    // empty/null shingle sets must VANISH from both (the agg form drops
+    // them by construction; the array form filters explicitly)
+    val docs = (hotCluster(5).as[(Long, Seq[String])].collect().toSeq ++
+      (10L to 24L).map(id => (id, Seq(s"w${id}_a", s"w${id}_b", s"q_${id % 3}"))) ++
+      Seq((90L, Seq.empty[String]), (91L, null.asInstanceOf[Seq[String]])))
+      .toDF("doc_id", "sh")
+    val fast = Dedup.minhashSignatures(docs, "doc_id", "sh", k)
+    val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "sh", k)
+    assert(fast.columns.toSeq == agg.columns.toSeq)
+    assert(fast.exceptAll(agg).count() == 0 && agg.exceptAll(fast).count() == 0,
+      "signature formulations diverged")
+    assert(fast.filter(col("doc_id") >= 90).count() == 0,
+      "empty/null shingle sets must be dropped, not null-signed")
+  }
+
   test("drop cap finds NOTHING in a hot cluster; split finds every member") {
     val maxBucket = 5
     val sig = Dedup.minhashSignatures(hotCluster(30), "doc_id", "sh", k)
