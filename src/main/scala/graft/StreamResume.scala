@@ -74,10 +74,14 @@ object StreamResume {
       java.nio.file.Paths.get(s"$work/sfdir.txt")).trim
     val stream = spark.readStream.schema(probeSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/input")
+    // delay wider than the probe set's event-time spread (doc_id range
+    // in seconds): file mtime ties can reorder same-write part files,
+    // and a reordered batch must bound state, not drop rows — the check
+    // phase pins set-equality against the batch twin, which drops none
     val out = graft.streaming.StreamOps.nearDupSplitProbeStream(
       stream, ixBands(spark, sfDir), shingled(spark, sfDir),
       k = 15, numBands = 3, rowsPerBand = 5, maxBucket = 3, threshold = 0.8,
-      watermarkDelay = "10 minutes")
+      watermarkDelay = "3 hours")
     out.writeStream.format("parquet")
       .option("path", s"$work/out")
       .option("checkpointLocation", s"$work/ckpt")
@@ -93,7 +97,11 @@ object StreamResume {
     phase match {
       case "prepare" =>
         val k = sys.env.getOrElse("SPARK_GRAFT_RESUME_FILES", "8").toInt
-        probes(spark, sfDir).repartition(k)
+        // range-partition by doc_id so event time (epoch + doc_id) is
+        // monotone across micro-batches — arrival order matches event
+        // order, as a real feed's would; the watermark advances batch
+        // over batch instead of marking most of the input late
+        probes(spark, sfDir).repartitionByRange(k, col("doc_id"))
           .write.mode("overwrite").parquet(s"$work/input")
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$work/sfdir.txt"), sfDir)
@@ -118,13 +126,19 @@ object StreamResume {
         q.stop()
         println("[resume] drained remaining input from the checkpoint")
       case "check" =>
+        // localCheckpoint both sides before exceptAll: nesting the
+        // stream-op's dedup plan inside except's rewrite trips an
+        // attribute-rebinding internal error (jaccard#N not found);
+        // materialized legs compare plain LogicalRDDs
         val got = spark.read.parquet(s"$work/out")
           .select(col("a"), col("b"), col("jaccard"))
+          .localCheckpoint(true)
         val expected = graft.streaming.StreamOps.nearDupSplitProbeStream(
           probes(spark, sfDir), ixBands(spark, sfDir), shingled(spark, sfDir),
           k = 15, numBands = 3, rowsPerBand = 5, maxBucket = 3,
           threshold = 0.8)
           .select(col("a"), col("b"), col("jaccard"))
+          .localCheckpoint(true)
         val extra = got.exceptAll(expected).count()
         val missing = expected.exceptAll(got).count()
         val n = got.count()
