@@ -957,9 +957,77 @@ object PipelineQueries {
       FROM merged GROUP BY 1
     """))
 
+  // ---- q81: recursive lake-tree ingest + glob partition selection -----
+  //
+  // Round-13 listing completeness under the oracle: a date-partitioned
+  // ingest tree (`2025/07/…`, `2025/08/…`, a deeper `2025/08/deep/…`),
+  // hidden staging dirs and an underscore-prefixed partial file carrying
+  // VALID-looking poison rows that must never ingest, a keyless decoy
+  // inside a subdirectory (warn-skip must work at depth), and a glob
+  // that selects one partition subtree. A listing that misses a depth,
+  // descends into hidden state, or mis-scopes the glob shifts the
+  // counts/sums and fails the hash. Scale shape: the listing is
+  // metadata-only (wide glob fan-outs walk in executors —
+  // HeaderScan.listCsvFiles), the head-scan runs distributed, and the
+  // data read is the grouped multi-path scan, so the plan grows with
+  // distinct schemas, not files.
+
+  /** Date-partitioned nation tree with hidden poison and a decoy. */
+  private def fabricateNestedTree(s: SparkSession, d: String): String = {
+    val dir = tmp("nested_in", d)
+    deleteRecursively(dir)
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().sortBy(_.getLong(0))
+    def put(rel: String, content: String): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    }
+    val hdr = "商店序號,n_name,region\n"
+    def body(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+        .mkString("", "\n", "\n")
+    val (jul, aug) = rows.partition(_.getLong(0) < 8)
+    val (augA, augB) = aug.partition(_.getLong(0) < 17)
+    put("2025/07/july.csv", "Ingested At,2026-08\n" + hdr + body(jul))
+    put("2025/08/aug_a.csv", hdr + body(augA))
+    put("2025/08/deep/aug_b.csv", hdr + body(augB))
+    put("2025/08/nokey.csv", "a,b\n1,2\n") // keyless decoy at depth
+    put(".staging/sneak.csv", hdr + "9999,POISON,9\n")
+    put("_tmp/sneak.csv", hdr + "9999,POISON,9\n")
+    put("2025/08/_partial.csv", hdr + "9999,POISON,9\n")
+    dir
+  }
+
+  private val q81 = Q(
+    "q81_nested_ingest",
+    (s, d) => {
+      val root = fabricateNestedTree(s, d)
+      def agg(mode: String, df: DataFrame) = df
+        .groupBy(lit(mode).as("mode"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("商店序號").cast("long")).as("key_sum"),
+          countDistinct(col("n_name")).as("n_names"))
+      agg("all", HeaderScan.readDir(s, root, "商店序號"))
+        .unionAll(agg("aug",
+          HeaderScan.readDir(s, s"$root/2025/0[8]", "商店序號")))
+    },
+    Some("""
+      SELECT 'all' AS mode, count(*) AS n_rows,
+             CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+             count(DISTINCT n_name) AS n_names
+      FROM nation
+      UNION ALL
+      SELECT 'aug', count(*), CAST(sum(n_nationkey) AS BIGINT),
+             count(DISTINCT n_name)
+      FROM nation WHERE n_nationkey >= 8
+    """))
+
   def all: Seq[Q] =
     Seq(q15, q16, q17, q31, q43, q47, q49, q50, q51, q52, q69, q71, q72,
-      q77, q79)
+      q77, q79, q81)
 
   /** q51's Morton z-value in Spark SQL, exposed for ZorderSpec's
     * known-value checks.
