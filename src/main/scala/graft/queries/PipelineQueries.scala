@@ -961,10 +961,10 @@ object PipelineQueries {
   //
   // Round-13 listing completeness under the oracle: a date-partitioned
   // ingest tree (`2025/07/…`, `2025/08/…`, a deeper `2025/08/deep/…`),
-  // hidden staging dirs and an underscore-prefixed partial file carrying
-  // VALID-looking poison rows that must never ingest, a keyless decoy
-  // inside a subdirectory (warn-skip must work at depth), and a glob
-  // that selects one partition subtree. A listing that misses a depth,
+  // hidden staging dirs and an underscore-prefixed partial file (below
+  // the scan roots) carrying VALID-looking poison rows that must never
+  // ingest, a keyless decoy inside a subdirectory (warn-skip must work
+  // at depth), and a glob that selects one partition subtree. A listing that misses a depth,
   // descends into hidden state, or mis-scopes the glob shifts the
   // counts/sums and fails the hash. Scale shape: the listing is
   // metadata-only (wide glob fan-outs walk in executors —
@@ -997,7 +997,9 @@ object PipelineQueries {
     put("2025/08/nokey.csv", "a,b\n1,2\n") // keyless decoy at depth
     put(".staging/sneak.csv", hdr + "9999,POISON,9\n")
     put("_tmp/sneak.csv", hdr + "9999,POISON,9\n")
-    put("2025/08/_partial.csv", hdr + "9999,POISON,9\n")
+    // BELOW every scan root (direct root children keep the reference's
+    // scandir suffix-only contract, so the poison sits one level down)
+    put("2025/08/deep/_partial.csv", hdr + "9999,POISON,9\n")
     dir
   }
 

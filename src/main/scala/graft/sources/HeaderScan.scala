@@ -223,30 +223,63 @@ object HeaderScan {
 
   private val globMeta = Set('*', '?', '[', ']', '{', '}')
 
-  private def isCsvName(name: String): Boolean =
-    name.toLowerCase.endsWith(".csv") &&
-      !name.startsWith(".") && !name.startsWith("_")
+  private def isCsvLoose(name: String): Boolean =
+    name.toLowerCase.endsWith(".csv")
 
-  /** Recursive walk of one directory: every non-hidden `*.csv` at any
-    * depth (Hadoop's `listFiles(recursive = true)` iterator — one
-    * native recursive call on stores that support it, e.g. S3 LIST).
-    * Hidden entries (`.`/`_` prefix, Spark's own convention) are
-    * excluded so staging temps and `_SUCCESS`-style markers never
-    * ingest as data.
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
+  /** Lake-convention test: hidden (`.`/`_`-prefixed) names are system
+    * state, not data. */
+  private def isCsvName(name: String): Boolean =
+    isCsvLoose(name) && !isHidden(name)
+
+  /** A `*.csv` whose name Hadoop refuses to read: the reference's
+    * `os.scandir` (fan_out_by_storeid.py:7–9) WOULD ingest
+    * `_totals.csv` from a flat input dir, but every Hadoop input
+    * format hard-filters `.`/`_`-prefixed paths (FileInputFormat's
+    * hiddenFileFilter — the same files are invisible to
+    * `spark.read.csv`), so silent parity is impossible on this data
+    * plane. Warn-and-skip keeps the divergence LOUD, mirroring the
+    * reference's own warn-skip style for unreadable inputs.
     */
-  private def walkCsvFiles(
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] = {
+  private def warnHiddenCsv(path: Path): Unit =
+    System.err.println(
+      s"[graft] WARNING: skipping $path — Hadoop input formats cannot " +
+        "read '.'/'_'-prefixed paths (the reference's scandir would " +
+        "ingest it; rename the file to include it)")
+
+  /** One scan root's files: direct `*.csv` children are all taken
+    * except hidden-prefixed names, which are warn-skipped (see
+    * [[warnHiddenCsv]] — a platform constraint, not a policy);
+    * subdirectory recursion follows the lake convention — hidden
+    * `.`/`_` path segments (staging temps, `_SUCCESS`-style markers,
+    * checkpoint state) never ingest as data, silently. Recursion per
+    * subdir uses Hadoop's `listFiles(recursive = true)` (one native
+    * recursive call on stores that support it, e.g. S3 LIST); the
+    * iterator is flat and DOES descend into hidden subdirectories, so
+    * every path component below the subdir is re-checked.
+    */
+  private def walkRoot(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
     val out = Seq.newBuilder[String]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && isCsvName(st.getPath.getName)) {
-        // listFiles recurses into hidden SUBDIRECTORIES (the iterator
-        // is flat) — re-check every path component under the root
-        val rel = st.getPath.toString.stripPrefix(dir.toString)
-        val hiddenParent = rel.split('/').dropRight(1)
-          .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
-        if (!hiddenParent) out += st.getPath.toString
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile) {
+        if (isCsvName(name)) out += st.getPath.toString
+        else if (isCsvLoose(name)) warnHiddenCsv(st.getPath)
+      } else if (!isHidden(name)) {
+        val sub = st.getPath
+        val it = fs.listFiles(sub, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && isCsvName(f.getPath.getName)) {
+            val rel = f.getPath.toString.stripPrefix(sub.toString)
+            val hiddenParent = rel.split('/').dropRight(1)
+              .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+            if (!hiddenParent) out += f.getPath.toString
+          }
+        }
       }
     }
     out.result()
@@ -255,10 +288,13 @@ object HeaderScan {
   /** Enumerate the `*.csv` files of a lake path: `dir` may be a plain
     * directory (recursed to any depth — `ingest/2025/08/store.csv`
     * layouts list completely) or a Hadoop glob (star wildcards, `{a,b}`
-    * alternation, `?` single-char), whose directory matches are each
-    * recursed. Listing is
-    * metadata-only; when a glob fans out to many directories the
-    * per-directory walks run IN EXECUTORS (the same split Spark's
+    * alternation, `?` single-char); every match — the plain dir, or
+    * each glob-matched file/directory — is a scan ROOT with the
+    * [[walkRoot]] semantics: direct file children are taken except
+    * hidden-prefixed names (warn-skipped — Hadoop's data plane cannot
+    * read them), deeper levels keep the lake convention. Listing
+    * is metadata-only; when a glob fans out to many directories the
+    * per-root walks run IN EXECUTORS (the same split Spark's
     * `InMemoryFileIndex` uses past its parallelism threshold), so a
     * million-file lake never serializes its listing through one driver
     * loop — and the head-reads that follow are already distributed.
@@ -272,23 +308,28 @@ object HeaderScan {
       else if (fs.exists(p)) Seq(fs.getFileStatus(p))
       else Seq.empty
     val (dirs, plainFiles) = roots.partition(_.isDirectory)
-    val direct = plainFiles.map(_.getPath)
-      .filter(f => isCsvName(f.getName)).map(_.toString)
+    // glob-matched FILES were explicitly targeted — but the Hadoop
+    // hidden-path constraint still applies (warn, don't silently drop)
+    val direct = plainFiles.map(_.getPath).filter { f =>
+      val take = isCsvName(f.getName)
+      if (!take && isCsvLoose(f.getName)) warnHiddenCsv(f)
+      take
+    }.map(_.toString)
     val dirPaths = dirs.map(_.getPath.toString)
     val walked: Seq[String] =
       if (dirPaths.length >= 32) {
-        // glob fanned out wide: distribute the per-directory walks
+        // glob fanned out wide: distribute the per-root walks
         val bconf = spark.sparkContext.broadcast(
           new FanOut.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
         val nPart = math.min(dirPaths.length, spark.sparkContext.defaultParallelism)
         val res = spark.sparkContext.parallelize(dirPaths, nPart)
           .flatMap { d =>
             val dp = new Path(d)
-            walkCsvFiles(dp.getFileSystem(bconf.value.value), dp)
+            walkRoot(dp.getFileSystem(bconf.value.value), dp)
           }.collect().toSeq
         bconf.destroy()
         res
-      } else dirPaths.flatMap(d => walkCsvFiles(fs, new Path(d)))
+      } else dirPaths.flatMap(d => walkRoot(fs, new Path(d)))
     (direct ++ walked).distinct.sorted
   }
 

@@ -98,14 +98,21 @@ class HeaderScanSpec extends SparkSpec {
       Files.writeString(p, body)
     }
     put("root.csv", "store,v\nr1,1\n")
+    put("_flat.csv", "store,v\nu1,7\n") // warn-skipped: Hadoop can't read it
     put("2025/07/j1.csv", "meta\nstore,v\na,1\n")
     put("2025/07/j2.CSV", "store,v\nb,2\n")
     put("2025/08/k1.csv", "store,v\nc,3\n")
     put("2025/08/deep/k2.csv", "store,v\nd,4\n")
     put(".staging/tmp.csv", "store,v\nx,9\n")
     put("_meta/marker.csv", "store,v\ny,9\n")
-    put("2025/08/_partial.csv", "store,v\nz,9\n")
+    put("2025/08/deep/_partial.csv", "store,v\nz,9\n")
 
+    // the reference's scandir would ingest _flat.csv from a flat input
+    // dir, but Hadoop input formats hard-filter ./_-prefixed paths
+    // (FileInputFormat hiddenFileFilter — spark.read.csv can't see them
+    // either), so the listing warn-skips it rather than returning a
+    // path the data plane would then refuse; hidden names BELOW the
+    // root are lake state and skip silently
     val all = HeaderScan.listCsvFiles(spark, dir.toString)
       .map(p => dir.toUri.relativize(new java.io.File(
         p.stripPrefix("file:")).toURI).getPath)
@@ -113,7 +120,8 @@ class HeaderScanSpec extends SparkSpec {
       "2025/08/k1.csv", "root.csv"),
       s"recursive listing mismatch: $all")
 
-    // glob: only the 08 partition (directory match recursed)
+    // glob: only the 08 partition — each directory match is itself a
+    // scan root (direct children loose, deeper levels strict)
     val aug = HeaderScan.listCsvFiles(spark, s"$dir/2025/0[8]")
       .map(_.split('/').last)
     assert(aug.sorted == Seq("k1.csv", "k2.csv"))
