@@ -135,6 +135,14 @@ def main():
     con = duckdb.connect()
     import os
     os.makedirs(out, exist_ok=True)
+    # 100x replicas (round 14): the default 1e5 doc/vec spacing crosses
+    # the 1e6 synthetic-dup space at n >= 10 replicas x 10 spacing.
+    # Drop to 1e4 — still clears sf0.1's id range (0..4999) and stays a
+    # multiple of 100 so embeddings' vec_id % 100 anchor density holds.
+    # Done BEFORE skew_overrides so the skew text tails embed the same
+    # shifted ids the tables carry.
+    if n * SHIFTS["doc_id"] >= CEILINGS["doc_id"]:
+        SHIFTS["doc_id"] = SHIFTS["vec_id"] = 10_000
     overrides = skew_overrides(con, src, n, pct) if skew else {}
     # refuse shifts that would collide: every shifted column needs
     # max(value) < shift (replica ranges disjoint) and

@@ -7,6 +7,10 @@
 # committed contents against the batch twin (set equality = no batch
 # replayed, none lost).
 #
+# SPARK_GRAFT_STATE_STORE=rocksdb runs the same drill on the RocksDB
+# state store (the 100 TB state configuration) — cross-process state
+# reload is exactly where the providers differ.
+#
 # Usage: dev/stream_resume.sh [sfDir] [workDir]
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -17,10 +21,26 @@ WORK="${2:-/tmp/graft_stream_resume}"
 rm -rf "$WORK"; mkdir -p "$WORK"
 for phase in prepare interrupted resume; do
   echo "== phase: $phase (fresh JVM)"
-  sbt -batch "runMain graft.StreamResume $SF_DIR $WORK $phase" 2>&1 \
-    | grep -E "^\[resume\]" || true
+  # capture the phase's real exit status: `| grep || true` would swallow
+  # an sbt/JVM crash, and a crashed 'interrupted' phase that never starts
+  # its query makes 'resume' drain everything from scratch — the drill
+  # would print PASS without exercising cross-process resume at all
+  PHASE_OUT=$(sbt -batch "runMain graft.StreamResume $SF_DIR $WORK $phase" 2>&1) \
+    || { echo "== FAIL: phase $phase exited non-zero"; \
+         grep -E "^\[resume\]|error|Exception" <<<"$PHASE_OUT" | tail -20; exit 1; }
+  grep -E "^\[resume\]" <<<"$PHASE_OUT" || true
+  if [[ "$phase" == interrupted ]]; then
+    N=$(grep -oE "interrupted after [0-9]+" <<<"$PHASE_OUT" | grep -oE "[0-9]+" || echo 0)
+    if [[ "${N:-0}" -lt 1 ]]; then
+      echo "== FAIL: interrupted phase committed no batches (N=$N) — resume would start from scratch"
+      exit 1
+    fi
+  fi
 done
 echo "== phase: check (fresh JVM)"
-OUT=$(sbt -batch "runMain graft.StreamResume $SF_DIR $WORK check" 2>&1 | grep -E "^\[resume\]" || true)
+CHECK_OUT=$(sbt -batch "runMain graft.StreamResume $SF_DIR $WORK check" 2>&1) \
+  || { echo "== FAIL: check phase exited non-zero"; \
+       grep -E "^\[resume\]|error|Exception" <<<"$CHECK_OUT" | tail -20; exit 1; }
+OUT=$(grep -E "^\[resume\]" <<<"$CHECK_OUT" || true)
 echo "$OUT"
 grep -q "RESUME-EQUALITY OK" <<<"$OUT" && echo "== PASS" || { echo "== FAIL"; exit 1; }

@@ -40,13 +40,18 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
     val replicas = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPLICAS", "4").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb runs the same workload on the
+    // disk-backed store (the 100 TB state configuration); the store
+    // name lands in each variant's JSON line
+    val stateStore = ExtraConf.stateStore(builder)
+    ExtraConf(builder)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -97,6 +102,7 @@ object StreamBench {
         .outputMode("append").start()
       val times = Seq.newBuilder[Double]
       var stateMax = 0L
+      var stateMemMax = 0L
       var wmLagSec = -1.0
       val t0 = System.nanoTime()
       batches.zipWithIndex.foreach { case (b, i) =>
@@ -106,7 +112,13 @@ object StreamBench {
         q.processAllAvailable()
         times += (System.nanoTime() - tb) / 1e9
         Option(q.lastProgress).foreach { p =>
-          p.stateOperators.foreach(so => stateMax = math.max(stateMax, so.numRowsTotal))
+          p.stateOperators.foreach { so =>
+            stateMax = math.max(stateMax, so.numRowsTotal)
+            // provider-reported state memory: the HDFS store's ON-HEAP
+            // map vs RocksDB's native estimate — the number that decides
+            // whether 100 TB state fits an executor
+            stateMemMax = math.max(stateMemMax, so.memoryUsedBytes)
+          }
           val wm = Option(p.eventTime.get("watermark")).getOrElse("")
           if (wm.nonEmpty) {
             val wmUs = java.time.Instant.parse(wm).toEpochMilli * 1000L
@@ -120,9 +132,11 @@ object StreamBench {
       deleteRecursively(new java.io.File(ckpt))
       val rows = allProbes.length
       val bj = times.result().map(t => f"$t%.3f").mkString("[", ",", "]")
-      println(f"""{"variant":"$name","rows":$rows,"batches":${batches.length},""" +
+      println(f"""{"variant":"$name","state_store":"$stateStore",""" +
+        f""""rows":$rows,"batches":${batches.length},""" +
         f""""total_sec":$total%.2f,"rows_per_sec":${rows / total}%.1f,""" +
         f""""batch_sec":$bj,"state_rows_max":$stateMax,""" +
+        f""""state_mem_mb":${stateMemMax / 1e6}%.1f,""" +
         f""""watermark_lag_sec":$wmLagSec%.1f,"sf":"$sfDir"}""")
     }
 

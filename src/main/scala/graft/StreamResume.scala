@@ -30,13 +30,19 @@ object StreamResume {
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb: the resume drill must also pass
+    // on the disk-backed store — cross-process state reload is exactly
+    // where the providers differ (snapshot+changelog vs delta files)
+    val store = ExtraConf.stateStore(builder)
+    ExtraConf(builder)
+    System.err.println(s"[resume] state store: $store")
+    builder.getOrCreate()
   }
 
   private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
@@ -111,8 +117,16 @@ object StreamResume {
         val half = sys.env.getOrElse("SPARK_GRAFT_RESUME_FILES", "8").toInt / 2
         val q = startQuery(spark, work)
         var batches = 0
+        // a failed query stops making progress — surface its exception
+        // instead of spinning forever; the deadline catches the silent
+        // variant (e.g. a source that never produces a batch)
+        val deadline = System.nanoTime() + 5L * 60 * 1000000000L
         while (batches < half) {
           Thread.sleep(200)
+          q.exception.foreach(e => throw e)
+          if (System.nanoTime() > deadline)
+            sys.error(s"[resume] interrupted phase stalled: only $batches" +
+              s"/$half non-empty batches after 5 minutes")
           val p = q.recentProgress
           batches = p.count(_.numInputRows > 0)
         }

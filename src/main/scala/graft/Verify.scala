@@ -28,13 +28,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
-    // SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v Spark confs — the
-    // generic experiment seam (event logs for the failure-injection run,
-    // etc.) so one-off runs never need a code edit
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    // generic experiment seam: semicolon-separated k=v Spark confs
+    ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -261,13 +261,15 @@ object HeaderScan {
     * every path component below the subdir is re-checked.
     */
   private def walkRoot(
-      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): (Seq[String], Seq[String]) = {
     val out = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile) {
         if (isCsvName(name)) out += st.getPath.toString
-        else if (isCsvLoose(name)) warnHiddenCsv(st.getPath)
+        else if (isCsvLoose(name)) skipped += st.getPath.toString
       } else if (!isHidden(name)) {
         val sub = st.getPath
         val it = fs.listFiles(sub, true)
@@ -282,7 +284,7 @@ object HeaderScan {
         }
       }
     }
-    out.result()
+    (out.result(), skipped.result())
   }
 
   /** Enumerate the `*.csv` files of a lake path: `dir` may be a plain
@@ -302,11 +304,22 @@ object HeaderScan {
   def listCsvFiles(spark: SparkSession, dir: String): Seq[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isGlob = dir.exists(globMeta.contains)
     val roots: Seq[org.apache.hadoop.fs.FileStatus] =
-      if (dir.exists(globMeta.contains))
-        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      if (isGlob) {
+        val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        // a glob matching nothing is legal (an empty lake partition) but
+        // worth a driver-side warning — a typo'd pattern looks identical
+        if (matched.isEmpty) System.err.println(
+          s"[graft] WARNING: glob '$dir' matched no paths — " +
+            "scan result will be empty (check the pattern)")
+        matched
+      }
       else if (fs.exists(p)) Seq(fs.getFileStatus(p))
-      else Seq.empty
+      // a typo'd plain ingest path must FAIL, not masquerade as an empty
+      // lake (the pre-r13 listStatus behavior, restored deliberately)
+      else throw new java.io.FileNotFoundException(
+        s"scan path does not exist: $dir")
     val (dirs, plainFiles) = roots.partition(_.isDirectory)
     // glob-matched FILES were explicitly targeted — but the Hadoop
     // hidden-path constraint still applies (warn, don't silently drop)
@@ -316,20 +329,27 @@ object HeaderScan {
       take
     }.map(_.toString)
     val dirPaths = dirs.map(_.getPath.toString)
-    val walked: Seq[String] =
+    val (walked, hiddenSkipped): (Seq[String], Seq[String]) =
       if (dirPaths.length >= 32) {
-        // glob fanned out wide: distribute the per-root walks
+        // glob fanned out wide: distribute the per-root walks. Skipped
+        // hidden paths come BACK with the file list so the warn-skip
+        // contract stays loud at the DRIVER — executor stderr is
+        // invisible on a real cluster
         val bconf = spark.sparkContext.broadcast(
           new FanOut.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
         val nPart = math.min(dirPaths.length, spark.sparkContext.defaultParallelism)
         val res = spark.sparkContext.parallelize(dirPaths, nPart)
-          .flatMap { d =>
+          .map { d =>
             val dp = new Path(d)
             walkRoot(dp.getFileSystem(bconf.value.value), dp)
           }.collect().toSeq
         bconf.destroy()
-        res
-      } else dirPaths.flatMap(d => walkRoot(fs, new Path(d)))
+        (res.flatMap(_._1), res.flatMap(_._2))
+      } else {
+        val res = dirPaths.map(d => walkRoot(fs, new Path(d)))
+        (res.flatMap(_._1), res.flatMap(_._2))
+      }
+    hiddenSkipped.distinct.sorted.foreach(f => warnHiddenCsv(new Path(f)))
     (direct ++ walked).distinct.sorted
   }
 

@@ -147,6 +147,19 @@ class HeaderScanSpec extends SparkSpec {
     assert(rows.toSeq == Seq("a", "b", "c", "d", "r1"))
   }
 
+  test("nonexistent plain path fails loudly; empty glob returns empty") {
+    val dir = tmpDir("missing")
+    // a typo'd plain ingest path must throw (pre-r13 listStatus behavior,
+    // restored deliberately) — an empty Seq would make the typo look like
+    // an empty lake and every downstream stage would silently no-op
+    intercept[java.io.FileNotFoundException] {
+      HeaderScan.listCsvFiles(spark, s"$dir/no_such_subdir")
+    }
+    // a glob matching nothing is legal (empty lake partition): empty
+    // result, driver-side warning only
+    assert(HeaderScan.listCsvFiles(spark, s"$dir/2024/0[1-9]").isEmpty)
+  }
+
   test("readDir groups same-schema files into one scan, unions the rest") {
     val dir = tmpDir("grouped")
     // two files share schema (a) with DIFFERENT prefix depths; one file
