@@ -114,6 +114,11 @@ object Bench {
     // first consumer's timed window, so `value` (the budget number)
     // INCLUDES them; `build_sec`/`builds` break that one-time cost out so
     // the steady-state per-query cost is readable from the artifact.
+    // Two accounting notes: builds whose first consumer is the UNTIMED
+    // warmup (the flagship's split_* tables) appear here but in no
+    // query's wall, so build_sec can exceed a small subset-run's total;
+    // nested builds (an artifact built inside another's build body)
+    // count only their own time (Artifacts.buildStack).
     val builds = graft.etl.Artifacts.buildSeconds
     val buildTotal = builds.values.sum
     val buildsJson = builds.toSeq.sortBy(_._1)

@@ -31,6 +31,17 @@ object Artifacts {
   private val buildTimes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
 
+  /** Child-build nanos accumulator stack (guarded by [[lock]] — builds
+    * are serialized, and nested builds are same-thread reentrant). A
+    * build whose body calls [[shared]] again (incSigPb builds
+    * incBatchSh inside itself) must NOT double-count the inner build's
+    * wall in its own entry, or `build_sec` exceeds the consumer query's
+    * measured wall — the r14 t74 solo run surfaced exactly that
+    * (30.6 s of "builds" inside a 24.7 s query). Each frame holds the
+    * nanos of COMPLETED child builds; the parent subtracts them.
+    */
+  private var buildStack: List[Long] = Nil
+
   def buildSeconds: Map[String, Double] = {
     import scala.jdk.CollectionConverters._
     buildTimes.asScala.map { case (k, v) => (k, v.doubleValue) }.toMap
@@ -111,9 +122,22 @@ object Artifacts {
     lock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         val t0 = System.nanoTime()
-        build.write.mode("overwrite").parquet(path)
-        buildTimes.merge(tag, (System.nanoTime() - t0) / 1e9,
+        buildStack = 0L :: buildStack
+        // a throwing build must still pop its frame, or the next build
+        // on this process misattributes child time
+        try build.write.mode("overwrite").parquet(path)
+        catch { case e: Throwable => buildStack = buildStack.tail; throw e }
+        val total = System.nanoTime() - t0
+        val childNanos = buildStack.head
+        buildStack = buildStack.tail
+        // this build's own time excludes completed child builds; its
+        // TOTAL wall rolls up into the parent's child frame
+        buildTimes.merge(tag, (total - childNanos) / 1e9,
           (a, b) => a.doubleValue + b.doubleValue)
+        buildStack = buildStack match {
+          case h :: t => (h + total) :: t
+          case Nil => Nil
+        }
         // per-process artifact: clean up on JVM exit (same hygiene as
         // the t34 index — repeated runs must not accumulate in tmpdir)
         sys.addShutdownHook {

@@ -254,35 +254,38 @@ object HeaderScan {
     * [[warnHiddenCsv]] — a platform constraint, not a policy);
     * subdirectory recursion follows the lake convention — hidden
     * `.`/`_` path segments (staging temps, `_SUCCESS`-style markers,
-    * checkpoint state) never ingest as data, silently. Recursion per
-    * subdir uses Hadoop's `listFiles(recursive = true)` (one native
-    * recursive call on stores that support it, e.g. S3 LIST); the
-    * iterator is flat and DOES descend into hidden subdirectories, so
-    * every path component below the subdir is re-checked.
+    * checkpoint state) never ingest as data, silently. Recursion is
+    * explicit per-directory `listStatus` (hidden dirs pruned without
+    * descending — same file set as a descend-then-filter walk, less
+    * work). MEASURED reason (round-14 1e5-file probe, jstack): the
+    * previous `listFiles(recursive = true)` materializes a
+    * `LocatedFileStatus` per file, which on the local filesystem
+    * EAGER-loads permissions by forking a shell PER FILE (~10 ms each
+    * — 100k files took >17 min of fork/exec); plain `listStatus`
+    * keeps permissions lazy and the walk never reads them. On HDFS
+    * this costs one RPC per directory instead of one bulk call; on S3
+    * the per-root distribution in [[listCsvFiles]] bounds each walk,
+    * and a flat-LIST fast path can slot in here if a real object
+    * store ever needs it.
     */
   private def walkRoot(
       fs: org.apache.hadoop.fs.FileSystem,
       root: Path): (Seq[String], Seq[String]) = {
     val out = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
+    def rec(d: Path): Unit =
+      fs.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile) {
+          if (isCsvName(n)) out += st.getPath.toString
+        } else if (!isHidden(n)) rec(st.getPath)
+      }
     fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
       if (st.isFile) {
         if (isCsvName(name)) out += st.getPath.toString
         else if (isCsvLoose(name)) skipped += st.getPath.toString
-      } else if (!isHidden(name)) {
-        val sub = st.getPath
-        val it = fs.listFiles(sub, true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile && isCsvName(f.getPath.getName)) {
-            val rel = f.getPath.toString.stripPrefix(sub.toString)
-            val hiddenParent = rel.split('/').dropRight(1)
-              .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
-            if (!hiddenParent) out += f.getPath.toString
-          }
-        }
-      }
+      } else if (!isHidden(name)) rec(st.getPath)
     }
     (out.result(), skipped.result())
   }
