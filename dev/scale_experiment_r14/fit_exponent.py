@@ -26,6 +26,11 @@ def main():
     print("| query | 1x s | 10x s | 100x s | f(1->10) | f(10->100) | exponent k |")
     print("|---|---|---|---|---|---|---|")
     for q in sorted(one):
+        if q not in ten or q not in hundred:
+            t10s = f"{ten[q]:.1f}" if q in ten else "—"
+            print(f"| {q} | {one[q]:.1f} | {t10s} | — | — | — | "
+                  f"(no 100x point — see README ceiling note) |")
+            continue
         t1, t10, t100 = one[q], ten[q], hundred[q]
         # least-squares slope of log t on log s at s = 1, 10, 100
         xs = [0.0, 1.0, 2.0]
