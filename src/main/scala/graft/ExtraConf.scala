@@ -15,9 +15,14 @@ object ExtraConf {
     env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
       _.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
         kv.split("=", 2) match {
-          case Array(k, v) => builder.config(k.trim, v.trim)
+          // empty key ('=v') or empty value ('a=') would no-op or
+          // misconfigure silently via builder.config("", v) — same loud
+          // failure as a missing '=' (the fail-loud parse contract)
+          case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
+            builder.config(k.trim, v.trim)
           case _ => sys.error(
-            s"bad SPARK_GRAFT_EXTRA_CONF entry (expected k=v): '$kv'")
+            s"bad SPARK_GRAFT_EXTRA_CONF entry (expected k=v with " +
+              s"non-empty key and value): '$kv'")
         }
       }
     }
@@ -48,6 +53,29 @@ object ExtraConf {
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
         "rocksdb"
-      case other => other
+      case "hdfs" => "hdfs"
+      // a typo ('rocksbd') would silently run the default HDFS provider
+      // while stamping the bogus name into the published state_store
+      // JSON field — mislabeled store-comparison artifacts. Fail loud.
+      case other => sys.error(
+        s"bad SPARK_GRAFT_STATE_STORE value '$other' " +
+          "(expected hdfs or rocksdb)")
+    }
+
+  /** Resolve the ACTIVE state-store label from the session's FINAL
+    * providerClass conf — [[stateStore]] returns the env-requested
+    * label, but a later generic [[apply]] override of providerClass
+    * (SPARK_GRAFT_EXTRA_CONF) would change the real store while the
+    * requested label still gets published. Call this after
+    * `getOrCreate` and print THIS in any store-comparison JSON line.
+    */
+  def activeStateStore(spark: SparkSession): String =
+    spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider") match {
+      case c if c.endsWith("RocksDBStateStoreProvider") => "rocksdb"
+      case c if c.endsWith("HDFSBackedStateStoreProvider") => "hdfs"
+      case c => c // a custom provider: publish the class name verbatim
     }
 }

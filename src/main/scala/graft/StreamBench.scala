@@ -49,9 +49,12 @@ object StreamBench {
     // SPARK_GRAFT_STATE_STORE=rocksdb runs the same workload on the
     // disk-backed store (the 100 TB state configuration); the store
     // name lands in each variant's JSON line
-    val stateStore = ExtraConf.stateStore(builder)
+    ExtraConf.stateStore(builder)
     ExtraConf(builder)
     val spark = builder.getOrCreate()
+    // label from the session's FINAL providerClass conf, so an
+    // EXTRA_CONF providerClass override can't desync label and store
+    val stateStore = ExtraConf.activeStateStore(spark)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

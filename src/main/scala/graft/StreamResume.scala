@@ -39,10 +39,14 @@ object StreamResume {
     // SPARK_GRAFT_STATE_STORE=rocksdb: the resume drill must also pass
     // on the disk-backed store — cross-process state reload is exactly
     // where the providers differ (snapshot+changelog vs delta files)
-    val store = ExtraConf.stateStore(builder)
+    ExtraConf.stateStore(builder)
     ExtraConf(builder)
-    System.err.println(s"[resume] state store: $store")
-    builder.getOrCreate()
+    val spark = builder.getOrCreate()
+    // log the ACTIVE store (final providerClass conf), not the requested
+    // label — an EXTRA_CONF providerClass override must not desync them
+    System.err.println(s"[resume] state store: " +
+      ExtraConf.activeStateStore(spark))
+    spark
   }
 
   private def shingled(spark: SparkSession, sfDir: String): DataFrame = {

@@ -542,11 +542,32 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sa = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
     val sb = baseB.select(col(idCol).as("b"), col(shCol).as("_shb"))
-    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+    // Broadcast-twilight-zone guard: `cand` is a candidate-pair relation
+    // — quadratic-capable by construction (hot LSH buckets square), and
+    // its upstream COMPRESSED stats can sit under
+    // autoBroadcastJoinThreshold while the in-memory rows run to
+    // gigabytes; planning it as a broadcast build dies on
+    // driver.maxResultSize/the broadcast row cap (observed at 658M
+    // pairs, 100x-skew). NO_BROADCAST_HASH states exactly that
+    // invariant per join — the shingle sides stay free to broadcast
+    // when genuinely small, and at corpus scale the planner's
+    // stats-based shuffle choice is untouched. Both joins carry the
+    // hint (a strategy hint binds to the nearest join only).
+    val guard = noBroadcastPairs _
+    guard(guard(cand).join(sa, Seq("a"))).join(sb, Seq("b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** A candidate-pair relation marked un-broadcastable
+    * ([[org.apache.spark.sql.graftbridge.PlanBridge.noBroadcastHash]]):
+    * the scale-correct plan for every verify-stage join, unconditional
+    * under ANY conf. Applies to the NEAREST join above — re-apply per
+    * join in multi-join verify chains.
+    */
+  def noBroadcastPairs(pairs: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.noBroadcastHash(pairs)
 
   /** EXACT set-similarity self-join via AllPairs/PPJoin prefix
     * filtering: every (a < b) pair with Jaccard(setA, setB) >= num/den
@@ -635,14 +656,19 @@ object Dedup {
           lit(den.toLong) * col("x._n") >= lit(num.toLong) * col("y._n"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
-    val inter = cand
-      .join(tok.select(col("_id").as("a"), col("_tok")), Seq("a"))
+    // every join below with a candidate/verified PAIR relation on one
+    // side carries the twilight-zone guard ([[noBroadcastPairs]]): the
+    // pair side is quadratic-capable and must never be a broadcast
+    // build, under any conf/stats estimate — the token and size sides
+    // stay free to broadcast when small
+    val inter = noBroadcastPairs(noBroadcastPairs(cand)
+        .join(tok.select(col("_id").as("a"), col("_tok")), Seq("a")))
       .join(tok.select(col("_id").as("_idb"), col("_tok").as("_tok2")),
         col("b") === col("_idb") && col("_tok") === col("_tok2"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter_n"))
     val sizes = sets.select(col("_id"), size(col("_sh")).cast("long").as("_n"))
-    val repPairs = inter
-      .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), Seq("a"))
+    val repPairs = noBroadcastPairs(noBroadcastPairs(inter)
+        .join(sizes.select(col("_id").as("a"), col("_n").as("_na")), Seq("a")))
       .join(sizes.select(col("_id").as("b"), col("_n").as("_nb")), Seq("b"))
       .filter(lit((den + num).toLong) * col("inter_n") >=
         lit(num.toLong) * (col("_na") + col("_nb")))
@@ -653,16 +679,16 @@ object Dedup {
     // inter = union = |set|); ids re-ordered so a < b holds member-wise
     val szByGid = groups
       .select(col("_id").as("_gid"), size(col("_osh")).cast("long").as("_gn"))
-    val intra = memb.as("x")
-      .join(memb.as("y"),
-        col("x._gid") === col("y._gid") && col("x._oid") < col("y._oid"))
-      .select(col("x._gid").as("_gid"),
-        col("x._oid").as("a"), col("y._oid").as("b"))
+    val intra = noBroadcastPairs(memb.as("x")
+        .join(memb.as("y"),
+          col("x._gid") === col("y._gid") && col("x._oid") < col("y._oid"))
+        .select(col("x._gid").as("_gid"),
+          col("x._oid").as("a"), col("y._oid").as("b")))
       .join(szByGid, Seq("_gid"))
       .select(col("a"), col("b"),
         col("_gn").as("inter_n"), col("_gn").as("union_n"))
-    val cross = repPairs
-      .join(memb.select(col("_gid").as("a"), col("_oid").as("_ida")), Seq("a"))
+    val cross = noBroadcastPairs(noBroadcastPairs(repPairs)
+        .join(memb.select(col("_gid").as("a"), col("_oid").as("_ida")), Seq("a")))
       .join(memb.select(col("_gid").as("b"), col("_oid").as("_idb")), Seq("b"))
       .select(least(col("_ida"), col("_idb")).as("a"),
         greatest(col("_ida"), col("_idb")).as("b"),

@@ -32,6 +32,13 @@ class ExtraConfSpec extends AnyFunSuite {
     parsed("spark.x.y=k=v") // k=v value — must parse, not error
   }
 
+  test("empty key ('=v') and empty value ('a=') fail loudly") {
+    val ek = intercept[RuntimeException](parsed("=v"))
+    assert(ek.getMessage.contains("SPARK_GRAFT_EXTRA_CONF"))
+    val ev = intercept[RuntimeException](parsed("a=1;b="))
+    assert(ev.getMessage.contains("b="))
+  }
+
   test("state-store seam: rocksdb selects the RocksDB provider, default is hdfs") {
     val b = org.apache.spark.sql.SparkSession.builder()
     assert(ExtraConf.stateStore(b, Map.empty) == "hdfs")
@@ -39,5 +46,12 @@ class ExtraConfSpec extends AnyFunSuite {
       Map("SPARK_GRAFT_STATE_STORE" -> "rocksdb")) == "rocksdb")
     assert(ExtraConf.stateStore(b,
       Map("SPARK_GRAFT_STATE_STORE" -> "ROCKSDB")) == "rocksdb")
+  }
+
+  test("state-store seam: a typo fails loudly instead of mislabeling") {
+    val b = org.apache.spark.sql.SparkSession.builder()
+    val e = intercept[RuntimeException](ExtraConf.stateStore(b,
+      Map("SPARK_GRAFT_STATE_STORE" -> "rocksbd")))
+    assert(e.getMessage.contains("rocksbd"))
   }
 }

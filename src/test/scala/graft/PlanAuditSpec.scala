@@ -112,6 +112,88 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
       "guard failed to flag a translatable filter above a push-free scan")
   }
 
+  /** BroadcastExchange build sides whose output carries BOTH pair
+    * columns — i.e. a candidate-pair relation planned as a broadcast
+    * build. That is the twilight-zone death shape (compressed stats
+    * under the threshold, serialized rows in the gigabytes — observed
+    * at 658M pairs on the 100x-skew replica); the shingle/size sides
+    * ({a,_sha} / {b,_shb} / dimension tables) never carry both names.
+    */
+  private def broadcastPairOffenders(p: SparkPlan): Seq[String] =
+    p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if Set("a", "b").subsetOf(b.child.output.map(_.name).toSet) =>
+        b.child.output.map(_.name).mkString("[", ",", "]")
+    }
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // adversarial conf for the broadcast-guard pins: a threshold high
+  // enough that EVERY side looks broadcastable to the planner (the
+  // twilight zone made maximal), AQE off so the initial physical plan
+  // is collectible (AdaptiveSparkPlanExec is a leaf to collect())
+  private val twilightConf = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.autoBroadcastJoinThreshold" -> "1g")
+
+  test("probe verify joins never broadcast the candidate-pair side under ANY conf") {
+    withConf(twilightConf: _*) {
+      Seq("t32_incremental_neardup", "t74_incremental_split_probe",
+          "t76_exact_probe_neardup").foreach { name =>
+        val plan = Registry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan
+        val off = broadcastPairOffenders(plan)
+        assert(off.isEmpty,
+          s"$name broadcasts a candidate-pair relation: ${off.mkString("; ")}")
+        // the guard must not have banned broadcast wholesale: at this
+        // fixture scale the single-doc sides still ride broadcasts
+        assert(plan.toString.contains("BroadcastHashJoin"),
+          s"$name lost all broadcasts — guard over-applied:\n$plan")
+      }
+    }
+  }
+
+  test("broadcast-pair guard negative control: the unguarded join shape is flagged") {
+    import spark.implicits._
+    val cand = (1L to 50L).flatMap(a => (1L to 4L).map(b => (a, a + b)))
+      .toDF("a", "b")
+    val base = (1L to 300L)
+      .map(i => (i, (1 to 50).map(j => s"sh_${i % 7}_$j")))
+      .toDF("doc_id", "sh")
+    val sa = base.select(
+      org.apache.spark.sql.functions.col("doc_id").as("a"),
+      org.apache.spark.sql.functions.col("sh").as("_sha"))
+    val sb = base.select(
+      org.apache.spark.sql.functions.col("doc_id").as("b"),
+      org.apache.spark.sql.functions.col("sh").as("_shb"))
+    withConf(twilightConf: _*) {
+      // unguarded: the pair relation is the smallest side, so the
+      // planner builds a broadcast out of it — the detector must fire
+      val unguarded = cand.join(sa, Seq("a")).join(sb, Seq("b"))
+        .queryExecution.executedPlan
+      assert(broadcastPairOffenders(unguarded).nonEmpty,
+        s"control premise broken — unguarded pair join did not broadcast " +
+          s"the pair side:\n$unguarded")
+      // same frames through the guarded operator: zero pair broadcasts,
+      // while the shingle sides remain broadcastable
+      val guarded = graft.etl.Dedup
+        .verifyJaccard(base, base, "doc_id", "sh", cand, 0.0)
+        .queryExecution.executedPlan
+      assert(broadcastPairOffenders(guarded).isEmpty,
+        s"guarded verify join still broadcasts the pair side:\n$guarded")
+      assert(guarded.toString.contains("BroadcastHashJoin"),
+        s"guard banned broadcast wholesale (shingle sides should ride " +
+          s"broadcasts at this scale):\n$guarded")
+    }
+  }
+
   test("q43's scan prunes partitions: only the predicate's directory is read") {
     val scan = graft.queries.PipelineQueries
       .prunedScanForAudit(spark, sfDir)
