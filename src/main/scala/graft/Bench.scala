@@ -76,6 +76,12 @@ object Bench {
     // enough for the constant-vs-execution decomposition it exists for.
     val profile = Set("true", "1", "yes").contains(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "false").toLowerCase)
+    // iteration-count plumbing (graft.etl.IterStats): fixpoint operators
+    // record the rounds they ran; the per-query drain below attributes
+    // them to the query that triggered them, and the artifact publishes
+    // the map — so a fixpoint entry's run-to-run variance is settled by
+    // reading the artifact (rounds moved vs constant), not argued.
+    graft.etl.IterStats.drain() // discard warmup's records
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -101,12 +107,12 @@ object Bench {
       // queries aren't measured under earlier queries' memory pressure
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      (name, dt, ok)
+      (name, dt, ok, graft.etl.IterStats.drain())
     }
     // a crashed query must NOT deflate "total" into a phantom speedup:
     // only successes are timed; failures are listed explicitly
-    val good = results.collect { case (k, v, true) => k -> v }
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    val good = results.collect { case (k, v, true, _) => k -> v }
+    val failed = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
     val qs = good.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = good.map(_._2).sum
@@ -123,8 +129,16 @@ object Bench {
     val buildTotal = builds.values.sum
     val buildsJson = builds.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query fixpoint iteration counts (only entries that recorded
+    // any): {"query":{"tag":rounds,...},...}
+    val itersJson = results
+      .collect { case (k, _, _, it) if it.nonEmpty =>
+        s"\"" + k + "\":" + it.toSeq.sortBy(_._1)
+          .map { case (t, n) => s"\"" + t + "\":" + n }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""build_sec":$buildTotal,"builds":$buildsJson,""" +
+      s""""build_sec":$buildTotal,"builds":$buildsJson,"iters":$itersJson,""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // Also persist the JSON to a file: the stdout line sits at the end of a

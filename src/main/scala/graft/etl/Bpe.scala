@@ -96,6 +96,7 @@ object Bpe {
       }
       r += 1
     }
+    IterStats.record("bpe_train_rounds", r - 1)
     val frames = out.result()
     if (frames.isEmpty)
       hist.sparkSession.emptyDataFrame
@@ -162,6 +163,7 @@ object Bpe {
         r += 1
       }
     }
+    IterStats.record("bpe_trainlocal_rounds", r - 1)
     out.result()
   }
 

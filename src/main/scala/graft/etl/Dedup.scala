@@ -516,6 +516,9 @@ object Dedup {
       throw new IllegalStateException(
         s"resolveClusters did not converge in $maxIter rounds — " +
           "a near-dup chain exceeds the iteration budget; raise maxIter")
+    // published in the bench artifact's `iters` field: fixpoint-entry
+    // variance attribution is read (rounds moved?) instead of argued
+    IterStats.record("resolve_clusters_rounds", i)
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 

@@ -93,6 +93,7 @@ object Graph {
       // secondary win.
       if (round < iters) ranks = policy.barrier(ranks)
     }
+    IterStats.record("pagerank_rounds", iters)
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
@@ -147,6 +148,7 @@ object Graph {
             expr("(coalesce(sc, 0L) + sh) * 85 div 100")).as("r"))
       if (round < iters) ranks = policy.barrier(ranks)
     }
+    IterStats.record("pagerank_dangling_rounds", iters)
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
@@ -245,6 +247,9 @@ object Graph {
       throw new IllegalStateException(
         s"connectedComponentsLSS did not converge in $maxIter rounds — " +
           "pathological component structure; raise maxIter")
+    // convergence rounds ride graph diameter — THE growth mode a scale
+    // replica can shift; publish so bench variance is attributable
+    IterStats.record("cc_lss_rounds", i)
     // fixpoint = stars oriented (member, center): every non-center node
     // has exactly one outgoing edge; centers appear only on the v side
     val members = edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))

@@ -419,6 +419,10 @@ object SimilarityQueries {
     * lexicographic argmin via min_by — aggregation-only, no window sort.
     */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // one Lloyd pass per call; the accumulated count lands in the bench
+    // artifact's `iters` field (e06 variance attribution: the pass
+    // count is read off the artifact, not argued from seed stability)
+    graft.etl.IterStats.add("lloyd_assign_passes", 1)
     val aff = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("cent_id"),
         (Portable.dot(col("q"), col("q")) + Portable.dot(col("c"), col("c"))
