@@ -2,8 +2,10 @@
 # The round-15 no-override proof for the broadcast-twilight-zone guard:
 # rerun t76 (exact probe) SOLO on the 100x-skew replica with ZERO conf
 # overrides — default driver.maxResultSize (1g), default
-# autoBroadcastJoinThreshold (64m), default heap seam (8g unless
-# SPARK_DRIVER_MEM). Round 14 needed maxResultSize=8g /
+# autoBroadcastJoinThreshold. Heap is pinned to T76_MEM (48g, same as
+# the grow runs): heap is the machine's size, not the variable under
+# test — a 1g-default JVM dies in the vectorized parquet reader before
+# any join plan gets exercised. Round 14 needed maxResultSize=8g /
 # autoBroadcastJoinThreshold=-1 to get past the planner broadcasting
 # the 658M-row candidate relation; with Dedup.noBroadcastPairs in the
 # engine the verify joins must plan as shuffle joins unconditionally.
@@ -42,6 +44,7 @@ fi
 # so this run rebuilds its own; solo protocol, builds included)
 SPARK_GRAFT_SF_DIR="$DIR" SPARK_GRAFT_BENCH_OUT="${OUT}.json" \
   /opt/spark/bin/spark-submit --class graft.Bench --master 'local[32]' \
+    --driver-memory "${T76_MEM:-48g}" \
     --conf spark.ui.enabled=false \
     "$JAR" t76_exact_probe_neardup > "$LOG" 2>&1 &
 PID=$!

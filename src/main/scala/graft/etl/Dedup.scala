@@ -535,6 +535,15 @@ object Dedup {
 
   /** Two-sided verify: `a` ids resolve in `baseA`, `b` ids in `baseB`
     * (the incremental probe-vs-index case).
+    *
+    * `probeBounded`: the shingle sides carry the twilight-zone guard by
+    * DEFAULT (see below) — a caller whose `baseA` is bounded by a batch
+    * contract (a streaming micro-batch, a takedown list: size fixed
+    * regardless of corpus scale) may pass `probeBounded = true` to let
+    * the planner broadcast THAT side, which is the scale-correct plan
+    * there (a small probe broadcast spares the corpus-side shuffle
+    * entirely). The corpus side (`baseB`) is never exempt — nothing
+    * bounds it.
     */
   def verifyJaccard(
       baseA: DataFrame,
@@ -542,9 +551,22 @@ object Dedup {
       idCol: String,
       shCol: String,
       cand: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
-    val sb = baseB.select(col(idCol).as("b"), col(shCol).as("_shb"))
+      threshold: Double,
+      probeBounded: Boolean = false): DataFrame = {
+    // Broadcast-twilight-zone guard, shingle edition: a shingle-array
+    // relation's SERIALIZED rows run ~15-20x its compressed parquet
+    // stats (short strings dedupe brutally on disk, not in memory), so
+    // stats-based broadcast selection is systematically wrong for this
+    // input class — the 100x-skew probe side measured 3+ GiB serialized
+    // while its stats sat under the threshold, and the broadcast
+    // collect died on driver.maxResultSize
+    // (dev/scale_experiment_r15/t76_100x_skew_noconf.log). Guard both
+    // array-carrying sides unless the caller DECLARES the probe side
+    // bounded; the planner still picks SMJ vs shuffled-hash by cost.
+    val sa0 = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
+    val sa = if (probeBounded) sa0 else noBroadcastPairs(sa0)
+    val sb = noBroadcastPairs(
+      baseB.select(col(idCol).as("b"), col(shCol).as("_shb")))
     // Broadcast-twilight-zone guard: `cand` is a candidate-pair relation
     // — quadratic-capable by construction (hot LSH buckets square), and
     // its upstream COMPRESSED stats can sit under
@@ -563,11 +585,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** A candidate-pair relation marked un-broadcastable
+  /** A relation marked un-broadcastable
     * ([[org.apache.spark.sql.graftbridge.PlanBridge.noBroadcastHash]]):
-    * the scale-correct plan for every verify-stage join, unconditional
-    * under ANY conf. Applies to the NEAREST join above — re-apply per
-    * join in multi-join verify chains.
+    * the scale-correct plan for every verify-stage join side that can
+    * outgrow the driver — candidate-pair relations (quadratic-capable)
+    * and shingle-array relations (serialized ~15-20x their compressed
+    * stats) — unconditional under ANY conf. Applies to the NEAREST
+    * join above — re-apply per join in multi-join verify chains.
     */
   def noBroadcastPairs(pairs: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.PlanBridge.noBroadcastHash(pairs)
@@ -637,8 +661,12 @@ object Dedup {
     val groups = rows.groupBy(col("_osh"))
       .agg(min(col("_oid")).as("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val memb = rows
-      .join(groups.select(col("_osh"), col("_id").as("_gid")), Seq("_osh"))
+    // the membership join is keyed BY the set array and both sides carry
+    // it — array-payload relations get the twilight-zone guard too
+    // (serialized ~15-20x compressed stats; see [[noBroadcastPairs]])
+    val memb = noBroadcastPairs(rows)
+      .join(noBroadcastPairs(
+        groups.select(col("_osh"), col("_id").as("_gid"))), Seq("_osh"))
       .select(col("_gid"), col("_oid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = groups.select(col("_id"), col("_osh").as("_sh"))

@@ -102,7 +102,8 @@ object StreamOps {
     val ix = if (docs.isStreaming) capped.localCheckpoint(true) else capped
     val verified = bands.join(ix, Seq("bidx", "bh"))
       .filter(col("doc_id") =!= col("b"))
-      .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
+      .join(graft.etl.Dedup.noBroadcastPairs(
+        corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))),
         Seq("b"))
       .select(col("doc_id").as("a"), col("ts"), col("b"),
         round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
@@ -180,7 +181,8 @@ object StreamOps {
     val pbk = probeKeys(bands, broadcast(hot))
     val verified = pbk.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
-      .join(corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb")),
+      .join(graft.etl.Dedup.noBroadcastPairs(
+        corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))),
         Seq("b"))
       .select(col("a"), col("ts"), col("b"),
         round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)

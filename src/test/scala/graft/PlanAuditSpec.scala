@@ -126,6 +126,21 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         b.child.output.map(_.name).mkString("[", ",", "]")
     }
 
+  /** BroadcastExchange build sides carrying a verify-stage shingle
+    * ARRAY column — the round-15 twilight-zone shape: a shingle-array
+    * relation serializes ~15-20x its compressed parquet stats, so a
+    * side whose stats sit under the threshold can still blow
+    * driver.maxResultSize when collected for broadcast (measured: the
+    * 100x-skew probe side, 3+ GiB serialized,
+    * dev/scale_experiment_r15/t76_100x_skew_noconf.log).
+    */
+  private def broadcastShingleOffenders(p: SparkPlan): Seq[String] =
+    p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.output.exists(a => a.name == "_sha" || a.name == "_shb") =>
+        b.child.output.map(_.name).mkString("[", ",", "]")
+    }
+
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -143,17 +158,27 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     "spark.sql.adaptive.enabled" -> "false",
     "spark.sql.autoBroadcastJoinThreshold" -> "1g")
 
-  test("probe verify joins never broadcast the candidate-pair side under ANY conf") {
+  test("probe verify joins never broadcast the pair or shingle sides under ANY conf") {
     withConf(twilightConf: _*) {
+      // t06-family entries are absent by construction: their frame is a
+      // scan of the materialized lshpairs artifact (execution contract),
+      // so the verify joins are not in the collectible plan — the
+      // one-sided operator shape is pinned by the direct
+      // verifyJaccard control test below instead
       Seq("t32_incremental_neardup", "t74_incremental_split_probe",
-          "t76_exact_probe_neardup").foreach { name =>
+          "t76_exact_probe_neardup", "t77_stream_neardup_probe",
+          "t78_stream_exact_probe").foreach { name =>
         val plan = Registry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan
         val off = broadcastPairOffenders(plan)
         assert(off.isEmpty,
           s"$name broadcasts a candidate-pair relation: ${off.mkString("; ")}")
+        val shOff = broadcastShingleOffenders(plan)
+        assert(shOff.isEmpty,
+          s"$name broadcasts a shingle-array side: ${shOff.mkString("; ")}")
         // the guard must not have banned broadcast wholesale: at this
-        // fixture scale the single-doc sides still ride broadcasts
+        // fixture scale the narrow sides (band keys, hot tables, spines)
+        // still ride broadcasts
         assert(plan.toString.contains("BroadcastHashJoin"),
           s"$name lost all broadcasts — guard over-applied:\n$plan")
       }
@@ -181,16 +206,29 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
       assert(broadcastPairOffenders(unguarded).nonEmpty,
         s"control premise broken — unguarded pair join did not broadcast " +
           s"the pair side:\n$unguarded")
-      // same frames through the guarded operator: zero pair broadcasts,
-      // while the shingle sides remain broadcastable
+      // same frames through the guarded operator: zero pair broadcasts
+      // AND zero shingle-side broadcasts — both verify joins must plan
+      // as shuffles regardless of how small the stats look
       val guarded = graft.etl.Dedup
         .verifyJaccard(base, base, "doc_id", "sh", cand, 0.0)
         .queryExecution.executedPlan
       assert(broadcastPairOffenders(guarded).isEmpty,
         s"guarded verify join still broadcasts the pair side:\n$guarded")
-      assert(guarded.toString.contains("BroadcastHashJoin"),
-        s"guard banned broadcast wholesale (shingle sides should ride " +
-          s"broadcasts at this scale):\n$guarded")
+      assert(broadcastShingleOffenders(guarded).isEmpty,
+        s"guarded verify join still broadcasts a shingle side:\n$guarded")
+      // the probeBounded seam: a caller that DECLARES its probe batch
+      // bounded gets the probe-side broadcast back (the scale-correct
+      // plan for a genuinely small batch — it spares the corpus
+      // shuffle), while the corpus side stays guarded
+      val bounded = graft.etl.Dedup
+        .verifyJaccard(base, base, "doc_id", "sh", cand, 0.0,
+          probeBounded = true)
+        .queryExecution.executedPlan
+      assert(broadcastShingleOffenders(bounded)
+          .exists(_.contains("_sha")),
+        s"probeBounded=true did not restore the probe-side broadcast:\n$bounded")
+      assert(!broadcastShingleOffenders(bounded).exists(_.contains("_shb")),
+        s"probeBounded=true leaked broadcast onto the corpus side:\n$bounded")
     }
   }
 
