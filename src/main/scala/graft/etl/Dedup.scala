@@ -439,10 +439,22 @@ object Dedup {
     val nsub = nsubCol(maxBucket)
     val carried = Seq(col(idCol).as("a")) ++ keep.map(col) ++
       Seq(col("bidx"), col("bh"))
-    bandRows.join(hot, Seq("bidx", "bh"), "left")
+    // Twilight-zone guard, explode edition: each HOT probe band row
+    // explodes to nsub = ceil(n/maxBucket) sub-label rows where n is
+    // the INDEX bucket's heat — the relation is quadratic-capable by
+    // construction (probe hot rows x hot-bucket size), but the planner
+    // sizes it from the PRE-explode stats, which sit under the
+    // broadcast threshold. Measured: the 100x-skew replica exploded
+    // this side into a ~3 GiB broadcast collect that died on
+    // driver.maxResultSize while both verify joins were already
+    // guarded (dev/scale_experiment_r15/t76_100x_skew_noconf.log,
+    // plan node 18). The split variant stays unguarded: its explode
+    // multiplier is a constant 2 labels per hot row, bounded by the
+    // probe batch contract.
+    noBroadcastPairs(bandRows.join(hot, Seq("bidx", "bh"), "left")
       .select(carried :+ explode(when(col("_n").isNotNull,
           sequence(lit(0L), nsub - lit(1L)))
-        .otherwise(array(lit(0L)))).as("_k"): _*)
+        .otherwise(array(lit(0L)))).as("_k"): _*))
   }
 
   /** Incremental probe (drop-cap variant): candidate (probe, index)

@@ -176,6 +176,25 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         val shOff = broadcastShingleOffenders(plan)
         assert(shOff.isEmpty,
           s"$name broadcasts a shingle-array side: ${shOff.mkString("; ")}")
+        // EXACT-probe entries only: the exploded sub-label relation
+        // (columns a/bidx/bh/_k) is quadratic-capable — each hot probe
+        // row fans out by the INDEX bucket's heat — but the planner
+        // sizes it from pre-explode stats. The split variants keep a
+        // constant 2-label multiplier, so their `_k` relations stay
+        // legitimately broadcastable.
+        if (name.contains("exact")) {
+          // the probe-side relation is the one carrying `a`; the
+          // index-side label table ({b,bidx,bh,_k}) is linear in index
+          // size with honest (explode-free) stats and stays free
+          val kOff = plan.collect {
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+                if Set("a", "_k").subsetOf(b.child.output.map(_.name).toSet) =>
+              b.child.output.map(_.name).mkString("[", ",", "]")
+          }
+          assert(kOff.isEmpty,
+            s"$name broadcasts the exploded exact-probe-key relation: " +
+              kOff.mkString("; "))
+        }
         // the guard must not have banned broadcast wholesale: at this
         // fixture scale the narrow sides (band keys, hot tables, spines)
         // still ride broadcasts
