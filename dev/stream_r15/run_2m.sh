@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # Round-15 third streaming-state point: ~2M probe rows / ~900k max
-# state rows (10x the r14 "big" run) on BOTH state stores, same
+# state rows (100x the r14 default, 10x its big point; REPLICAS x 500-doc probe base = rows) on BOTH state stores, same
 # workload, same box, one sitting — extends the r14 two-point
 # heap-growth comparison (HDFS on-heap map: linear; RocksDB: flat
 # memtable floor) to three points spanning two decades.
@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/../.."
 export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 export SPARK_GRAFT_STREAM_BATCHES=10
-export SPARK_GRAFT_STREAM_REPLICAS=400
+export SPARK_GRAFT_STREAM_REPLICAS=4000
 export SPARK_DRIVER_MEM=48g
 for store in hdfs rocksdb; do
   OUT="dev/stream_r15/sb_${store}_2m.json"
