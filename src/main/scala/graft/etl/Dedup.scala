@@ -447,8 +447,11 @@ object Dedup {
     // broadcast threshold. Measured: the 100x-skew replica exploded
     // this side into a ~3 GiB broadcast collect that died on
     // driver.maxResultSize while both verify joins were already
-    // guarded (dev/scale_experiment_r15/t76_100x_skew_noconf.log,
-    // plan node 18). The split variant stays unguarded: its explode
+    // guarded (dev/scale_experiment_r15/
+    // t76_100x_skew_noconf_verifyguardonly.log; the offending node is
+    // plan node 18 in t76_100x_skew_noconf_plan_verifyguardonly.txt —
+    // the post-guard success run is t76_100x_skew_noconf.log). The
+    // split variant stays unguarded: its explode
     // multiplier is a constant 2 labels per hot row, bounded by the
     // probe batch contract.
     noBroadcastPairs(bandRows.join(hot, Seq("bidx", "bh"), "left")
@@ -556,6 +559,15 @@ object Dedup {
     * there (a small probe broadcast spares the corpus-side shuffle
     * entirely). The corpus side (`baseB`) is never exempt — nothing
     * bounds it.
+    *
+    * The declaration is ENFORCED, not trusted: a `probeBounded = true`
+    * probe is counted (capped scan — `limit(bound+1).count()`, cheap by
+    * the caller's own declaration) and the call fails loudly past
+    * [[probeBoundedMaxRows]] (10⁶ rows ≈ the last size where a
+    * shingle-array broadcast is unconditionally safe at ~1 KB/row
+    * serialized). A corpus-sized frame mislabeled "bounded" would
+    * otherwise re-open the exact twilight-zone death the guard closed —
+    * silently, and only at scale.
     */
   def verifyJaccard(
       baseA: DataFrame,
@@ -565,6 +577,17 @@ object Dedup {
       cand: DataFrame,
       threshold: Double,
       probeBounded: Boolean = false): DataFrame = {
+    if (probeBounded) {
+      // capped count: scans at most bound+1 rows even on a huge frame
+      val n = baseA.limit(probeBoundedMaxRows + 1).count()
+      require(n <= probeBoundedMaxRows,
+        s"probeBounded=true, but the probe side has > $probeBoundedMaxRows " +
+          "rows — the bounded-batch declaration is false, and broadcasting " +
+          "a corpus-scale shingle relation is the twilight-zone death " +
+          "(serialized rows run ~15-20x compressed stats; " +
+          "dev/scale_experiment_r15/t76_100x_skew_noconf_preguard.log). " +
+          "Drop probeBounded (guarded shuffle plan) or pre-bound the batch.")
+    }
     // Broadcast-twilight-zone guard, shingle edition: a shingle-array
     // relation's SERIALIZED rows run ~15-20x its compressed parquet
     // stats (short strings dedupe brutally on disk, not in memory), so
@@ -572,7 +595,8 @@ object Dedup {
     // input class — the 100x-skew probe side measured 3+ GiB serialized
     // while its stats sat under the threshold, and the broadcast
     // collect died on driver.maxResultSize
-    // (dev/scale_experiment_r15/t76_100x_skew_noconf.log). Guard both
+    // (dev/scale_experiment_r15/t76_100x_skew_noconf_preguard.log; the
+    // post-guard success run is t76_100x_skew_noconf.log). Guard both
     // array-carrying sides unless the caller DECLARES the probe side
     // bounded; the planner still picks SMJ vs shuffled-hash by cost.
     val sa0 = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
@@ -596,6 +620,13 @@ object Dedup {
         round(Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Upper bound enforced on a `probeBounded = true` probe side
+    * ([[verifyJaccard]]): 10⁶ rows ≈ ~1 GB serialized at the measured
+    * ~1 KB/row shingle payload — the last size where an unconditional
+    * broadcast is safe under default driver/broadcast limits.
+    */
+  val probeBoundedMaxRows: Int = 1000000
 
   /** A relation marked un-broadcastable
     * ([[org.apache.spark.sql.graftbridge.PlanBridge.noBroadcastHash]]):
@@ -639,6 +670,25 @@ object Dedup {
   def ppJoinPairs(base: DataFrame, idCol: String, shCol: String,
                   num: Int, den: Int,
                   policy: CheckpointPolicy = CheckpointPolicy.Local): DataFrame = {
+    val (pairs, release) = ppJoinPairsPlan(base, idCol, shCol, num, den)
+    val out = policy.barrier(pairs)
+    release()
+    out
+  }
+
+  /** The LAZY plan behind [[ppJoinPairs]], plus a cache-release hook —
+    * the plan-audit seam: the public operator materializes eagerly
+    * (execution contract above), so its returned frame is a LogicalRDD
+    * and the verify-stage join tree is not collectible from it.
+    * PlanAuditSpec builds this form under the adversarial broadcast
+    * threshold to pin the twilight-zone guards. Callers MUST invoke the
+    * release hook exactly once after the frame is materialized (or the
+    * audit is done) — the three intermediate persists otherwise outlive
+    * the call.
+    */
+  private[graft] def ppJoinPairsPlan(
+      base: DataFrame, idCol: String, shCol: String,
+      num: Int, den: Int): (DataFrame, () => Unit) = {
     require(0 < num && num <= den, s"threshold $num/$den outside (0,1]")
     val w = org.apache.spark.sql.expressions.Window
     // Exact-duplicate collapse (the PPJoin+ duplicate-elimination step):
@@ -651,7 +701,7 @@ object Dedup {
     // with duplicate multiplicity m the candidate/verify work drops m²-fold
     // while the (inherently quadratic-in-m) OUTPUT is reproduced exactly;
     // on an all-distinct corpus the collapse is one extra vocabulary-sized
-    // groupBy. Grouping is BY THE ARRAY VALUE itself (no fingerprint, no
+    // shuffle. Grouping is BY THE ARRAY VALUE itself (no fingerprint, no
     // collision risk) — the arrays shuffle once to form groups.
     // Normalize to CANONICAL SETS first — sort + distinct: the contract
     // is set similarity, so duplicate elements must not double-count in
@@ -669,17 +719,31 @@ object Dedup {
     val rows = base.select(col(idCol).as("_oid"),
         array_sort(array_distinct(col(shCol))).as("_osh"))
       .filter(size(col("_osh")) > 0)
+    // Collapse WITHOUT a membership join (round 16): min(_oid) OVER a
+    // window partitioned by the set value yields the member→rep map AND
+    // (filtered to _oid == _gid) the representative table from ONE
+    // shuffle — the r15 shape paid a groupBy shuffle plus a both-sides
+    // array-KEYED SMJ, whose array sort key was the measured regression
+    // the blanket guard bought (t52 100x ~30→~64 s). The partition key
+    // leads with a fixed-width 60-bit hash of the canonical array
+    // (hash60 of the NUL-joined elements), so shuffle-sort comparisons
+    // are long-first; the array itself rides as the SECOND partition
+    // key purely as an exactness tiebreak — a hash collision (or NUL
+    // separator ambiguity) merely co-locates two groups in one sort
+    // run, it can never merge them, so the no-collision contract is
+    // structural, not probabilistic. The scalar-first key is also why
+    // no twilight-zone guard is needed here anymore: there is no join
+    // left to mis-plan.
+    val wg = w.partitionBy(col("_oshk"), col("_osh"))
+    val withRep = rows
+      .withColumn("_oshk",
+        Portable.hash60(concat_ws("\u0000", col("_osh"))))
+      .withColumn("_gid", min(col("_oid")).over(wg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = rows.groupBy(col("_osh"))
-      .agg(min(col("_oid")).as("_id"))
+    val memb = withRep.select(col("_gid"), col("_oid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the membership join is keyed BY the set array and both sides carry
-    // it — array-payload relations get the twilight-zone guard too
-    // (serialized ~15-20x compressed stats; see [[noBroadcastPairs]])
-    val memb = noBroadcastPairs(rows)
-      .join(noBroadcastPairs(
-        groups.select(col("_osh"), col("_id").as("_gid"))), Seq("_osh"))
-      .select(col("_gid"), col("_oid"))
+    val groups = withRep.filter(col("_oid") === col("_gid"))
+      .select(col("_osh"), col("_oid").as("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = groups.select(col("_id"), col("_osh").as("_sh"))
     val tok = sets.select(col("_id"), explode(col("_sh")).as("_tok"))
@@ -736,14 +800,17 @@ object Dedup {
       .select(least(col("_ida"), col("_idb")).as("a"),
         greatest(col("_ida"), col("_idb")).as("b"),
         col("inter_n"), col("union_n"))
-    // the eager materialize keeps the operator's persist lifetime
-    // self-contained; `policy` decides where it lands — executor-local
-    // blocks (default; non-replayable, fine for local/bench) or a
-    // reliable storage checkpoint (the ADVICE-flagged executor-loss
-    // trade at cluster scale — callers wanting a NAMED durable artifact
-    // instead use the Artifacts.shared parquet contract one level up)
-    val out = policy.barrier(cross.unionAll(intra))
-    rows.unpersist(false); groups.unpersist(false); memb.unpersist(false)
-    out
+    // the eager materialize (in the public ppJoinPairs) keeps the
+    // operator's persist lifetime self-contained; `policy` decides where
+    // it lands — executor-local blocks (default; non-replayable, fine
+    // for local/bench) or a reliable storage checkpoint (the
+    // ADVICE-flagged executor-loss trade at cluster scale — callers
+    // wanting a NAMED durable artifact instead use the Artifacts.shared
+    // parquet contract one level up)
+    val release = () => {
+      withRep.unpersist(false); groups.unpersist(false); memb.unpersist(false)
+      ()
+    }
+    (cross.unionAll(intra), release)
   }
 }

@@ -94,23 +94,65 @@ object StreamOps {
     // Dedup.probeBandTable). For a STREAM the capped table is pinned
     // with an eager localCheckpoint: stream-static joins re-evaluate the
     // static subtree EVERY trigger, so an un-pinned cap would re-shuffle
-    // and re-window the entire index per micro-batch — per-trigger cost
-    // must scale with the batch, never the index. (At cluster scale:
-    // persist the capped band table to storage once and read that.)
+    // and re-window the entire index per micro-batch — per-trigger
+    // static-side cost must be a plain scan of pinned data, never a
+    // recomputation. (At cluster scale: persist the capped band table
+    // to storage once and read that.)
     val capped = Dedup.capBands(indexBands, maxBucket)
       .select(col("doc_id").as("b"), col("bidx"), col("bh"))
     val ix = if (docs.isStreaming) capped.localCheckpoint(true) else capped
-    val verified = bands.join(ix, Seq("bidx", "bh"))
+    val cands = bands.join(ix, Seq("bidx", "bh"))
       .filter(col("doc_id") =!= col("b"))
-      .join(graft.etl.Dedup.noBroadcastPairs(
-        corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))),
-        Seq("b"))
+    val verified = verifyAgainstCorpus(cands, corpusSh, threshold,
+      streaming = docs.isStreaming, probeFanoutBounded = true)
       .select(col("doc_id").as("a"), col("ts"), col("b"),
-        round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        col("jaccard"))
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
     else verified.dropDuplicates("a", "b")
+  }
+
+  /** The corpus-shingle verify join shared by every streaming probe:
+    * candidates (carrying the probe's `sh` array and the matched index
+    * id `b`) pick up the corpus shingles `_shb` and an exact-Jaccard
+    * score.
+    *
+    * Scale shape, stream mode: the corpus side is PINNED with the same
+    * eager-localCheckpoint discipline as the index (a stream-static
+    * join re-evaluates the static subtree EVERY trigger — un-pinned,
+    * the corpus would re-shuffle and re-sort per micro-batch) and
+    * carries the twilight-zone guard (shingle arrays serialize ~15-20x
+    * their stats — never a stats-chosen broadcast build). When the
+    * variant's per-batch fan-out is BOUNDED (capped probe: ≤ maxBucket
+    * candidates per band row; split probe: ~2·maxBucket expected), the
+    * micro-batch side carries an explicit broadcast hint — the
+    * streaming analog of [[graft.etl.Dedup.verifyJaccard]]'s
+    * `probeBounded` seam — so the verify join plans as ONE hash-probe
+    * scan of the pinned corpus: no per-trigger corpus shuffle or sort,
+    * per-trigger cost = corpus scan + batch-sized build. The EXACT
+    * variant's fan-out is the bucket's true heat (unbounded by
+    * declaration), so its candidate side must never be a broadcast
+    * build either — it keeps the guarded shuffle over the pinned
+    * corpus, the honest price of exactness. In batch mode the "probe"
+    * IS corpus-sized, so both sides stay guarded (the t72/t32/t76
+    * audited plans).
+    */
+  private def verifyAgainstCorpus(
+      cands: DataFrame,
+      corpusSh: DataFrame,
+      threshold: Double,
+      streaming: Boolean,
+      probeFanoutBounded: Boolean): DataFrame = {
+    import graft.etl.Dedup.noBroadcastPairs
+    val corpus0 = corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))
+    val corpus = noBroadcastPairs(
+      if (streaming) corpus0.localCheckpoint(true) else corpus0)
+    val probeSide =
+      if (streaming && probeFanoutBounded) broadcast(cands)
+      else noBroadcastPairs(cands)
+    probeSide.join(corpus, Seq("b"))
+      .withColumn("jaccard",
+        round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Recall-preserving streaming near-dup probe — the round-11 close of
@@ -151,7 +193,10 @@ object StreamOps {
     labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
       rowsPerBand, maxBucket, threshold, watermarkDelay,
       graft.etl.Dedup.splitProbeKeys(_, _, "doc_id", maxBucket,
-        keep = Seq("ts", "sh")))
+        keep = Seq("ts", "sh")),
+      // split fan-out is ~2·maxBucket expected per band row — bounded,
+      // so the micro-batch side may carry the broadcast hint
+      probeFanoutBounded = true)
 
   /** Shared core of the labeled streaming probes: signatures → band
     * rows → plan-time static index labels (pinned; hot table broadcast)
@@ -166,7 +211,8 @@ object StreamOps {
       corpusSh: DataFrame,
       k: Int, numBands: Int, rowsPerBand: Int, maxBucket: Int,
       threshold: Double, watermarkDelay: String,
-      probeKeys: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      probeKeys: (DataFrame, DataFrame) => DataFrame,
+      probeFanoutBounded: Boolean): DataFrame = {
     import graft.etl.Dedup
     val src =
       if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
@@ -179,15 +225,11 @@ object StreamOps {
       if (docs.isStreaming) (hot0.localCheckpoint(true), ix0.localCheckpoint(true))
       else (hot0, ix0)
     val pbk = probeKeys(bands, broadcast(hot))
-    val verified = pbk.join(ix, Seq("bidx", "bh", "_k"))
+    val cands = pbk.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
-      .join(graft.etl.Dedup.noBroadcastPairs(
-        corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))),
-        Seq("b"))
-      .select(col("a"), col("ts"), col("b"),
-        round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val verified = verifyAgainstCorpus(cands, corpusSh, threshold,
+      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded)
+      .select(col("a"), col("ts"), col("b"), col("jaccard"))
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
     else verified.dropDuplicates("a", "b")
   }
@@ -227,7 +269,11 @@ object StreamOps {
     labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
       rowsPerBand, maxBucket, threshold, watermarkDelay,
       graft.etl.Dedup.exactProbeKeys(_, _, "doc_id", maxBucket,
-        keep = Seq("ts", "sh")))
+        keep = Seq("ts", "sh")),
+      // exact fan-out is the bucket's TRUE heat — unbounded by
+      // declaration, so its candidate side must never be a broadcast
+      // build; it keeps the guarded shuffle over the pinned corpus
+      probeFanoutBounded = false)
 
   /** Native engine-merged session windows (`session_window(ts, gap)`) —
     * ONE definition for batch (q45's oracle-checked form) and streaming

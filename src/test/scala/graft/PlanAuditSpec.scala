@@ -126,20 +126,42 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         b.child.output.map(_.name).mkString("[", ",", "]")
     }
 
-  /** BroadcastExchange build sides carrying a verify-stage shingle
-    * ARRAY column — the round-15 twilight-zone shape: a shingle-array
-    * relation serializes ~15-20x its compressed parquet stats, so a
-    * side whose stats sit under the threshold can still blow
-    * driver.maxResultSize when collected for broadcast (measured: the
-    * 100x-skew probe side, 3+ GiB serialized,
-    * dev/scale_experiment_r15/t76_100x_skew_noconf.log).
+  /** BroadcastExchange build sides carrying ANY array-typed column —
+    * the round-15 twilight-zone shape detected BY TYPE, not by column
+    * name: an array-payload relation serializes ~15-20x its compressed
+    * parquet stats, so a side whose stats sit under the threshold can
+    * still blow driver.maxResultSize when collected for broadcast
+    * (measured: the 100x-skew probe side, 3+ GiB serialized,
+    * dev/scale_experiment_r15/t76_100x_skew_noconf_preguard.log; the
+    * post-guard success run is t76_100x_skew_noconf.log). The r15
+    * name-based detector (_sha/_shb) missed array relations under other
+    * names — the streaming probes carry shingles as `sh` via
+    * keep=Seq(ts,sh) (the r15 ADVICE hole).
+    *
+    * `allow` lists the DECLARED-BOUNDED sides by column-name signature
+    * (every named column present ⇒ exempt): sides whose size is fixed
+    * by contract regardless of corpus scale, where an array broadcast
+    * is the scale-correct plan. A stats size floor would be useless
+    * here — at sf0.001 fixture scale every side sits under any
+    * meaningful floor, so the floor would exempt exactly the relations
+    * the audit exists to catch.
     */
-  private def broadcastShingleOffenders(p: SparkPlan): Seq[String] =
+  private def broadcastArrayOffenders(
+      p: SparkPlan, allow: Set[Set[String]] = Set.empty): Seq[String] =
     p.collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-          if b.child.output.exists(a => a.name == "_sha" || a.name == "_shb") =>
-        b.child.output.map(_.name).mkString("[", ",", "]")
+          if b.child.output.exists(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) &&
+            !allow.exists(_.subsetOf(b.child.output.map(_.name).toSet)) =>
+        b.child.output.map(a => s"${a.name}:${a.dataType.simpleString}")
+          .mkString("[", ",", "]")
     }
+
+  /** Name-compatibility shim for the probeBounded assertions below:
+    * offenders rendered as name:type, matched on the name substring.
+    */
+  private def broadcastShingleOffenders(p: SparkPlan): Seq[String] =
+    broadcastArrayOffenders(p)
 
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -173,9 +195,9 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         val off = broadcastPairOffenders(plan)
         assert(off.isEmpty,
           s"$name broadcasts a candidate-pair relation: ${off.mkString("; ")}")
-        val shOff = broadcastShingleOffenders(plan)
+        val shOff = broadcastArrayOffenders(plan)
         assert(shOff.isEmpty,
-          s"$name broadcasts a shingle-array side: ${shOff.mkString("; ")}")
+          s"$name broadcasts an array-carrying side: ${shOff.mkString("; ")}")
         // EXACT-probe entries only: the exploded sub-label relation
         // (columns a/bidx/bh/_k) is quadratic-capable — each hot probe
         // row fans out by the INDEX bucket's heat — but the planner
@@ -249,6 +271,80 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
       assert(!broadcastShingleOffenders(bounded).exists(_.contains("_shb")),
         s"probeBounded=true leaked broadcast onto the corpus side:\n$bounded")
     }
+  }
+
+  test("t52's ppJoin tree never broadcasts a pair or array-carrying side under ANY conf") {
+    import org.apache.spark.sql.functions.col
+    withConf(twilightConf: _*) {
+      // same operator shape as the registry's t52 (tokens → 3-token
+      // shingles → ppJoinPairs); the PUBLIC operator materializes
+      // eagerly (execution contract), so the audit uses the lazy
+      // ppJoinPairsPlan seam to see the verify-stage join tree
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("_toks", graft.etl.TextAnalysis.tokens(col("text")))
+        .select(col("doc_id"),
+          graft.functions.Portable.tokenShingles(col("_toks"), 3).as("toks"))
+      val (frame, release) =
+        graft.etl.Dedup.ppJoinPairsPlan(base, "doc_id", "toks", 4, 5)
+      try {
+        val plan = frame.queryExecution.executedPlan
+        val pairOff = broadcastPairOffenders(plan)
+        assert(pairOff.isEmpty,
+          s"ppJoin broadcasts a candidate-pair relation: ${pairOff.mkString("; ")}")
+        val arrOff = broadcastArrayOffenders(plan)
+        assert(arrOff.isEmpty,
+          s"ppJoin broadcasts an array-carrying side (since r16 the " +
+            s"collapse is a window, not an array-keyed join — nothing " +
+            s"array-carrying should reach a join): ${arrOff.mkString("; ")}")
+        // the guard must not have banned broadcast wholesale: the token
+        // and size sides are linear scalar relations with honest stats —
+        // at fixture scale they must still ride broadcasts
+        assert(plan.toString.contains("BroadcastHashJoin"),
+          s"ppJoin lost all broadcasts — guard over-applied:\n$plan")
+      } finally release()
+    }
+  }
+
+  test("ppJoin guard negative control: the unguarded inter-join shape is flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the inter join's exact shape with the guard deliberately removed:
+    // a (small-stats) candidate-pair relation equi-joined to the token
+    // table — under the adversarial threshold the planner builds a
+    // broadcast out of the pair side, which is the twilight-zone death
+    // at scale (quadratic-capable side collected to the driver)
+    val cand = (1L to 40L).flatMap(a => (1L to 3L).map(b => (a, a + b)))
+      .toDF("a", "b")
+    val tok = (1L to 200L).flatMap(id => (1 to 30).map(j => (id, s"tok_$j")))
+      .toDF("_id", "_tok")
+    withConf(twilightConf: _*) {
+      val unguarded = cand
+        .join(tok.select(col("_id").as("a"), col("_tok")), Seq("a"))
+        .join(tok.select(col("_id").as("_idb"), col("_tok").as("_tok2")),
+          col("b") === col("_idb") && col("_tok") === col("_tok2"))
+        .queryExecution.executedPlan
+      assert(broadcastPairOffenders(unguarded).nonEmpty,
+        s"control premise broken — unguarded inter join did not " +
+          s"broadcast the pair side:\n$unguarded")
+    }
+  }
+
+  test("probeBounded tripwire: a false bounded declaration fails loudly") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // a probe one row past the documented bound, labeled "bounded": the
+    // declaration is enforced with a capped count, so the call must
+    // refuse instead of silently re-opening the broadcast death at scale
+    val tooBig = spark.range(graft.etl.Dedup.probeBoundedMaxRows + 1L)
+      .select(col("id").as("doc_id"), array(lit("sh")).as("sh"))
+    val corpus = spark.range(10)
+      .select(col("id").as("doc_id"), array(lit("sh")).as("sh"))
+    val cand = spark.range(1).select(col("id").as("a"), col("id").as("b"))
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.Dedup.verifyJaccard(tooBig, corpus, "doc_id", "sh", cand,
+        0.5, probeBounded = true)
+    }
+    assert(e.getMessage.contains("probeBounded"),
+      s"tripwire fired with the wrong message: ${e.getMessage}")
   }
 
   test("q43's scan prunes partitions: only the predicate's directory is read") {
