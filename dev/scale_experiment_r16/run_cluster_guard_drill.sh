@@ -30,12 +30,19 @@ drill() {
   local plan="$OUT/${name}_cluster_finalplan.txt"
   if [[ -s "$plan" ]]; then echo "== $plan exists, skipping"; return; fi
   echo "== cluster drill $name on $sfdir ($(date +%H:%M:%S))"
+  # executor memory is NOT the local-cluster worker-capacity param —
+  # it defaults to 1g (the first drill attempt died OOM in the t76
+  # explode at 10x); 14g fits the 16384MB worker capacity
   SPARK_GRAFT_SF_DIR="$sfdir" \
     /opt/spark/bin/spark-submit --class graft.ExplainFinal \
       --master "$SPARK_GRAFT_MASTER" \
       --driver-memory 16g \
+      --conf spark.executor.memory=14g \
       --conf spark.ui.enabled=false \
-      "$JAR" "$query" > "$plan" 2> "$OUT/${name}_cluster_drill.log"
+      "$JAR" "$query" 2> "$OUT/${name}_cluster_drill.log" \
+    | tr '\000' '.' > "$plan"
+  # ^ the ppJoin collapse key uses a NUL separator literal, which the
+  #   plan dump renders verbatim — strip it so the artifact greps as text
   echo "   rows: $(grep '^rows:' "$plan" | head -1)"
   echo "   SMJ nodes: $(grep -c 'SortMergeJoin' "$plan" || true)," \
        "BHJ nodes: $(grep -c 'BroadcastHashJoin' "$plan" || true)"
@@ -44,6 +51,9 @@ drill() {
   fi
 }
 
-drill t52_10x /tmp/scale10x t52_ppjoin_exact
+# _ppjoin_plan drives the t52 join tree via the lazy ppJoinPairsPlan
+# seam: the registry entry's own plan is a parquet scan of the shared
+# pair artifact, so the guarded joins are invisible through it
+drill t52_10x /tmp/scale10x _ppjoin_plan
 drill t76_10x_skew /tmp/scale10x_skew t76_exact_probe_neardup
 echo "== drill done"

@@ -44,19 +44,43 @@ object ExplainFinal {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = args.toSet
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
-      .foreach { case (name, fn) =>
-        println(s"\n========== $name ==========")
+    // `_ppjoin_plan`: the t52 join tree DIRECTLY via the lazy
+    // ppJoinPairsPlan seam — the registry's t52 routes through the
+    // shared-artifact contract, so its own plan is just a parquet scan
+    // of the materialized pair table and the guarded verify joins are
+    // invisible to a plan dump of the entry
+    val seamEntries: Seq[(String, org.apache.spark.sql.SparkSession => (org.apache.spark.sql.DataFrame, () => Unit))] =
+      if (wanted.contains("_ppjoin_plan")) Seq("_ppjoin_plan" -> { s: org.apache.spark.sql.SparkSession =>
+        import org.apache.spark.sql.functions.col
+        val base = s.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("_toks", graft.etl.TextAnalysis.tokens(col("text")))
+          .select(col("doc_id"),
+            graft.functions.Portable.tokenShingles(col("_toks"), 3).as("toks"))
+        graft.etl.Dedup.ppJoinPairsPlan(base, "doc_id", "toks", 4, 5)
+      })
+      else Seq.empty
+    val entries: Seq[(String, org.apache.spark.sql.SparkSession => (org.apache.spark.sql.DataFrame, () => Unit))] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+        .map { case (n, fn) =>
+          n -> { s: org.apache.spark.sql.SparkSession =>
+            (fn(s, sfDir), () => ())
+          }
+        } ++ seamEntries
+    entries.foreach { case (name, mk) =>
+      println(s"\n========== $name ==========")
+      try {
+        val (df, release) = mk(spark)
         try {
-          val qe = fn(spark, sfDir).queryExecution
+          val qe = df.queryExecution
           val rows = qe.executedPlan.execute().count()
           println(s"rows: $rows")
           println(qe.executedPlan.toString)
-        } catch { case e: Throwable =>
-          println(s"EXPLAIN-FINAL FAILED: ${e.getMessage}")
-        }
+        } finally release()
+      } catch { case e: Throwable =>
+        println(s"EXPLAIN-FINAL FAILED: ${e.getMessage}")
       }
+    }
     spark.stop()
   }
 }
