@@ -10,53 +10,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Host-noise sentinel: a FIXED pure-CPU microbenchmark (splitmix64
-    * spin, no allocation, no I/O) timed single-threaded and at full
-    * thread width, run before the warmup and again after the last
-    * query. Spark-side wall times on this box swing ±40% with
-    * co-tenant load while DuckDB's stay flat (the r15 window
-    * diagnosis); the sentinel makes a hostile window READABLE off the
-    * bench artifact — sentinel inflated ⇒ the window was noisy, code
-    * is not the suspect — instead of diagnosed post-hoc with a paired
-    * control run. `mtMs` over `threads` threads on an idle
-    * `threads`-core box ≈ `stMs`; co-tenant CPU pressure inflates
-    * `mtMs` first (the scheduler steals whole cores), then `stMs`.
-    */
-  private def splitmixSpin(iters: Long, seed: Long): Long = {
-    var z = seed
-    var acc = 0L
-    var i = 0L
-    while (i < iters) {
-      z += 0x9E3779B97F4A7C15L
-      var x = z
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      acc ^= x ^ (x >>> 31)
-      i += 1
-    }
-    acc
-  }
-
-  private val sentinelIters = 150000000L
-
-  private def sentinel(threads: Int): (Double, Double, Long) = {
-    // JIT warm the loop off the clock, then measure
-    splitmixSpin(sentinelIters / 10, 99L)
-    val t0 = System.nanoTime()
-    val check = splitmixSpin(sentinelIters, 1L)
-    val stMs = (System.nanoTime() - t0) / 1e6
-    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
-    val t1 = System.nanoTime()
-    val ts = (0 until threads).map { t =>
-      val th = new Thread(() =>
-        acc.getAndAdd(splitmixSpin(sentinelIters, t + 1L)))
-      th.start(); th
-    }
-    ts.foreach(_.join())
-    val mtMs = (System.nanoTime() - t1) / 1e6
-    (stMs, mtMs, check)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,9 +53,11 @@ object Bench {
     ExtraConf(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // host-noise sentinel, leg 1: before any Spark work
-    val (st0, mt0, chk) = sentinel(cpus.toInt)
-    System.err.println(f"[bench] host_sentinel pre: st=${st0}%.1fms mt=${mt0}%.1fms")
+    // host-noise sentinel ([[HostSentinel]]), leg 1: before any Spark
+    // work — the pre/post pair brackets the measured window
+    val sen0 = HostSentinel.measure(cpus.toInt)
+    System.err.println(
+      f"[bench] host_sentinel pre: st=${sen0.stMs}%.1fms mt=${sen0.mtMs}%.1fms")
     // Untimed warmup: initializes codegen, parquet reader, shuffle and
     // noop-sink machinery so the first measured query doesn't absorb
     // ~5s of JVM/session warmup (standard benchmark methodology; the
@@ -188,14 +143,12 @@ object Bench {
           .map { case (t, n) => s"\"" + t + "\":" + n }
           .mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-    // host-noise sentinel, leg 2: after the last query — pre/post pair
-    // brackets the measured window, so drift DURING the run is visible
-    val (st1, mt1, _) = sentinel(cpus.toInt)
-    System.err.println(f"[bench] host_sentinel post: st=${st1}%.1fms mt=${mt1}%.1fms")
-    val sentinelJson =
-      f"""{"iters_per_thread":$sentinelIters,"threads":${cpus.toInt},""" +
-        f""""pre_st_ms":$st0%.1f,"pre_mt_ms":$mt0%.1f,""" +
-        f""""post_st_ms":$st1%.1f,"post_mt_ms":$mt1%.1f,"checksum":$chk}"""
+    // host-noise sentinel, leg 2: after the last query — drift DURING
+    // the run is visible from the pair
+    val sen1 = HostSentinel.measure(cpus.toInt)
+    System.err.println(
+      f"[bench] host_sentinel post: st=${sen1.stMs}%.1fms mt=${sen1.mtMs}%.1fms")
+    val sentinelJson = HostSentinel.json(sen0, sen1, cpus.toInt)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""build_sec":$buildTotal,"builds":$buildsJson,"iters":$itersJson,""" +
       s""""host_sentinel":$sentinelJson,""" +

@@ -107,6 +107,11 @@ object StreamBench {
       var stateMax = 0L
       var stateMemMax = 0L
       var wmLagSec = -1.0
+      // host-noise sentinel pair per variant (the r15 212 s / r16 170 s
+      // stream-control anomalies each burned a re-run to attribute to
+      // window noise; now the label is on the artifact)
+      val sen0 = HostSentinel.measure(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       val t0 = System.nanoTime()
       batches.zipWithIndex.foreach { case (b, i) =>
         val ts = baseUs + i * 60L * 1000000L
@@ -130,6 +135,8 @@ object StreamBench {
         }
       }
       val total = (System.nanoTime() - t0) / 1e9
+      val sen1 = HostSentinel.measure(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       q.stop()
       // bench checkpoints are throwaway — reclaim the temp dir
       deleteRecursively(new java.io.File(ckpt))
@@ -140,7 +147,10 @@ object StreamBench {
         f""""total_sec":$total%.2f,"rows_per_sec":${rows / total}%.1f,""" +
         f""""batch_sec":$bj,"state_rows_max":$stateMax,""" +
         f""""state_mem_mb":${stateMemMax / 1e6}%.1f,""" +
-        f""""watermark_lag_sec":$wmLagSec%.1f,"sf":"$sfDir"}""")
+        f""""watermark_lag_sec":$wmLagSec%.1f,""" +
+        s""""host_sentinel":${HostSentinel.json(sen0, sen1,
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)},""" +
+        f""""sf":"$sfDir"}""")
     }
 
     runVariant("split", (d, ix, c) =>

@@ -157,12 +157,6 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
           .mkString("[", ",", "]")
     }
 
-  /** Name-compatibility shim for the probeBounded assertions below:
-    * offenders rendered as name:type, matched on the name substring.
-    */
-  private def broadcastShingleOffenders(p: SparkPlan): Seq[String] =
-    broadcastArrayOffenders(p)
-
   private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -255,7 +249,7 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         .queryExecution.executedPlan
       assert(broadcastPairOffenders(guarded).isEmpty,
         s"guarded verify join still broadcasts the pair side:\n$guarded")
-      assert(broadcastShingleOffenders(guarded).isEmpty,
+      assert(broadcastArrayOffenders(guarded).isEmpty,
         s"guarded verify join still broadcasts a shingle side:\n$guarded")
       // the probeBounded seam: a caller that DECLARES its probe batch
       // bounded gets the probe-side broadcast back (the scale-correct
@@ -265,10 +259,10 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
         .verifyJaccard(base, base, "doc_id", "sh", cand, 0.0,
           probeBounded = true)
         .queryExecution.executedPlan
-      assert(broadcastShingleOffenders(bounded)
+      assert(broadcastArrayOffenders(bounded)
           .exists(_.contains("_sha")),
         s"probeBounded=true did not restore the probe-side broadcast:\n$bounded")
-      assert(!broadcastShingleOffenders(bounded).exists(_.contains("_shb")),
+      assert(!broadcastArrayOffenders(bounded).exists(_.contains("_shb")),
         s"probeBounded=true leaked broadcast onto the corpus side:\n$bounded")
     }
   }
