@@ -1077,4 +1077,70 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
+
+  test("streaming verify-join MICRO-BATCH plan shapes: split broadcasts the " +
+    "bounded batch side; exact never broadcasts a pair or corpus side") {
+    // the per-trigger scale contracts, pinned on the EXECUTED micro-batch
+    // plan (StreamPlanBridge — semantics pins above can't see whether the
+    // corpus re-sorts per trigger): bounded-fan-out variants must build
+    // the verify-join broadcast from the micro-batch candidate side (one
+    // hash-probe scan of the pinned corpus per trigger), and the exact
+    // variant — unbounded fan-out by declaration — must never plan its
+    // candidate pairs or the guarded corpus side as a broadcast build,
+    // even though a micro-batch's honest runtime stats sit far under
+    // every threshold (the streaming twilight zone: small-batch stats
+    // say broadcast, the contract says the fan-out is unbounded).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Dedup
+    val base = 1700000000L * US
+    val hotSh = Seq("b_a", "b_b", "b_c", "b_d")
+    val corpusSh = ((1L to 8L).map(id => (id, hotSh)) ++ Seq(
+      (20L, Seq("u20_a", "u20_b", "u20_c", "u20_d"))))
+      .toDF("doc_id", "sh")
+    val indexBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpusSh, "doc_id", "sh", 15),
+      "doc_id", numBands = 3, rowsPerBand = 5)
+    val probeRows = Seq((901L, base, hotSh))
+
+    def broadcastBuilds(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Set[String]] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.child.output.map(_.name).toSet
+      }
+
+    def lastPlan(
+        name: String,
+        fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+             org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.SparkPlan = {
+      val input = MemoryStream[(Long, Long, Seq[String])]
+      val docs = input.toDS().toDF("doc_id", "us", "sh")
+        .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("sh"))
+      val out = fn(docs, indexBands, corpusSh)
+      val ckpt = Files.createTempDirectory(s"ckpt_plan_$name").toString
+      val q = out.writeStream.format("memory").queryName(s"plan_pin_$name")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        input.addData(probeRows: _*)
+        q.processAllAvailable()
+        org.apache.spark.sql.graftbridge.StreamPlanBridge.lastExecutedPlan(q)
+      } finally q.stop()
+    }
+
+    val splitPlan = lastPlan("split", (d, ix, c) =>
+      StreamOps.nearDupSplitProbeStream(d, ix, c, maxBucket = 2))
+    assert(broadcastBuilds(splitPlan)
+        .exists(cols => cols.contains("sh") && cols.contains("b")),
+      s"split verify join lost the bounded micro-batch-side broadcast " +
+        s"(per-trigger corpus shuffle is back):\n$splitPlan")
+
+    val exactPlan = lastPlan("exact", (d, ix, c) =>
+      StreamOps.nearDupExactProbeStream(d, ix, c, maxBucket = 2))
+    val exactBuilds = broadcastBuilds(exactPlan)
+    assert(!exactBuilds.exists(cols => Set("a", "b").subsetOf(cols)),
+      s"exact variant broadcast its candidate-pair side: $exactBuilds\n$exactPlan")
+    assert(!exactBuilds.exists(_.contains("_shb")),
+      s"exact variant broadcast the guarded corpus side: $exactBuilds\n$exactPlan")
+  }
 }
