@@ -88,7 +88,18 @@ object Bench {
     // the map — so a fixpoint entry's run-to-run variance is settled by
     // reading the artifact (rounds moved vs constant), not argued.
     graft.etl.IterStats.drain() // discard warmup's records
-    val results = selected.map { case (name, fn) =>
+    // Per-entry sentinel sampling (r16 verdict stretch #7): the pre/post
+    // pair brackets the WHOLE run, but hostile windows on this box
+    // arrive mid-run on a ~20-min cadence (the three steal-stormed grow3
+    // 100x legs) — a cheap sentinel leg every N entries labels WHICH
+    // entries absorbed a storm, turning a wasted long leg into a
+    // partially-usable one. Samples run BETWEEN queries, outside every
+    // per-query wall and outside `value` (= sum of query walls), so the
+    // headline is not inflated; ~0.4 s/sample ≈ 3 s of extra wall on a
+    // full 205-entry run at the default stride.
+    val sentinelEvery = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_EVERY", "25").toInt
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = selected.zipWithIndex.map { case ((name, fn), qi) =>
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -113,6 +124,14 @@ object Bench {
       // queries aren't measured under earlier queries' memory pressure
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (sentinelEvery > 0 && (qi + 1) % sentinelEvery == 0 &&
+          qi + 1 < selected.size) {
+        val s = HostSentinel.measure(cpus.toInt)
+        sentinelSamples += f"""{"after_idx":${qi + 1},"after":"$name",""" +
+          f""""st_ms":${s.stMs}%.1f,"mt_ms":${s.mtMs}%.1f}"""
+        System.err.println(f"[bench] host_sentinel @${qi + 1} ($name): " +
+          f"st=${s.stMs}%.1fms mt=${s.mtMs}%.1fms")
+      }
       (name, dt, ok, graft.etl.IterStats.drain())
     }
     // a crashed query must NOT deflate "total" into a phantom speedup:
@@ -152,6 +171,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""build_sec":$buildTotal,"builds":$buildsJson,"iters":$itersJson,""" +
       s""""host_sentinel":$sentinelJson,""" +
+      s""""sentinel_samples":${sentinelSamples.mkString("[", ",", "]")},""" +
       s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // Also persist the JSON to a file: the stdout line sits at the end of a

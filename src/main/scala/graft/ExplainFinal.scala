@@ -51,11 +51,9 @@ object ExplainFinal {
     // invisible to a plan dump of the entry
     val seamEntries: Seq[(String, org.apache.spark.sql.SparkSession => (org.apache.spark.sql.DataFrame, () => Unit))] =
       if (wanted.contains("_ppjoin_plan")) Seq("_ppjoin_plan" -> { s: org.apache.spark.sql.SparkSession =>
-        import org.apache.spark.sql.functions.col
-        val base = s.read.parquet(s"$sfDir/documents.parquet")
-          .withColumn("_toks", graft.etl.TextAnalysis.tokens(col("text")))
-          .select(col("doc_id"),
-            graft.functions.Portable.tokenShingles(col("_toks"), 3).as("toks"))
+        // the registry's EXACT input via the shared builder (r16
+        // verdict #3) — the drilled plan is the shipped plan
+        val base = graft.queries.TextQueries.ppJoinBase(s, sfDir)
         graft.etl.Dedup.ppJoinPairsPlan(base, "doc_id", "toks", 4, 5)
       })
       else Seq.empty

@@ -568,6 +568,16 @@ object Dedup {
     * serialized). A corpus-sized frame mislabeled "bounded" would
     * otherwise re-open the exact twilight-zone death the guard closed —
     * silently, and only at scale.
+    *
+    * TRIPWIRE COST (r16 ADVICE #2): the capped count is an EAGER Spark
+    * job at call time, and `limit` caps returned rows, not upstream
+    * work — a probe with a wide lineage (shuffles/windows above it)
+    * executes that lineage here AND again in the real join, and a
+    * previously-lazy call path now launches a job on construction. The
+    * intended callers (a micro-batch, a takedown list) have trivial
+    * lineage, where the count is one cheap scan; a caller handing in a
+    * derived probe should `persist`/`localCheckpoint` it first so the
+    * tripwire counts the materialized form instead of re-deriving it.
     */
   def verifyJaccard(
       baseA: DataFrame,
@@ -644,6 +654,17 @@ object Dedup {
     * is returned with its exact intersection and union sizes — no
     * probabilistic recall (the LSH family's trade), no doubles anywhere
     * (the threshold runs as (den+num)·i >= num·(na+nb)).
+    *
+    * PRECONDITION: `idCol` must be UNIQUE per row (r16 ADVICE #3). The
+    * r16 window collapse derives the representative table as
+    * filter(_oid === _gid), which emits one rep row per (id, set) input
+    * row bearing the group-min id — under duplicate ids that is MORE
+    * rep rows than the r15 groupBy/min shape emitted, additionally
+    * inflating token document frequencies and inter_n. Duplicate ids
+    * were outside the contract in every prior shape too (the output
+    * keys pairs by id), but the failure mode under violation changed
+    * with the collapse re-key, so the contract — and the collapse's
+    * exactness argument being CONDITIONED on it — is now explicit.
     *
     * EXECUTION CONTRACT: calling this RUNS the pipeline — the returned
     * frame is a materialized checkpoint (a table, not a lazy view), so

@@ -2269,12 +2269,22 @@ object TextQueries {
     * (and every plan-only touch) is a parquet scan — the same
     * checkpoint-the-expensive-stage contract as sharedTokenLshPairs.
     */
+  /** THE ppJoin input — doubled corpus → tokens → 3-token shingles —
+    * as ONE constructor (r16 verdict #3): the registry's t52 (via
+    * [[sharedPpJoinPairs]]), PlanAuditSpec's t52 tree pin, and
+    * ExplainFinal's `_ppjoin_plan` seam all build from THIS, so the
+    * audited/drilled plan is the shipped plan by construction — three
+    * hand-copies (plain-vs-doubled corpus, a future shingle-size edit
+    * landing in one place) could otherwise drift silently.
+    */
+  private[graft] def ppJoinBase(s: SparkSession, d: String): DataFrame =
+    doubledCorpus(s, d)
+      .withColumn("_toks", TA.tokens(col("text")))
+      .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
+
   private def sharedPpJoinPairs(s: SparkSession, d: String): DataFrame =
     graft.etl.Artifacts.shared(s, d, "ppjoin") {
-      val base = doubledCorpus(s, d)
-        .withColumn("_toks", TA.tokens(col("text")))
-        .select(col("doc_id"), Portable.tokenShingles(col("_toks"), 3).as("toks"))
-      Dedup.ppJoinPairs(base, "doc_id", "toks", 4, 5,
+      Dedup.ppJoinPairs(ppJoinBase(s, d), "doc_id", "toks", 4, 5,
           policy = graft.etl.CheckpointPolicy.fromEnv(s))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
           col("inter_n"), col("union_n"))

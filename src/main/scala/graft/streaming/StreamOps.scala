@@ -73,6 +73,21 @@ object StreamOps {
     *
     * `docs` needs (doc_id, ts, sh); `indexBands` (doc_id, bidx, bh);
     * `corpusSh` (doc_id, sh). Output: (a, ts, b, jaccard).
+    *
+    * `probeFanoutBounded` (r16 ADVICE #1 — caller-visible since r17):
+    * `true` (default) broadcasts the micro-batch candidate side of the
+    * verify join — ONE hash-probe scan of the pinned corpus per
+    * trigger. "Bounded" is PER BAND ROW (≤ maxBucket candidates each):
+    * the total broadcast build scales with micro-batch rows × numBands
+    * × maxBucket at ~1 KB/row (the shingle array rides along), and the
+    * explicit hint bypasses every planner threshold — so the default
+    * REQUIRES a trigger-size bound on the source
+    * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`; ≲10⁵ docs/trigger
+    * at the default geometry keeps the build under ~1 GB). An
+    * unthrottled deployment (catch-up/backfill micro-batches of
+    * arbitrary size) must pass `false` to fall back to the guarded
+    * shuffle over the pinned corpus — slower per trigger, safe at any
+    * batch size.
     */
   def nearDupProbeStream(
       docs: DataFrame,
@@ -83,7 +98,8 @@ object StreamOps {
       rowsPerBand: Int = 5,
       maxBucket: Int = 20,
       threshold: Double = 0.8,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      probeFanoutBounded: Boolean = true): DataFrame = {
     import graft.etl.Dedup
     val src =
       if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
@@ -104,7 +120,7 @@ object StreamOps {
     val cands = bands.join(ix, Seq("bidx", "bh"))
       .filter(col("doc_id") =!= col("b"))
     val verified = verifyAgainstCorpus(cands, corpusSh, threshold,
-      streaming = docs.isStreaming, probeFanoutBounded = true)
+      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded)
       .select(col("doc_id").as("a"), col("ts"), col("b"),
         col("jaccard"))
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
@@ -135,6 +151,14 @@ object StreamOps {
     * corpus, the honest price of exactness. In batch mode the "probe"
     * IS corpus-sized, so both sides stay guarded (the t72/t32/t76
     * audited plans).
+    *
+    * The bounded declaration is per BAND ROW, so the broadcast build
+    * still scales with trigger size (micro-batch rows × numBands ×
+    * maxBucket-ish candidates, ~1 KB each) and the explicit hint
+    * bypasses every planner threshold — which is why
+    * `probeFanoutBounded` is a caller-visible knob on the public
+    * variants (r16 ADVICE #1) with a documented trigger-size-bound
+    * requirement, not a buried constant.
     */
   private def verifyAgainstCorpus(
       cands: DataFrame,
@@ -189,14 +213,21 @@ object StreamOps {
       rowsPerBand: Int = 5,
       maxBucket: Int = 20,
       threshold: Double = 0.8,
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes",
+      // split fan-out is ~2·maxBucket expected per band row — bounded,
+      // so the micro-batch side may carry the broadcast hint BY
+      // DEFAULT. "Bounded" is per band row, so the total build still
+      // scales with micro-batch rows × numBands × ~2·maxBucket (~1 KB
+      // each): the default requires a trigger-size bound on the source
+      // (maxOffsetsPerTrigger / maxFilesPerTrigger); unthrottled
+      // deployments pass false for the guarded shuffle — see
+      // [[nearDupProbeStream]]'s knob scaladoc (r16 ADVICE #1)
+      probeFanoutBounded: Boolean = true): DataFrame =
     labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
       rowsPerBand, maxBucket, threshold, watermarkDelay,
       graft.etl.Dedup.splitProbeKeys(_, _, "doc_id", maxBucket,
         keep = Seq("ts", "sh")),
-      // split fan-out is ~2·maxBucket expected per band row — bounded,
-      // so the micro-batch side may carry the broadcast hint
-      probeFanoutBounded = true)
+      probeFanoutBounded = probeFanoutBounded)
 
   /** Shared core of the labeled streaming probes: signatures → band
     * rows → plan-time static index labels (pinned; hot table broadcast)

@@ -138,21 +138,21 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
     * names — the streaming probes carry shingles as `sh` via
     * keep=Seq(ts,sh) (the r15 ADVICE hole).
     *
-    * `allow` lists the DECLARED-BOUNDED sides by column-name signature
-    * (every named column present ⇒ exempt): sides whose size is fixed
-    * by contract regardless of corpus scale, where an array broadcast
-    * is the scale-correct plan. A stats size floor would be useless
-    * here — at sf0.001 fixture scale every side sits under any
-    * meaningful floor, so the floor would exempt exactly the relations
-    * the audit exists to catch.
+    * No exemption mechanism: every broadcast build carrying an array
+    * column in an audited plan is an offender. The r16 verdict noted
+    * the declared-bounded allowlist was dead weight (no call site used
+    * it), so it was dropped (r16 ADVICE #4) — if a genuinely bounded
+    * side ever needs to ride a broadcast through an audited plan,
+    * reintroduce the exemption WITH the call that exercises it. (A
+    * stats size floor would be useless here — at sf0.001 fixture scale
+    * every side sits under any meaningful floor, so the floor would
+    * exempt exactly the relations the audit exists to catch.)
     */
-  private def broadcastArrayOffenders(
-      p: SparkPlan, allow: Set[Set[String]] = Set.empty): Seq[String] =
+  private def broadcastArrayOffenders(p: SparkPlan): Seq[String] =
     p.collect {
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
           if b.child.output.exists(
-            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) &&
-            !allow.exists(_.subsetOf(b.child.output.map(_.name).toSet)) =>
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
         b.child.output.map(a => s"${a.name}:${a.dataType.simpleString}")
           .mkString("[", ",", "]")
     }
@@ -270,14 +270,12 @@ class PlanAuditSpec extends SparkSpec with PredicateHelper {
   test("t52's ppJoin tree never broadcasts a pair or array-carrying side under ANY conf") {
     import org.apache.spark.sql.functions.col
     withConf(twilightConf: _*) {
-      // same operator shape as the registry's t52 (tokens → 3-token
-      // shingles → ppJoinPairs); the PUBLIC operator materializes
+      // the registry's t52 input via the SHARED builder (r16 verdict
+      // #3 — one constructor, so this pinned plan IS the shipped plan
+      // and cannot drift from it); the PUBLIC operator materializes
       // eagerly (execution contract), so the audit uses the lazy
       // ppJoinPairsPlan seam to see the verify-stage join tree
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
-        .withColumn("_toks", graft.etl.TextAnalysis.tokens(col("text")))
-        .select(col("doc_id"),
-          graft.functions.Portable.tokenShingles(col("_toks"), 3).as("toks"))
+      val base = graft.queries.TextQueries.ppJoinBase(spark, sfDir)
       val (frame, release) =
         graft.etl.Dedup.ppJoinPairsPlan(base, "doc_id", "toks", 4, 5)
       try {
