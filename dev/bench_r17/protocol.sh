@@ -99,7 +99,10 @@ spark_run() { # gated full run: name dir -> writes $OUT/$name.json (+ _rejN copi
     python3 -c "import json; d=json.load(open('$OUT/$name.json')); print(' ', round(d['value'],1), 's,', len(d['queries']), 'queries, failed:', d['failed'])"
     if accepted "$OUT/$name.json"; then return 0; fi
     echo "   [gate] $name attempt $att REJECTED (sentinel out of band) — retrying"
-    cp "$OUT/$name.json" "$OUT/${name}_rej${att}.json"
+    # next FREE reject index, not $att: a protocol re-entry restarts
+    # attempt numbering and must never clobber a prior set's rejects
+    i=1; while [[ -e "$OUT/${name}_rej${i}.json" ]]; do i=$((i+1)); done
+    cp "$OUT/$name.json" "$OUT/${name}_rej${i}.json"
   done
   echo "   [gate] $name: no accepted run in $MAX_ATTEMPTS attempts (last kept, labeled)"
   return 0

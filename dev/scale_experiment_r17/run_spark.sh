@@ -67,9 +67,12 @@ for att in $(seq 1 $MAX_ATTEMPTS); do
       --conf spark.ui.enabled=false \
       "$JAR" $QUERIES 2>&1 | grep -E '^\[bench\]|"metric"' | tail -6
   if accepted "$OUT"; then echo "== wrote $OUT (accepted)"; exit 0; fi
-  cp "$OUT" "dev/scale_experiment_r17/spark_grow3_${TAG}_rej${att}.json"
+  # next FREE reject index, not $att: a relaunch restarts attempt
+  # numbering and must never clobber a prior set's labeled rejects
+  i=1; while [[ -e "dev/scale_experiment_r17/spark_grow3_${TAG}_rej${i}.json" ]]; do i=$((i+1)); done
+  cp "$OUT" "dev/scale_experiment_r17/spark_grow3_${TAG}_rej${i}.json"
   rm -f "$OUT"
-  echo "   [gate] attempt $att rejected — artifact kept as _rej${att}"
+  echo "   [gate] attempt $att rejected — artifact kept as _rej${i}"
 done
 echo "== no accepted $TAG leg in $MAX_ATTEMPTS attempts (rejected legs kept)"
 exit 1
