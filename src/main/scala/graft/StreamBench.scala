@@ -172,6 +172,14 @@ object StreamBench {
     // slope, and the exact arm costs ~1.5x the split arm
     val variants = sys.env.getOrElse("SPARK_GRAFT_STREAM_VARIANTS", "split,exact")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // fail loudly on a typo ('splt' would otherwise run ZERO variants
+    // and leave an empty artifact that reads like a finished experiment
+    // — r17 ADVICE #5)
+    val known = Set("split", "exact")
+    require(variants.nonEmpty && variants.subsetOf(known),
+      s"SPARK_GRAFT_STREAM_VARIANTS=${variants.mkString(",")} contains " +
+        s"unknown variant(s) ${(variants -- known).mkString(",")}; " +
+        s"valid names: ${known.mkString(", ")}")
     if (variants("split"))
       runVariant("split", (d, ix, c) =>
         graft.streaming.StreamOps.nearDupSplitProbeStream(d, ix, c,

@@ -167,6 +167,46 @@ object Bpe {
     out.result()
   }
 
+  /** Last driver-safe word-histogram size for [[collectHistogram]]:
+    * 2×10⁷ rows ≈ 2–3 GB of collected Rows (short word string + count)
+    * — inside the harness driver heap with headroom, and past the
+    * upper edge of real web-scale word vocabularies' useful-collect
+    * range. A histogram larger than this belongs on the distributed
+    * [[trainToVocab]] / [[train]] path, which never collects it.
+    */
+  val histLocalMaxRows: Long = 20000000L
+
+  /** THE boundary between the distributed corpus and the driver-side
+    * [[trainLocal]] trainer: collect a `(word, count)` histogram frame
+    * with the bound ENFORCED, not trusted (r17 VERDICT #2 — the
+    * [[graft.etl.Dedup.verifyJaccard]] `probeBounded` treatment for the
+    * BPE stack). The collect itself is capped — `limit(bound+1)` caps
+    * the rows that ever leave the executors, so an over-bound corpus
+    * costs one aborted batch, never an OOM'd driver — and the failure
+    * points the caller at the distributed trainer. "Vocabulary-sized"
+    * was previously a comment at three call sites; this helper is that
+    * comment made executable, and the only sanctioned way to hand a
+    * histogram to [[trainLocal]]/[[trainLocalToVocab]].
+    *
+    * `hist` needs columns (`w` string, `cnt` long) — the shape the
+    * t75/t79/t80 aggregations produce.
+    */
+  def collectHistogram(
+      hist: DataFrame,
+      maxRows: Long = histLocalMaxRows): Seq[(String, Long)] = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    val capped = math.min(maxRows, Int.MaxValue - 8L).toInt
+    val rows = hist.select(col("w"), col("cnt"))
+      .limit(capped + 1).collect()
+    require(rows.length <= capped,
+      s"word histogram exceeds $capped rows — it is NOT driver-sized, " +
+        "and trainLocal's vocabulary-sized contract is violated. Train " +
+        "distributed instead (Bpe.trainToVocab / Bpe.train keep the " +
+        "histogram on the cluster), or pre-cap the vocabulary " +
+        "(frequency floor / top-k) before collecting.")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
   /** Unsigned UTF-8 byte comparison — Spark's UTF8String binary order
     * and DuckDB's default VARCHAR collation, which Java's String
     * compareTo (UTF-16 code units) disagrees with for supplementary-

@@ -3140,9 +3140,10 @@ object TextQueries {
       val toks = sharedTokExplode(s, d)
       // vocabulary-sized collect (NOT corpus-sized): the word histogram
       // is the trainer's whole input, and its driver-side residence is
-      // the documented trainLocal production boundary
-      val hist = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // the documented trainLocal production boundary — ENFORCED by
+      // collectHistogram's capped collect (r17 VERDICT #2)
+      val hist = graft.etl.Bpe.collectHistogram(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
       val merges = graft.etl.Bpe.trainLocal(hist, kernelRounds)
         .map { case (_, s1, s2, _) => (s1, s2) }
       val vocab = graft.etl.Bpe.segmentWords(
@@ -3221,9 +3222,9 @@ object TextQueries {
         .select(lit("budget").as("mode"), col("round"), col("s1"),
           col("s2"), col("freq"))
       // vocabulary-sized collect — the trainLocal production boundary
-      // (same contract as t75's trainer)
-      val hist = histDf.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // (same contract as t75's trainer), ENFORCED by collectHistogram's
+      // capped collect (r17 VERDICT #2)
+      val hist = graft.etl.Bpe.collectHistogram(histDf)
       val driedRows = graft.etl.Bpe.trainLocalToVocab(hist, vocabDriedTarget)
       import s.implicits._
       val dried = driedRows.toDF("round", "s1", "s2", "freq")
@@ -3288,9 +3289,10 @@ object TextQueries {
       val toks = sharedTokExplode(s, d)
       val words = toks.select(col("w")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // vocabulary-sized collect — the trainLocal production boundary
-      val hist = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // vocabulary-sized collect — the trainLocal production boundary,
+      // ENFORCED by collectHistogram's capped collect (r17 VERDICT #2)
+      val hist = graft.etl.Bpe.collectHistogram(
+        toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
       val base = graft.etl.Bpe.baseAlphabetLocal(hist)
       // one train at the max budget; smaller budgets are prefixes
       val schedule = graft.etl.Bpe.trainLocal(hist, vocabCurveBudgets.max)

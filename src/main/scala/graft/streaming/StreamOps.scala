@@ -23,6 +23,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Default per-build-task candidate-row bound for the streaming
+    * bounded-probe guard (see [[verifyAgainstCorpus]]'s ENFORCEMENT
+    * note) — the same constant as the batch tripwire's
+    * [[graft.etl.Dedup.probeBoundedMaxRows]]: ~1 GB of serialized
+    * shingle-carrying rows per build task, the last size where the
+    * broadcast build is unconditionally safe without a memory conf.
+    */
+  val defaultMaxBuildRowsPerTask: Long =
+    graft.etl.Dedup.probeBoundedMaxRows.toLong
+
   /** Tumbling event-time window × event_type counts/sums. Works on batch
     * and streaming frames alike; streaming frames get a watermark (late
     * rows beyond `watermark` are dropped, state is bounded).
@@ -99,7 +109,8 @@ object StreamOps {
       maxBucket: Int = 20,
       threshold: Double = 0.8,
       watermarkDelay: String = "10 minutes",
-      probeFanoutBounded: Boolean = true): DataFrame = {
+      probeFanoutBounded: Boolean = true,
+      maxBuildRowsPerTask: Long = defaultMaxBuildRowsPerTask): DataFrame = {
     import graft.etl.Dedup
     val src =
       if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
@@ -120,7 +131,8 @@ object StreamOps {
     val cands = bands.join(ix, Seq("bidx", "bh"))
       .filter(col("doc_id") =!= col("b"))
     val verified = verifyAgainstCorpus(cands, corpusSh, threshold,
-      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded)
+      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded,
+      maxBuildRowsPerTask = maxBuildRowsPerTask)
       .select(col("doc_id").as("a"), col("ts"), col("b"),
         col("jaccard"))
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
@@ -159,20 +171,73 @@ object StreamOps {
     * `probeFanoutBounded` is a caller-visible knob on the public
     * variants (r16 ADVICE #1) with a documented trigger-size-bound
     * requirement, not a buried constant.
+    *
+    * ENFORCEMENT (r17 VERDICT #1 — the streaming twin of
+    * [[graft.etl.Dedup.verifyJaccard]]'s `probeBounded` capped count):
+    * the batch tripwire is an eager `limit(bound+1).count()` at call
+    * time, which a streaming plan cannot re-run per trigger — so the
+    * stream guard is IN the plan: every candidate row carries a
+    * per-build-task row index ([[graft.functions.PerTaskRowIndex]] —
+    * mono_id's partition-local counter without the streaming-
+    * blocklisted unique-ID contract; codegen'd, zero state) and an
+    * `assert_true` trips the FIRST row past `maxBuildRowsPerTask` in
+    * any single build task, failing the trigger with an actionable
+    * error WHILE the broadcast build is still streaming rows in —
+    * before the oversized relation finishes materializing on the
+    * driver. The bound is per TASK (a distributed plan has no global
+    * row counter that can stop a stage mid-flight), so the admissible
+    * total is `buildTasks × bound` — with the default 1M rows/task
+    * (= [[graft.etl.Dedup.probeBoundedMaxRows]], ~1 GB at the ~1 KB
+    * serialized row) and 32 shuffle partitions that is a hard ~32 GB
+    * worst case instead of unbounded; an unthrottled catch-up trigger
+    * (the real hazard: 10–1000× the contract size) concentrates
+    * linearly into every task and trips immediately. The EXACT
+    * per-trigger bound remains the source throttle
+    * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) — the guard
+    * converts a violated throttle contract into a clean error instead
+    * of an executor/driver OOM (the r17 4M-row decade needed
+    * `maxResultSize=8g`, proving the build really grows with the
+    * trigger). Deployments that certify a larger trigger alongside
+    * their memory conf raise the bound explicitly; batch mode never
+    * guards (the probe side there is corpus-sized by construction and
+    * stays on the guarded-shuffle plan).
     */
   private def verifyAgainstCorpus(
       cands: DataFrame,
       corpusSh: DataFrame,
       threshold: Double,
       streaming: Boolean,
-      probeFanoutBounded: Boolean): DataFrame = {
+      probeFanoutBounded: Boolean,
+      maxBuildRowsPerTask: Long = defaultMaxBuildRowsPerTask): DataFrame = {
     import graft.etl.Dedup.noBroadcastPairs
+    require(maxBuildRowsPerTask >= 1,
+      s"maxBuildRowsPerTask must be >= 1, got $maxBuildRowsPerTask")
     val corpus0 = corpusSh.select(col("doc_id").as("b"), col("sh").as("_shb"))
     val corpus = noBroadcastPairs(
       if (streaming) corpus0.localCheckpoint(true) else corpus0)
     val probeSide =
-      if (streaming && probeFanoutBounded) broadcast(cands)
-      else noBroadcastPairs(cands)
+      if (streaming && probeFanoutBounded) {
+        // per-task row ordinal — mono_id's counting half; the built-in
+        // itself is blocklisted in streaming plans for its unique-ID
+        // contract, which a threshold guard doesn't need
+        val rowIdxInTask = {
+          import org.apache.spark.sql.graftbridge.ColumnBridge
+          ColumnBridge.column(graft.functions.PerTaskRowIndex())
+        }
+        val guarded = cands.filter(assert_true(
+          rowIdxInTask < lit(maxBuildRowsPerTask),
+          lit(s"streaming probe fan-out guard: a single micro-batch build " +
+            s"task exceeded $maxBuildRowsPerTask candidate rows — the " +
+            "trigger-size bound behind probeFanoutBounded=true is violated " +
+            "(candidate rows serialize ~1 KB each; an unbounded build is " +
+            "the broadcast twilight-zone death, " +
+            "dev/scale_experiment_r15/t76_100x_skew_noconf_preguard.log). " +
+            "Throttle the source (maxOffsetsPerTrigger / " +
+            "maxFilesPerTrigger), raise maxBuildRowsPerTask alongside the " +
+            "memory conf that certifies it, or pass " +
+            "probeFanoutBounded=false for the guarded-shuffle plan.")).isNull)
+        broadcast(guarded)
+      } else noBroadcastPairs(cands)
     probeSide.join(corpus, Seq("b"))
       .withColumn("jaccard",
         round(graft.functions.Portable.jaccard(col("sh"), col("_shb")), 6))
@@ -221,13 +286,17 @@ object StreamOps {
       // each): the default requires a trigger-size bound on the source
       // (maxOffsetsPerTrigger / maxFilesPerTrigger); unthrottled
       // deployments pass false for the guarded shuffle — see
-      // [[nearDupProbeStream]]'s knob scaladoc (r16 ADVICE #1)
-      probeFanoutBounded: Boolean = true): DataFrame =
+      // [[nearDupProbeStream]]'s knob scaladoc (r16 ADVICE #1); the
+      // bound is ENFORCED per build task at runtime, see
+      // [[verifyAgainstCorpus]]'s ENFORCEMENT note
+      probeFanoutBounded: Boolean = true,
+      maxBuildRowsPerTask: Long = defaultMaxBuildRowsPerTask): DataFrame =
     labeledProbeStream(docs, indexBands, corpusSh, k, numBands,
       rowsPerBand, maxBucket, threshold, watermarkDelay,
       graft.etl.Dedup.splitProbeKeys(_, _, "doc_id", maxBucket,
         keep = Seq("ts", "sh")),
-      probeFanoutBounded = probeFanoutBounded)
+      probeFanoutBounded = probeFanoutBounded,
+      maxBuildRowsPerTask = maxBuildRowsPerTask)
 
   /** Shared core of the labeled streaming probes: signatures → band
     * rows → plan-time static index labels (pinned; hot table broadcast)
@@ -243,7 +312,8 @@ object StreamOps {
       k: Int, numBands: Int, rowsPerBand: Int, maxBucket: Int,
       threshold: Double, watermarkDelay: String,
       probeKeys: (DataFrame, DataFrame) => DataFrame,
-      probeFanoutBounded: Boolean): DataFrame = {
+      probeFanoutBounded: Boolean,
+      maxBuildRowsPerTask: Long = defaultMaxBuildRowsPerTask): DataFrame = {
     import graft.etl.Dedup
     val src =
       if (docs.isStreaming) docs.withWatermark("ts", watermarkDelay) else docs
@@ -259,7 +329,8 @@ object StreamOps {
     val cands = pbk.join(ix, Seq("bidx", "bh", "_k"))
       .filter(col("a") =!= col("b"))
     val verified = verifyAgainstCorpus(cands, corpusSh, threshold,
-      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded)
+      streaming = docs.isStreaming, probeFanoutBounded = probeFanoutBounded,
+      maxBuildRowsPerTask = maxBuildRowsPerTask)
       .select(col("a"), col("ts"), col("b"), col("jaccard"))
     if (docs.isStreaming) verified.dropDuplicatesWithinWatermark("a", "b")
     else verified.dropDuplicates("a", "b")

@@ -319,4 +319,20 @@ class BpePropertySpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
+
+  test("collectHistogram enforces the driver-size bound: over-bound fails " +
+    "loudly pointing at the distributed trainer, under-bound round-trips") {
+    import spark.implicits._
+    val hist = (1 to 10).map(i => (s"w$i", i.toLong)).toDF("w", "cnt")
+    // under the bound: the full histogram comes back, content-equal
+    val got = Bpe.collectHistogram(hist, maxRows = 10).toMap
+    assert(got == (1 to 10).map(i => (s"w$i", i.toLong)).toMap)
+    // over the bound: capped collect (at most bound+1 rows ever leave
+    // the executors), loud failure naming the distributed path
+    val e = intercept[IllegalArgumentException] {
+      Bpe.collectHistogram(hist, maxRows = 5)
+    }
+    assert(e.getMessage.contains("trainToVocab"))
+    assert(e.getMessage.contains("NOT driver-sized"))
+  }
 }

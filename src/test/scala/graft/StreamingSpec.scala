@@ -579,6 +579,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming probe fan-out guard: an over-bound trigger trips while the " +
+    "broadcast build collects; a bound-respecting trigger passes untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.etl.Dedup
+    val base = 1700000000L * US
+    val mb = 5
+
+    // same hot-bucket fixture as the split test: 8 identical docs make
+    // every candidate key carry ≥4 rows, so a per-task bound of 1 MUST
+    // trip in whichever task any key lands in — deterministically, at
+    // any shuffle-partition count
+    val hotSh = Seq("b_a", "b_b", "b_c", "b_d")
+    val corpusSh = ((1L to 8L).map(id => (id, hotSh)) ++ Seq(
+      (20L, Seq("u20_a", "u20_b", "u20_c", "u20_d"))))
+      .toDF("doc_id", "sh")
+    val indexBands = Dedup.bandTable(
+      Dedup.minhashSignatures(corpusSh, "doc_id", "sh", 15),
+      "doc_id", numBands = 3, rowsPerBand = 5)
+    val probeRows = Seq((901L, base, hotSh))
+    def probeDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), timestamp_micros(col("us")).as("ts"), col("sh"))
+
+    def run(bound: Long, name: String): Either[Throwable, Seq[(Long, Long)]] = {
+      val input = MemoryStream[(Long, Long, Seq[String])]
+      val out = StreamOps.nearDupSplitProbeStream(
+        probeDf(input.toDS().toDF("doc_id", "us", "sh")), indexBands,
+        corpusSh, maxBucket = mb, maxBuildRowsPerTask = bound)
+      val ckpt = Files.createTempDirectory("ckpt_guard").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        input.addData(probeRows: _*)
+        q.processAllAvailable()
+        Right(spark.table(name).select(col("a"), col("b"))
+          .as[(Long, Long)].collect().sorted.toSeq)
+      } catch { case t: Throwable => Left(t) }
+      finally q.stop()
+    }
+
+    // over-bound: the trigger fails DURING the micro-batch (the guard
+    // sits under the broadcast hint, so rows trip as the build
+    // collects), with the actionable message — never an OOM
+    run(bound = 1, "guard_trip_out") match {
+      case Left(t) =>
+        val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+        assert(msgs.contains("streaming probe fan-out guard"),
+          s"expected the guard message in the failure chain, got:\n$msgs")
+        assert(msgs.contains("probeFanoutBounded=false"))
+      case Right(rows) =>
+        fail(s"over-bound trigger was NOT tripped; emitted $rows")
+    }
+
+    // bound-respecting: identical trigger under a generous bound emits
+    // exactly the unguarded batch-twin pairs (the guard drops nothing)
+    val batch = StreamOps.nearDupSplitProbeStream(
+      probeDf(probeRows.toDF("doc_id", "us", "sh")), indexBands,
+      corpusSh, maxBucket = mb)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().sorted.toSeq
+    run(bound = StreamOps.defaultMaxBuildRowsPerTask, "guard_pass_out") match {
+      case Right(rows) => assert(rows == batch && rows.nonEmpty)
+      case Left(t) => fail(s"bound-respecting trigger tripped: ${t.getMessage}")
+    }
+  }
+
   test("nearDupExactProbeStream: total recall on a hot bucket at nsub=4; " +
     "streamed ≡ batch ≡ exactProbeBandTable; split ⊆ exact") {
     implicit val sqlCtx = spark.sqlContext
