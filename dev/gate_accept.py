@@ -40,6 +40,19 @@ PROBE_ST_MAX = 165.0  # bare-JVM probe band (fresh-JVM st bias)
 
 def artifact(path: str) -> int:
     d = json.load(open(path))
+    # VALIDITY pre-check (r18): a run with failed entries is not a
+    # usable total no matter how clean its window — its wall is missing
+    # the failed entries' time. This is NOT part of the frozen v2
+    # sentinel rule (which judges the window); it rejects artifacts
+    # that aren't complete measurements in the first place. Added after
+    # the r18 cold slot: bench_run1 attempt 2 lost its last 5 entries
+    # to a transient fault and the sentinel-only gate would have let a
+    # warm run like it through.
+    failed = d.get("failed", [])
+    if failed:
+        print(f"REJECT incomplete run: {len(failed)} failed entries "
+              f"{failed}")
+        return 1
     s = d.get("host_sentinel", {})
     sm = d.get("sentinel_samples", [])
     sts = [s.get("pre_st_ms", 1e9)] + [x["st_ms"] for x in sm] + \
