@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# r18 sitting driver: wait for the bench protocol to finish, then run
+# the grow4 iterative-tier legs (r17 VERDICT #5) and the cold-cache
+# stretch pair (r17 VERDICT #8). Every slot is resumable (accepted
+# artifacts skip), so this script can be relaunched after any
+# interruption without clobbering prior results.
+set -uo pipefail
+cd "$(dirname "$0")/../.."
+
+echo "== chain: waiting for bench protocol ($(date +%H:%M:%S))"
+while pgrep -f "dev/bench_r18/protocol.sh" >/dev/null; do sleep 60; done
+echo "== chain: bench protocol done, starting grow4 ($(date +%H:%M:%S))"
+
+dev/scale_experiment_r18/run_spark.sh 1x /root/testdata/sf0.1
+dev/scale_experiment_r18/run_spark.sh 10x_uniform /tmp/scale10x
+dev/scale_experiment_r18/run_spark.sh 100x_uniform /tmp/scale100x
+
+# Stretch: a DELIBERATELY cold page cache for the t52/t46 pair — drop
+# the page cache so the leg's io_probe reads genuinely cold, giving
+# the 18-102 s spill band and the lshpairs build an up-front label
+# instead of a post-hoc decomposition.
+if [[ ! -s dev/scale_experiment_r18/spark_grow3cold_100x_coldcache.json ]]; then
+  sync && echo 3 > /proc/sys/vm/drop_caches && echo "== chain: page cache dropped"
+fi
+PREFIX=grow3cold dev/scale_experiment_r18/run_spark.sh 100x_coldcache /tmp/scale100x \
+  t46_cc_star_contraction t52_ppjoin_exact
+echo "== chain: all slots done ($(date +%H:%M:%S))"
