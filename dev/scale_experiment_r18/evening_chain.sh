@@ -9,7 +9,18 @@ cd "$(dirname "$0")/../.."
 
 echo "== chain: waiting for bench protocol ($(date +%H:%M:%S))"
 while pgrep -f "dev/bench_r18/protocol.sh" >/dev/null; do sleep 60; done
-echo "== chain: bench protocol done, starting grow4 ($(date +%H:%M:%S))"
+# The protocol is resumable and exits nonzero while slots are missing
+# (storm evenings can exhaust a slot's attempts); re-enter it until
+# the commit gate passes, bounded so a permanent storm still lets the
+# scale legs run inside this sitting.
+for reentry in 1 2 3 4; do
+  if dev/bench_r18/protocol.sh >> /tmp/bench18_protocol.log 2>&1; then
+    echo "== chain: bench protocol commit gate PASSED (re-entry $reentry)"
+    break
+  fi
+  echo "== chain: protocol still short of its gate after re-entry $reentry ($(date +%H:%M:%S))"
+done
+echo "== chain: bench phase done, starting grow4 ($(date +%H:%M:%S))"
 
 dev/scale_experiment_r18/run_spark.sh 1x /root/testdata/sf0.1
 dev/scale_experiment_r18/run_spark.sh 10x_uniform /tmp/scale10x
