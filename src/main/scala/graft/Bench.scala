@@ -47,6 +47,26 @@ object Bench {
       // production).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      // AQE SMJ→SHJ rewrite (r18, guide §3.1): convert a sort-merge join
+      // to shuffled-hash at runtime when EVERY post-shuffle partition of
+      // the build side is under this many bytes — a decision made from
+      // OBSERVED stage sizes, not estimates, so the twilight-zone class
+      // (shingle/pair relations whose serialized rows run 15-20× their
+      // stats) cannot mis-trigger it: an actually-big partition simply
+      // stays SMJ. Scale-adaptive by construction — at 100 TB real
+      // partitions exceed 64 MB and plans keep the spill-safe SMJ; at
+      // small per-partition sizes the hash build skips the sort. 64 MB =
+      // the session broadcast threshold (same memory class as an
+      // accepted broadcast build). Spark default is 0 (off);
+      // measured −5…−16 s on the full registry across three windows,
+      // no consistent per-entry regression. Static
+      // preferSortMergeJoin stays at the Spark default TRUE: flipping it
+      // plans SHJ from size ESTIMATES — exactly what the twilight-zone
+      // relations defeat — and measured window-inconsistent (−16 s and
+      // +9 s in two sittings). Env seam for experiments.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ_THRESHOLD",
+          (64 * 1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     // generic experiment seam, same contract as Verify's

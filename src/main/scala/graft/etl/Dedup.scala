@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -609,10 +609,34 @@ object Dedup {
     // post-guard success run is t76_100x_skew_noconf.log). Guard both
     // array-carrying sides unless the caller DECLARES the probe side
     // bounded; the planner still picks SMJ vs shuffled-hash by cost.
-    val sa0 = baseA.select(col(idCol).as("a"), col(shCol).as("_sha"))
+    // Verify-kernel selection (r18, guide §1.2 per-task work): on
+    // PACKED-LONG shingle arrays (t08's injective packChar3 longs) the
+    // per-doc sides are sorted once with `sort_array` — a primitive
+    // radix-ish sort — so the per-PAIR intersection runs as
+    // [[graft.functions.IntersectCountSorted]]'s zero-allocation merge
+    // scan instead of `array_intersect`'s hash-set build + result-array
+    // materialization (the candidate join fans each set out per pair,
+    // so per-doc work amortizes over every pair; measured t08
+    // 6.9 → ~4.6 s). STRING shingle arrays keep the hash-set kernel:
+    // their per-doc sort is n·log n full UTF8String compares paid for
+    // EVERY doc row (including docs with zero candidates), which
+    // measured net-negative on the low-candidate-density entries (t06
+    // +1.6 s) — the pairs-per-doc ratio decides, and for strings it is
+    // too low here. Values are bit-identical either way (an
+    // intersection COUNT is element-order-insensitive; TextDedupSpec
+    // pins jaccardSorted ≡ jaccard).
+    val sortedKernel = baseA.schema(shCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val shByKernel: Column => Column =
+      if (sortedKernel) sort_array(_) else identity
+    val sa0 = baseA.select(col(idCol).as("a"),
+      shByKernel(col(shCol)).as("_sha"))
     val sa = if (probeBounded) sa0 else noBroadcastPairs(sa0)
     val sb = noBroadcastPairs(
-      baseB.select(col(idCol).as("b"), col(shCol).as("_shb")))
+      baseB.select(col(idCol).as("b"), shByKernel(col(shCol)).as("_shb")))
     // Broadcast-twilight-zone guard: `cand` is a candidate-pair relation
     // — quadratic-capable by construction (hot LSH buckets square), and
     // its upstream COMPRESSED stats can sit under
@@ -627,7 +651,8 @@ object Dedup {
     val guard = noBroadcastPairs _
     guard(guard(cand).join(sa, Seq("a"))).join(sb, Seq("b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        round(Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
+        round(if (sortedKernel) Portable.jaccardSorted(col("_sha"), col("_shb"))
+              else Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

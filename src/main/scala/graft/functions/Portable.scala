@@ -219,6 +219,28 @@ object Portable {
     when(uni =!= 0.0, inter / uni)
   }
 
+  /** [[jaccard]] over SORTED distinct arrays — same values bit-exactly
+    * (an intersection COUNT is element-order-insensitive, and on
+    * distinct inputs |∪| = |a| + |b| − |∩| as in [[jaccard]]), but the
+    * per-pair intersection runs as the zero-allocation merge scan of
+    * [[IntersectCountSorted]] instead of `array_intersect`'s hash-set
+    * build + result-array materialization. The caller hoists one
+    * `sort_array` per DOCUMENT row before the candidate join fans the
+    * array out per PAIR — the dedup verify path evaluates this once per
+    * candidate pair, so moving work from per-pair to per-doc is the
+    * guide §1.2 "per-task work" lever (measured on t08/t06, see
+    * OPTIMIZATION_r18.md). PRECONDITION as [[IntersectCountSorted]]:
+    * both arrays sorted ascending (sort_array default), distinct
+    * elements; TextDedupSpec pins equality with [[jaccard]].
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val inter = ColumnBridge.column(IntersectCountSorted(
+      ColumnBridge.expression(a), ColumnBridge.expression(b))).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni =!= 0.0, inter / uni)
+  }
+
   /** General-contract Jaccard: builds the union set explicitly
     * (`array_union`), so duplicate elements in either input are
     * collapsed instead of over-counting |∪|. Identical to [[jaccard]]

@@ -702,6 +702,17 @@ object PipelineQueries {
       // union with the same rel tag and a single LEFT join marks
       // orphans, so totals and orphan counts come out of one
       // aggregation instead of two recomputed branches.
+      // The relationship tag rides the ONLY corpus-sized shuffle (the
+      // child explode → (rel, k) partial agg, ~3 rows per lineitem row)
+      // as a 4-byte INT ordinal instead of the ~25-byte display string
+      // (guide §2.3 "narrower types / shuffle keys, not payloads"):
+      // grouping hashes an int instead of a UTF8String and the shuffle
+      // rows shrink ~3×. The string surfaces only in the final ≤6-row
+      // projection, where it is reconstructed from the same fkRels
+      // order both sides tag from.
+      val relName = fkRels.map { case (child, fk, parent, _) =>
+        s"$child.$fk->$parent" }
+      val relOrd = relName.zipWithIndex.toMap
       val keyed = fkRels.groupBy(_._1).toSeq.map { case (child, rels) =>
         // narrow to the FK columns, then spread: the single-row-group
         // testdata scan is one partition, and without the redistribution
@@ -710,7 +721,7 @@ object PipelineQueries {
           .select(rels.map { case (_, fk, _, _) => col(fk) }.distinct: _*))
           .select(
             explode(array(rels.map { case (_, fk, parent, _) =>
-              struct(lit(s"$child.$fk->$parent").as("rel"),
+              struct(lit(relOrd(s"$child.$fk->$parent")).as("rel"),
                 col(fk).cast("long").as("k")) }: _*)).as("x"))
           .select(col("x.rel").as("rel"), col("x.k").as("k"))
       }.reduce(_ unionAll _)
@@ -719,7 +730,7 @@ object PipelineQueries {
       val parents = fkRels.map { case (child, fk, parent, pk) =>
         tableByName(s, d, parent)
           .select(col(pk).cast("long").as("k")).distinct()
-          .select(lit(s"$child.$fk->$parent").as("rel"), col("k"),
+          .select(lit(relOrd(s"$child.$fk->$parent")).as("rel"), col("k"),
             lit(1).as("present"))
       }.reduce(_ unionAll _)
       // NULL-key semantics pinned to the oracle's: a NULL fk row counts
@@ -738,7 +749,11 @@ object PipelineQueries {
             .as("n_orphan_rows"),
           sum(when(col("present").isNull && col("k").isNotNull, 1L)
             .otherwise(0L)).as("n_orphan_keys"))
-        .select(col("rel").as("relationship"), col("n_child"), col("n_keys"),
+        // reconstruct the display string from the ordinal in the ≤6-row
+        // report projection (element_at is 1-based)
+        .select(element_at(
+            array(relName.map(lit): _*), col("rel") + 1).as("relationship"),
+          col("n_child"), col("n_keys"),
           col("n_orphan_rows"), col("n_orphan_keys"))
     },
     Some(fkRels.map { case (child, fk, parent, pk) =>

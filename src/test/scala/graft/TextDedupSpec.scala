@@ -98,6 +98,45 @@ class TextDedupSpec extends SparkSpec {
       array(lit("a")))) == 1.0)
   }
 
+  test("jaccardSorted ≡ jaccard on sorted distinct arrays (long and string), " +
+    "null-element and empty edges") {
+    // the r18 verify-stage kernel swap: IntersectCountSorted's merge
+    // scan must reproduce array_intersect's count bit-exactly on every
+    // input verifyJaccard can feed it — random distinct arrays, both
+    // element types, including empties (null jaccard) and disjoint sets
+    val rnd = new scala.util.Random(41)
+    def sarr() = Seq.fill(rnd.nextInt(14))(s"s${rnd.nextInt(12)}").distinct
+    val sp = (1 to 80).map(i => (i, sarr(), sarr())).toDF("i", "a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val sdiff = sp.select(
+        Portable.jaccardSorted(col("a"), col("b")).as("fast"),
+        Portable.jaccard(col("a"), col("b")).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(sdiff.count() == 0)
+    def larr() = Seq.fill(rnd.nextInt(14))(rnd.nextInt(12).toLong).distinct
+    val lp = (1 to 80).map(i => (i, larr(), larr())).toDF("i", "a", "b")
+      .select(sort_array(col("a")).as("a"), sort_array(col("b")).as("b"))
+    val ldiff = lp.select(
+        Portable.jaccardSorted(col("a"), col("b")).as("fast"),
+        Portable.jaccard(col("a"), col("b")).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(ldiff.count() == 0)
+    // empty ∩ empty → null (union 0), same as jaccard
+    assert(one(Portable.jaccardSorted(array().cast("array<string>"),
+      array().cast("array<string>"))) == null)
+    // null elements count as equal (array_intersect set semantics);
+    // sort_array places them first — [null,a] ∩ [null,b] = {null}
+    val withNull = Seq(1).toDF("i").select(
+      Portable.jaccardSorted(
+        sort_array(array(lit("a"), lit(null).cast("string"))),
+        sort_array(array(lit("b"), lit(null).cast("string")))).as("v"),
+      Portable.jaccard(
+        array(lit(null).cast("string"), lit("a")),
+        array(lit(null).cast("string"), lit("b"))).as("ref"))
+      .collect()(0)
+    assert(withNull.get(0) == withNull.get(1))
+  }
+
   test("packChar3: injective codepoint packing, verify parity on packed arrays") {
     // full-codepoint fields, BMP and supplementary plane both: two
     // shingles sharing a UTF-16 high surrogate must still pack apart
