@@ -57,9 +57,12 @@ object Bench {
       // partitions exceed 64 MB and plans keep the spill-safe SMJ; at
       // small per-partition sizes the hash build skips the sort. 64 MB =
       // the session broadcast threshold (same memory class as an
-      // accepted broadcast build). Spark default is 0 (off);
-      // measured −5…−16 s on the full registry across three windows,
-      // no consistent per-entry regression. Static
+      // accepted broadcast build). Spark default is 0 (off). Effect
+      // sized by PLAN DIFF, not totals (the measuring sitting was
+      // storm-labeled): the rewrite fires on q79/t24/t44 (one SMJ →
+      // SHJ each, plans/r18) — guarded verify joins are skipped by
+      // DynamicJoinSelection because they already carry a strategy
+      // hint, which is the intended interaction. Static
       // preferSortMergeJoin stays at the Spark default TRUE: flipping it
       // plans SHJ from size ESTIMATES — exactly what the twilight-zone
       // relations defeat — and measured window-inconsistent (−16 s and

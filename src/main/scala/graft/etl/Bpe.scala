@@ -54,7 +54,7 @@ object Bpe {
           expr("array_join(transform(sequence(1, length(w)), " +
             "i -> substring(w, i, 1)), ' ')"),
           lit(" ")).as("seg")))
-    val out = Seq.newBuilder[DataFrame]
+    val rows = Seq.newBuilder[(Int, String, String, Long)]
     var dried = false
     var r = 1
     while (r <= rounds && !dried) {
@@ -69,40 +69,53 @@ object Bpe {
           .as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(sum(col("cnt")).as("freq"))
-      val best = policy.barrier(pairCounts
+      // The round's argmax is ONE ROW by construction (top-1
+      // TakeOrderedAndProject) — collect it instead of barriering a
+      // 1-row frame and broadcast-joining it into the merge plan (the
+      // r18 change, guide §1.2): same one job per round, but the merge
+      // fold now carries the pair as LITERALS (whole-stage codegen'd,
+      // exactly [[segment]]'s fold shape), the dried-up check is a
+      // local isEmpty instead of a scan, and the output schedule is a
+      // local literal relation instead of `rounds` checkpointed 1-row
+      // RDDs re-read by every consumer. A 1-row scalar collect is the
+      // same driver boundary class as resolveClusters' convergence
+      // count — never data-sized.
+      val bestRows = pairCounts
         .orderBy(col("freq").desc, col("s1").asc, col("s2").asc)
-        .limit(1))
+        .limit(1).collect()
       // dried-up corpus (no adjacent pair left): stop the driver loop —
       // output semantics are unchanged (later rounds could only emit
       // empty frames) but a vocab-size target far past the corpus's
-      // merge capacity no longer pays for dead rounds. `best` is the
-      // eagerly-barriered 1-row frame, so isEmpty is a cheap scan.
-      if (best.isEmpty) dried = true
+      // merge capacity no longer pays for dead rounds.
+      if (bestRows.isEmpty) dried = true
       else {
+        val s1 = bestRows(0).getString(0)
+        val s2 = bestRows(0).getString(1)
+        val freq = bestRows(0).getLong(2)
         seg = seg
-          .crossJoin(broadcast(
-            best.select(col("s1").as("_m1"), col("s2").as("_m2"))))
           .withColumn("sy",
             expr("slice(split(seg, ' '), 2, size(split(seg, ' ')) - 2)"))
-          .withColumn("sy2", expr(
-            "aggregate(sy, cast(array() as array<string>), (acc, x) -> " +
-              "IF(size(acc) > 0 AND element_at(acc, -1) = _m1 AND x = _m2, " +
-              "concat(slice(acc, 1, size(acc) - 1), array(concat(_m1, _m2))), " +
-              "concat(acc, array(x))))"))
+          .withColumn("sy2",
+            aggregate(col("sy"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(s1) && x === lit(s2),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+                .otherwise(concat(acc, array(x)))))
           .select(col("cnt"),
             concat(lit(" "), array_join(col("sy2"), " "), lit(" ")).as("seg"))
         seg = policy.barrier(seg)
-        out += best.select(lit(r).as("round"), col("s1"), col("s2"), col("freq"))
+        rows += ((r, s1, s2, freq))
       }
       r += 1
     }
     IterStats.record("bpe_train_rounds", r - 1)
-    val frames = out.result()
-    if (frames.isEmpty)
-      hist.sparkSession.emptyDataFrame
-        .select(lit(0).as("round"), lit("").as("s1"), lit("").as("s2"),
-          lit(0L).as("freq")).limit(0)
-    else frames.reduce(_ unionAll _)
+    // the merge schedule is vocabulary-budget-sized (one row per round)
+    // — a local literal relation, same shape the old per-round
+    // checkpointed 1-row frames unioned to
+    val session = hist.sparkSession
+    import session.implicits._
+    rows.result().toDF("round", "s1", "s2", "freq")
+      .select(col("round"), col("s1"), col("s2"), col("freq"))
   }
 
   /** Driver-side BPE trainer over a COLLECTED word histogram — the
