@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** The AQE SMJ→SHJ local-map threshold (bytes), env-overridable — ONE
+    * definition shared by the Bench session and [[Verify]]'s (r18 ADVICE
+    * #4: the oracle-verification runs must execute the same physical
+    * plans the bench certifies, not rest on join-strategy equivalence).
+    */
+  def shjThresholdBytes: Long =
+    sys.env.get("SPARK_GRAFT_AQE_SHJ_THRESHOLD")
+      // same size-string grammar as the Spark conf itself ("64m", "1g",
+      // bare bytes) — the seam used to pass the value verbatim
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(64L * 1024 * 1024)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -67,9 +79,23 @@ object Bench {
       // plans SHJ from size ESTIMATES — exactly what the twilight-zone
       // relations defeat — and measured window-inconsistent (−16 s and
       // +9 s in two sittings). Env seam for experiments.
+      //
+      // COUPLING (r18 ADVICE #3): Spark only applies the rewrite when
+      // adaptive.advisoryPartitionSizeInBytes <= this threshold
+      // (OptimizeShuffleWithLocalRead/ShuffledHashJoin rewrite guard).
+      // The Spark-default advisory is 64 MB — exactly equal to our
+      // default threshold — so lowering the threshold through the env
+      // seam would silently disable the rewrite if the advisory stayed
+      // put. Pin the advisory to min(threshold, 64 MB) from the SAME
+      // value so the two knobs cannot decouple: at the default this
+      // writes the Spark default back verbatim (no behavior change),
+      // and a lowered seam keeps advisory <= threshold, keeping the
+      // rewrite live. (Raising the advisory is the other way to break
+      // the guard; nothing here raises it.)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ_THRESHOLD",
-          (64 * 1024 * 1024).toString))
+        shjThresholdBytes.toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(shjThresholdBytes, 64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     // generic experiment seam, same contract as Verify's

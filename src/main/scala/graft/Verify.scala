@@ -26,6 +26,19 @@ object Verify {
       // planner strategy twice (fresh JVM => the conf path is reliable)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
+      // Plan parity with the Bench session (r18 ADVICE #4): the oracle
+      // check must exercise the SAME physical plans the bench certifies
+      // — the AQE SMJ→SHJ rewrite (one shared threshold definition, env
+      // seam included, plus the advisory<=threshold pin — see
+      // Bench.shjThresholdBytes) and the 64 MB broadcast threshold.
+      // Join strategy never changes results, but with these mirrored
+      // the 205-entry DuckDB check verifies the executed plans
+      // directly instead of resting on that equivalence argument.
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        Bench.shjThresholdBytes.toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(Bench.shjThresholdBytes, 64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     // generic experiment seam: semicolon-separated k=v Spark confs

@@ -103,7 +103,8 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val small = capped(banded(sig, idCol, numBands, rowsPerBand), maxBucket)
+    val small = capped(banded(persistSig(sig), idCol, numBands, rowsPerBand),
+      maxBucket)
     small.as("x")
       .join(small.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
@@ -111,6 +112,26 @@ object Dedup {
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
       .distinct()
   }
+
+  /** Persist the signature matrix consumed by a candidate SELF-join
+    * (r19, guide §2.4 "remove shuffles outright" / shared computation):
+    * the band pipeline traverses `sig` THREE times per run — the
+    * hot-bucket count aggregate plus both sides of the candidate
+    * self-join (the r18 t08 final plan shows all three as separate
+    * full subtrees; only the hot agg's exchange is reused) — and each
+    * traversal recomputes the md5-based shingle hashes and k min-folds
+    * from the (possibly cached) shingle arrays, the dominant cost of
+    * candidate generation (measured: t08 candidates 4.3 s of which
+    * signatures ~0.9 s per traversal). One MEMORY_AND_DISK persist of
+    * the narrow (id, m0..m{k-1}) matrix makes that one traversal. This
+    * is the in-query twin of the bandTable-artifact shape the
+    * incremental entries use on storage; at 100 TB the persisted
+    * matrix is O(corpus) × ~(8·k+8) bytes and spills to disk by level.
+    * Batch-only by construction (self-join callers); the streaming
+    * probe path never routes through here.
+    */
+  private def persistSig(sig: DataFrame): DataFrame =
+    sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Band rows with their split sub-bucket join keys — the assignment
     * stage of [[splitCandidates]], package-visible so DedupSplitSpec can
@@ -198,7 +219,8 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val keyed = splitKeyed(sig, idCol, numBands, rowsPerBand, maxBucket)
+    val keyed = splitKeyed(persistSig(sig), idCol, numBands, rowsPerBand,
+      maxBucket)
     keyed.as("x")
       .join(keyed.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
@@ -625,11 +647,26 @@ object Dedup {
     // too low here. Values are bit-identical either way (an
     // intersection COUNT is element-order-insensitive; TextDedupSpec
     // pins jaccardSorted ≡ jaccard).
-    val sortedKernel = baseA.schema(shCol).dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType, _) => true
-      case _ => false
-    }
+    // Kernel choice derives from BOTH sides (r18 ADVICE #1): a two-base
+    // call with mismatched element types (long probe vs string corpus)
+    // would otherwise pick the kernel from baseA alone and fail with an
+    // opaque IntersectCountSorted type-check error deep in analysis.
+    // Mismatched sides are a caller contract violation either way (the
+    // hash kernel's array_intersect type-errors on them too), so fail
+    // here with a named message instead.
+    def shElemType(df: DataFrame): org.apache.spark.sql.types.DataType =
+      df.schema(shCol).dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) => et
+        case other => throw new IllegalArgumentException(
+          s"verifyJaccard: column '$shCol' must be an array type, got $other")
+      }
+    val (etA, etB) = (shElemType(baseA), shElemType(baseB))
+    require(etA == etB,
+      s"verifyJaccard: shingle element types must match across sides — " +
+        s"probe side '$shCol' is array<$etA>, corpus side is array<$etB>. " +
+        "Build both sides with the same shingle builder (e.g. pack BOTH " +
+        "through Portable.packChar3, or neither).")
+    val sortedKernel = etA == org.apache.spark.sql.types.LongType
     val shByKernel: Column => Column =
       if (sortedKernel) sort_array(_) else identity
     val sa0 = baseA.select(col(idCol).as("a"),
@@ -649,7 +686,26 @@ object Dedup {
     // stats-based shuffle choice is untouched. Both joins carry the
     // hint (a strategy hint binds to the nearest join only).
     val guard = noBroadcastPairs _
+    // Length upper-bound prefilter (r19, PPJoin size bound / guide §1.2
+    // per-pair work): |∩| ≤ min(|a|,|b|), so a pair's BEST achievable
+    // jaccard is min/(na+nb−min) — reached at full containment. Pairs
+    // whose bound already fails the threshold skip the intersection
+    // kernel entirely (measured 46% of t08's candidates at sf0.1).
+    // EXACTLY result-preserving by construction: the bound is compared
+    // through the SAME round(·, 6) >= threshold predicate as the real
+    // filter below, jaccard is monotone in |∩| (and double division +
+    // half-up rounding are monotone), so round(jmax) < t ⟹
+    // round(j) < t for every achievable |∩| — a dropped pair could
+    // never have survived the declared filter. Cost: two array-length
+    // reads + one division per pair, paid before any element is
+    // touched.
+    val _na = size(col("_sha")).cast("double")
+    val _nb = size(col("_shb")).cast("double")
+    val _mn = least(_na, _nb)
+    val lengthBound =
+      round(_mn / (_na + _nb - _mn), 6) >= threshold
     guard(guard(cand).join(sa, Seq("a"))).join(sb, Seq("b"))
+      .filter(lengthBound)
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         round(if (sortedKernel) Portable.jaccardSorted(col("_sha"), col("_shb"))
               else Portable.jaccard(col("_sha"), col("_shb")), 6).as("jaccard"))

@@ -135,6 +135,23 @@ class TextDedupSpec extends SparkSpec {
         array(lit(null).cast("string"), lit("b"))).as("ref"))
       .collect()(0)
     assert(withNull.get(0) == withNull.get(1))
+    // DUPLICATE elements are a CONTRACT VIOLATION (every shingle builder
+    // emits distinct sets — list_distinct / .distinct), and the two
+    // kernels diverge on them SILENTLY (r18 ADVICE #2, documented here
+    // so a future builder regression surfaces loudly): the merge scan
+    // counts min(multiplicity) matches — [a,a] ∩ [a,a] counts 2 —
+    // while array_intersect counts each VALUE once — count 1. Neither
+    // is "the" Jaccard of the multiset; the divergence is the tripwire.
+    val dup = Seq(1).toDF("i").select(
+      Portable.jaccardSorted(
+        array(lit("a"), lit("a")), array(lit("a"), lit("a"))).as("sorted"),
+      Portable.jaccard(
+        array(lit("a"), lit("a")), array(lit("a"), lit("a"))).as("hash"))
+      .collect()(0)
+    assert(dup.getDouble(0) == 1.0,   // 2 / (2 + 2 - 2): min-multiplicity
+      s"merge-scan kernel on duplicates changed: ${dup.getDouble(0)}")
+    assert(dup.getDouble(1) == 1.0 / 3.0, // 1 / (2 + 2 - 1): value-once
+      s"hash kernel on duplicates changed: ${dup.getDouble(1)}")
   }
 
   test("packChar3: injective codepoint packing, verify parity on packed arrays") {
