@@ -827,19 +827,23 @@ object Dedup {
     // shuffle — the r15 shape paid a groupBy shuffle plus a both-sides
     // array-KEYED SMJ, whose array sort key was the measured regression
     // the blanket guard bought (t52 100x ~30→~64 s). The partition key
-    // leads with a fixed-width 60-bit hash of the canonical array
-    // (hash60 of the NUL-joined elements), so shuffle-sort comparisons
-    // are long-first; the array itself rides as the SECOND partition
-    // key purely as an exactness tiebreak — a hash collision (or NUL
-    // separator ambiguity) merely co-locates two groups in one sort
-    // run, it can never merge them, so the no-collision contract is
-    // structural, not probabilistic. The scalar-first key is also why
-    // no twilight-zone guard is needed here anymore: there is no join
-    // left to mis-plan.
+    // leads with a fixed-width 64-bit STRUCTURAL hash of the canonical
+    // array (xxhash64 over the array value itself — r19: the former
+    // md5-of-NUL-joined-string built a multi-KB concat per row and ran
+    // md5 over it inside the collapse stage, the operator's dominant
+    // measured cost; xxhash64 streams the elements with no intermediate
+    // string and no separator-ambiguity caveat), so shuffle-sort
+    // comparisons are long-first; the array itself rides as the SECOND
+    // partition key purely as an exactness tiebreak — a hash collision
+    // merely co-locates two groups in one sort run, it can never merge
+    // them, so the no-collision contract is structural, not
+    // probabilistic. The hash is INTERNAL (partition key only, never in
+    // any output), so the algorithm swap is invisible to every oracle.
+    // The scalar-first key is also why no twilight-zone guard is needed
+    // here anymore: there is no join left to mis-plan.
     val wg = w.partitionBy(col("_oshk"), col("_osh"))
     val withRep = rows
-      .withColumn("_oshk",
-        Portable.hash60(concat_ws("\u0000", col("_osh"))))
+      .withColumn("_oshk", xxhash64(col("_osh")))
       .withColumn("_gid", min(col("_oid")).over(wg))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val memb = withRep.select(col("_gid"), col("_oid"))
@@ -848,13 +852,18 @@ object Dedup {
       .select(col("_osh"), col("_oid").as("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = groups.select(col("_id"), col("_osh").as("_sh"))
-    val tok = sets.select(col("_id"), explode(col("_sh")).as("_tok"))
+    // set size rides THROUGH the explode (r19): the arrays are distinct
+    // by canonicalization, so size(_sh) ≡ the former count(*) window
+    // over the exploded rows — carrying it as a column drops one of the
+    // two window functions (same shuffle, half the window state; the
+    // count was also the only full-frame window aggregate here)
+    val tok = sets.select(col("_id"), size(col("_sh")).cast("long").as("_n"),
+      explode(col("_sh")).as("_tok"))
     val dfreq = tok.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     val ranked = tok.join(dfreq, "_tok")
-      .select(col("_id"), col("_tok"),
+      .select(col("_id"), col("_tok"), col("_n"),
         row_number().over(
-          w.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))).as("_rn"),
-        count(lit(1)).over(w.partitionBy(col("_id"))).as("_n"))
+          w.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))).as("_rn"))
     val prefix = ranked
       .filter(col("_rn") <= col("_n") - expr(s"($num*_n + ${den - 1}) div $den") + 1)
       .select(col("_id"), col("_tok"), col("_n"))
@@ -865,11 +874,23 @@ object Dedup {
           lit(den.toLong) * col("x._n") >= lit(num.toLong) * col("y._n"))
       .select(col("x._id").as("a"), col("y._id").as("b"))
       .distinct()
-    // every join below with a candidate/verified PAIR relation on one
-    // side carries the twilight-zone guard ([[noBroadcastPairs]]): the
-    // pair side is quadratic-capable and must never be a broadcast
-    // build, under any conf/stats estimate — the token and size sides
-    // stay free to broadcast when small
+    // Verify stage: the token-equi-join shape, KEPT after an r19
+    // experiment — the alternative (attach both canonical arrays per
+    // pair by scalar id and run the IntersectCountSorted merge scan)
+    // measured 0.72 → 1.17 s WORSE warm at sf0.1 once the attach sides
+    // carried the mandatory twilight-zone guard: shingle-array
+    // relations must never be broadcast builds (serialized rows run
+    // ~15-20× their stats), so the attach joins become shuffle joins,
+    // while THIS shape's non-pair sides (token and size relations) are
+    // stats-honest scalar relations that legitimately ride broadcasts.
+    // (Unguarded, the kernel shape wins 0.72 → 0.48 — the kernel is
+    // fine, the guard's lost broadcasts are the cost. Row-identical
+    // either way; measured diff 0.) Every join below with a
+    // candidate/verified PAIR relation on one side carries the
+    // twilight-zone guard ([[noBroadcastPairs]]): the pair side is
+    // quadratic-capable and must never be a broadcast build, under any
+    // conf/stats estimate — the token and size sides stay free to
+    // broadcast when small.
     val inter = noBroadcastPairs(noBroadcastPairs(cand)
         .join(tok.select(col("_id").as("a"), col("_tok")), Seq("a")))
       .join(tok.select(col("_id").as("_idb"), col("_tok").as("_tok2")),
