@@ -148,16 +148,67 @@ object Bpe {
     require(rounds >= 1, s"BPE training needs at least 1 round, got $rounds")
     // duplicate words contribute additively, exactly as train's sum
     val cnt: Map[String, Long] = hist.groupMapReduce(_._1)(_._2)(_ + _)
-    var segs: Map[String, Array[String]] = cnt.keysIterator
-      .filter(_.length >= 2)
-      .map(w => (w, splitCodepoints(w))).toMap
+    // INCREMENTAL pair maintenance (r19, the HF-tokenizers/SentencePiece
+    // trainer shape): the r18 form rebuilt the whole pair-count map AND
+    // re-merged EVERY word every round — O(rounds × Σ|word symbols|),
+    // the term that makes a 30k-merge × 10⁷-word production build
+    // infeasible on one node. This form builds the counts once and then
+    // touches, per round, ONLY the words that contain the merged pair
+    // (found via an exact pair → words occurrence index): per round the
+    // cost is one argmax scan of the pair map (the same scan the
+    // rebuild form also paid) plus the touched words' re-segmentation —
+    // O(merges × touched), not O(merges × V). Measured on a synthetic
+    // 10⁵-word × 500-merge build: see OPTIMIZATION_r19.md.
+    //
+    // EXACTNESS: the maintained map is inductively identical to the
+    // rebuilt one — delWord subtracts every adjacency of a touched
+    // word's OLD segmentation, addWord adds every adjacency of its NEW
+    // one, untouched words contribute unchanged counts, and entries at
+    // zero are REMOVED (the rebuilt map simply lacks them, and a
+    // zero-count pair must never win an argmax round). The argmax
+    // comparator (freq DESC, s1 ASC, s2 ASC in unsigned UTF-8 byte
+    // order) and the dried-corpus stop (empty pair map) are byte-for-
+    // byte the r18 logic; BpePropertySpec pins trainLocal ≡ train
+    // round-for-round on arbitrary histograms.
+    val segs = collection.mutable.HashMap.empty[String, Array[String]]
+    cnt.keysIterator.filter(_.length >= 2)
+      .foreach(w => segs(w) = splitCodepoints(w))
+    val pc = collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = collection.mutable
+      .HashMap.empty[(String, String), collection.mutable.HashSet[String]]
+    def addWord(w: String, s: Array[String]): Unit = {
+      val c = cnt(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pc.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+        occ.getOrElseUpdate(p, collection.mutable.HashSet.empty) += w
+        i += 1
+      }
+    }
+    def delWord(w: String, s: Array[String]): Unit = {
+      val c = cnt(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        // .get fails loudly on a bookkeeping bug — the maintained map
+        // missing a live adjacency means the ≡-rebuild induction broke
+        pc.updateWith(p) { v =>
+          val nv = v.get - c
+          if (nv == 0L) None else Some(nv)
+        }
+        occ.get(p).foreach { set =>
+          set -= w
+          if (set.isEmpty) occ.remove(p)
+        }
+        i += 1
+      }
+    }
+    segs.foreach { case (w, s) => addWord(w, s) }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val pc = collection.mutable.HashMap.empty[(String, String), Long]
-      for ((w, s) <- segs if s.length >= 2; i <- 0 until s.length - 1)
-        pc.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + cnt(w)))
       if (pc.isEmpty) done = true
       else {
         var best: ((String, String), Long) = null
@@ -172,7 +223,16 @@ object Bpe {
         }
         val ((s1, s2), f) = best
         out += ((r, s1, s2, f))
-        segs = segs.map { case (w, s) => (w, mergePair(s, s1, s2)) }
+        // snapshot: addWord/delWord mutate the occurrence index
+        val touched = occ.get((s1, s2)).map(_.toArray)
+          .getOrElse(Array.empty[String])
+        for (w <- touched) {
+          val s = segs(w)
+          delWord(w, s)
+          val ns = mergePair(s, s1, s2)
+          segs(w) = ns
+          addWord(w, ns)
+        }
         r += 1
       }
     }
