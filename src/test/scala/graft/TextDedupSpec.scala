@@ -181,6 +181,41 @@ class TextDedupSpec extends SparkSpec {
     assert(onStrings == onPacked && onStrings.nonEmpty)
   }
 
+  test("verifyJaccard length prefilter is invisible: output equals the " +
+    "unfiltered join+jaccard+filter reference at every threshold") {
+    // r19: verifyJaccard drops pairs whose best-achievable jaccard
+    // (min size at full containment) fails round(·,6) >= threshold
+    // BEFORE running the intersection kernel — this pin proves the
+    // prefilter never changes the declared output. Sets of varied
+    // sizes (3..20 over a 6-value universe) force heavy length
+    // mismatch, so the prefilter actually fires; both element types.
+    val rnd = new scala.util.Random(99)
+    val rows = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(18)
+      (id, Seq.fill(n)(f"${('a' + rnd.nextInt(6)).toChar}x${('a' + rnd.nextInt(6)).toChar}").distinct)
+    }
+    // exact duplicates of two random docs guarantee survivors at 0.9
+    val docs = (rows ++ Seq((41L, rows(4)._2), (42L, rows(17)._2)))
+      .toDF("doc_id", "sh")
+    val cand = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    for (thr <- Seq(0.0, 0.3, 0.6, 0.9)) {
+      val got = Dedup.verifyJaccard(docs, "doc_id", "sh", cand, thr)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      // unfiltered reference: the declared semantics, no prefilter
+      val ref = cand
+        .join(docs.select(col("doc_id").as("a"), col("sh").as("_ra")), Seq("a"))
+        .join(docs.select(col("doc_id").as("b"), col("sh").as("_rb")), Seq("b"))
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          round(Portable.jaccard(col("_ra"), col("_rb")), 6).as("jaccard"))
+        .filter(col("jaccard") >= thr)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(got == ref, s"prefilter changed output at threshold $thr")
+      assert(ref.nonEmpty, s"degenerate fixture at threshold $thr")
+    }
+  }
+
   test("Dedup: LSH candidates find near-dups, verification filters them") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
