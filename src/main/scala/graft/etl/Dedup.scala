@@ -103,8 +103,7 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val small = capped(banded(persistSig(sig), idCol, numBands, rowsPerBand),
-      maxBucket)
+    val small = capped(banded(sig, idCol, numBands, rowsPerBand), maxBucket)
     small.as("x")
       .join(small.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&
@@ -113,24 +112,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Persist the signature matrix consumed by a candidate SELF-join
-    * (r19, guide §2.4 "remove shuffles outright" / shared computation):
-    * the band pipeline traverses `sig` THREE times per run — the
-    * hot-bucket count aggregate plus both sides of the candidate
-    * self-join (the r18 t08 final plan shows all three as separate
-    * full subtrees; only the hot agg's exchange is reused) — and each
-    * traversal recomputes the md5-based shingle hashes and k min-folds
-    * from the (possibly cached) shingle arrays, the dominant cost of
-    * candidate generation (measured: t08 candidates 4.3 s of which
-    * signatures ~0.9 s per traversal). One MEMORY_AND_DISK persist of
-    * the narrow (id, m0..m{k-1}) matrix makes that one traversal. This
-    * is the in-query twin of the bandTable-artifact shape the
-    * incremental entries use on storage; at 100 TB the persisted
-    * matrix is O(corpus) × ~(8·k+8) bytes and spills to disk by level.
-    * Batch-only by construction (self-join callers); the streaming
-    * probe path never routes through here.
+  /** Persist a signature matrix about to feed a candidate SELF-join
+    * (r19, guide §2.4 shared computation): the band pipeline traverses
+    * `sig` THREE times per run — the hot-bucket count aggregate plus
+    * both sides of the candidate self-join (the r18 t08 final plan
+    * shows all three as separate full subtrees; only the hot agg's
+    * exchange is reused) — and each traversal recomputes the
+    * md5-based shingle hashes and k min-folds, the dominant cost of
+    * candidate generation when the matrix is an inline pipeline
+    * (measured: t08 candidates 4.3 s → 2.8 s, t06 −0.7, lshpairs
+    * build −0.7). One MEMORY_AND_DISK persist of the narrow
+    * (id, m0..m{k-1}) matrix makes that one traversal; at 100 TB it
+    * is O(corpus) × ~(8·k+8) bytes and spills by level.
+    *
+    * CALLER-side by design, not inside [[splitCandidates]]: a sig that
+    * is already a MATERIALIZED table (t70/t72 read theirs from an
+    * Artifacts parquet) re-reads for near-free, and caching it anyway
+    * measured +0.4–0.8 s per entry (cache write + InMemoryTableScan
+    * overhead for traversals that were cheap pruned scans). The caller
+    * knows which kind it holds; this helper is the one-line way to say
+    * "mine is expensive".
     */
-  private def persistSig(sig: DataFrame): DataFrame =
+  def persistSig(sig: DataFrame): DataFrame =
     sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Band rows with their split sub-bucket join keys — the assignment
@@ -219,8 +222,7 @@ object Dedup {
       numBands: Int,
       rowsPerBand: Int,
       maxBucket: Int): DataFrame = {
-    val keyed = splitKeyed(persistSig(sig), idCol, numBands, rowsPerBand,
-      maxBucket)
+    val keyed = splitKeyed(sig, idCol, numBands, rowsPerBand, maxBucket)
     keyed.as("x")
       .join(keyed.as("y"),
         col("x.bidx") === col("y.bidx") && col("x.bh") === col("y.bh") &&

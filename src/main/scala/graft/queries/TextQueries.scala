@@ -407,7 +407,12 @@ object TextQueries {
     // persist it so the shingle extraction runs once, not three times
     // (at cluster scale this is a checkpoint to storage, same shape).
     val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = Dedup.minhashSignatures(cached, "doc_id", "sh", k)
+    // the signature matrix is an INLINE pipeline (md5 per shingle + k
+    // min-folds) and the candidate generator traverses it three times —
+    // persist it (Dedup.persistSig scaladoc: caller-side by design;
+    // artifact-backed sigs like t70/t72's must NOT pay the cache)
+    val sig = Dedup.persistSig(
+      Dedup.minhashSignatures(cached, "doc_id", "sh", k))
     val cand = Dedup.splitCandidates(sig, "doc_id", bands, rows, maxBucket)
     Dedup.verifyJaccard(cached, "doc_id", "sh", cand, threshold)
   }
@@ -539,7 +544,10 @@ object TextQueries {
         .select(col("doc_id"), Portable.charShingles(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = Dedup.minhashSignatures(base, "doc_id", "sh", 16)
+      // inline signature pipeline → persist before the 3-traversal
+      // candidate generator (see Dedup.persistSig)
+      val sig = Dedup.persistSig(
+        Dedup.minhashSignatures(base, "doc_id", "sh", 16))
       val cand = Dedup.splitCandidates(sig, "doc_id",
         numBands = 2, rowsPerBand = 8, maxBucket = maxBucket)
       // Exact-verify on PACKED shingles: char 3-grams are exactly-3-
